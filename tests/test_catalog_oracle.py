@@ -1,0 +1,40 @@
+"""The main correctness gate, run locally: every catalog query with an
+oracle must match DuckDB at sf0.001 (the driver does the same at
+sf0.01). Mirrors the driver's row-count + schema + value comparison."""
+
+from __future__ import annotations
+
+import pytest
+
+from wire_spark.catalog import load_registry
+from wire_spark.oracle import compare_query, duckdb_connection
+
+REGISTRY = load_registry()
+_WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, con, sf_dir, name):
+    q = REGISTRY[name]
+    res = compare_query(spark, con, name, q.fn, q.oracle, sf_dir)
+    assert res.ok, str(res)
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 25
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25

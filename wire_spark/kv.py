@@ -1,0 +1,194 @@
+"""KV store + statement dialect: ``SET k v...`` / ``GET k`` / ``DELETE k``.
+
+Re-expresses the reference's Raft-FSM keyspace and its 3-verb mini
+query language (reference: internal/store/store.go:1633-1767 parse +
+apply; :1300-1395 query) as a keyed DataFrame with last-writer-wins
+resolution. Exact edge-case parity with the reference semantics:
+
+- ``SET k``         -> value is the empty string
+                       (store.go:1689-1692: joined rest-of-statement).
+- ``SET k a  b``    -> value ``"a b"`` — tokens re-joined with single
+                       spaces (store.go:1692 strings.Join of Fields).
+- ``GET missing``   -> empty result set, NOT an error
+                       (store.go:1335-1344).
+- ``DELETE missing``-> still reports rows_affected=1 — idempotent
+                       delete (store.go:1714-1730).
+- Result shape      -> columns ``[key, value]`` typed ``[text, blob]``
+                       (store.go:1373).
+
+There is no Raft tier: Spark's driver owns the authoritative state and
+durability comes from the table format (SURVEY.md §7.3). Writes append
+``(key, value, seq, deleted)`` rows; reads resolve last-writer-wins by
+the monotonic ``seq`` — the Spark-native analog of replaying the Raft
+log, which makes the store trivially mergeable/compactable at scale
+(compaction = keep max-seq row per key, an argmax aggregation).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), False),
+    ]
+)
+
+
+class StatementError(ValueError):
+    """Raised for malformed statements (unknown verb / missing key)."""
+
+
+@dataclass
+class ExecuteResult:
+    rows_affected: int
+    error: str | None = None
+
+
+@dataclass
+class QueryRows:
+    """Result envelope mirroring the reference's QueryRows proto
+    (internal/command/proto/command.proto:46-53)."""
+
+    columns: list[str]
+    types: list[str]
+    values: list[list]
+
+    def to_json_dict(self, associative: bool = False) -> dict:
+        """JSON forms per internal/command/encoding/json.go:27-160."""
+        if associative:
+            return {
+                "types": dict(zip(self.columns, self.types)),
+                "rows": [dict(zip(self.columns, v)) for v in self.values],
+            }
+        return {"columns": self.columns, "types": self.types, "values": self.values}
+
+
+def resolve_kv(log: DataFrame) -> DataFrame:
+    """Collapse an append-only KV log to live ``(key, value)`` state.
+
+    Last-writer-wins by ``seq`` (the reference's Raft log index analog,
+    internal/new/store/store.go:266); tombstones drop the key. This is
+    a pure argmax aggregation — one shuffle on ``key``, no window sort
+    needed at scale, but we use max_by which Spark executes as a
+    partial-aggregated max.
+    """
+    return (
+        log.groupBy("key")
+        .agg(
+            F.max_by("value", "seq").alias("value"),
+            F.max_by("deleted", "seq").alias("deleted"),
+        )
+        .filter(~F.col("deleted"))
+        .select("key", "value")
+    )
+
+
+class KVStore:
+    """In-session KV store speaking the reference's statement dialect.
+
+    Maintains an append-only log (list of Rows) plus an optional
+    parquet persistence path; `execute`/`query` parse statements with
+    reference-exact semantics.
+    """
+
+    def __init__(self, spark: SparkSession, persist_path: str | None = None):
+        self.spark = spark
+        self.persist_path = persist_path
+        self._log: list[Row] = []
+        self._seq = 0
+        self._lock = threading.Lock()
+        if persist_path:
+            try:
+                existing = spark.read.schema(KV_SCHEMA).parquet(persist_path)
+                self._log = existing.collect()
+                self._seq = max((r.seq for r in self._log), default=0)
+            except Exception:
+                pass  # fresh store
+
+    # -- statement surface ------------------------------------------
+
+    def execute(self, statement: str) -> ExecuteResult:
+        """Apply a write statement: SET / DELETE.
+
+        Parsing mirrors internal/store/store.go:1681-1731 —
+        whitespace-tokenize; SET joins the value tokens with single
+        spaces; DELETE is idempotent but still reports 1 row.
+        """
+        tokens = statement.split()
+        if not tokens:
+            return ExecuteResult(0, error="empty statement")
+        verb = tokens[0].upper()
+        if verb == "SET":
+            if len(tokens) < 2:
+                return ExecuteResult(0, error="SET requires a key")
+            key, value = tokens[1], " ".join(tokens[2:])
+            self._append(key, value, deleted=False)
+            return ExecuteResult(1)
+        if verb == "DELETE":
+            if len(tokens) != 2:
+                return ExecuteResult(0, error="DELETE requires exactly one key")
+            self._append(tokens[1], None, deleted=True)
+            return ExecuteResult(1)  # idempotent, always 1 (store.go:1725-1730)
+        return ExecuteResult(0, error=f"unknown verb: {tokens[0]}")
+
+    def query(self, statement: str) -> QueryRows:
+        """Run a read statement: GET <key>.
+
+        Missing key -> empty QueryRows, not an error
+        (store.go:1335-1344). Exactly two tokens required
+        (store.go:1324-1330).
+        """
+        tokens = statement.split()
+        if len(tokens) != 2 or tokens[0].upper() != "GET":
+            raise StatementError(f"expected 'GET <key>', got: {statement!r}")
+        key = tokens[1]
+        rows = (
+            self.state()
+            .filter(F.col("key") == key)
+            .select("key", "value")
+            .collect()
+        )
+        return QueryRows(
+            columns=["key", "value"],
+            types=["text", "blob"],
+            values=[[r.key, r.value] for r in rows],
+        )
+
+    # -- state ------------------------------------------------------
+
+    def _append(self, key: str, value: str | None, deleted: bool) -> None:
+        with self._lock:
+            self._seq += 1
+            self._log.append(Row(key=key, value=value, seq=self._seq, deleted=deleted))
+
+    def log_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._log or [], schema=KV_SCHEMA)
+
+    def state(self) -> DataFrame:
+        return resolve_kv(self.log_df())
+
+    def checkpoint(self) -> None:
+        """Persist the log (the reference's snapshot analog,
+        store.go:1561-1632 — here just a parquet write)."""
+        if self.persist_path:
+            self.log_df().write.mode("overwrite").parquet(self.persist_path)
+
+    def compact(self) -> None:
+        """Fold the log to live state (Raft log compaction analog)."""
+        with self._lock:
+            live = resolve_kv(self.log_df()).collect()
+            self._log = [
+                Row(key=r.key, value=r.value, seq=i + 1, deleted=False)
+                for i, r in enumerate(sorted(live, key=lambda x: x.key))
+            ]
+            self._seq = len(self._log)

@@ -1,0 +1,482 @@
+"""Relational operator coverage: scans, filters, aggregations, joins
+(broadcast/semi/anti/outer), set ops, rollup/cube, pivot, top-n,
+scalar subqueries.
+
+The reference implements NONE of these natively — they are its declared
+roadmap intent (ROADMAP.md:96-107, SURVEY.md §2.6); Spark provides them
+as built-ins. Each query here is written so Catalyst can push filters
+and prune columns into the parquet scan, and so small dimension tables
+are broadcast (no shuffle of the fact table for those joins).
+
+Scale notes: every groupBy keys on low-cardinality columns (bounded
+state), joins against `part`/`customer`/`nation`/`region` are
+broadcast-hinted (at 100 TB the fact table never shuffles for them),
+and top-n uses orderBy+limit which Spark executes as a partial
+per-partition top-k + single-reducer merge (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, fmt_ts, r2, r4
+
+# --------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — full scan + 4-way agg
+# --------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2)                                            AS sum_qty,
+  round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+  round(avg(l_quantity), 4)                                            AS avg_qty,
+  round(avg(l_extendedprice), 4)                                       AS avg_price,
+  round(avg(l_discount), 4)                                            AS avg_disc,
+  count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, bench=True,
+          doc="TPC-H Q1-shape aggregation over lineitem")
+def q1_pricing_summary(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# q3: top revenue orders (TPC-H Q3 shape) — 3-way join + top-n
+# --------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  o.o_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')          AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE, bench=True,
+          doc="TPC-H Q3-shape join + top-n by revenue")
+def q3_shipping_priority(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    # customer is tiny relative to lineitem: broadcast it so the fact
+    # table only shuffles once (on l_orderkey) at scale.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            fmt_ts(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# q5: revenue by region/nation (TPC-H Q5 shape) — 6-way join
+# --------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  r.r_name,
+  n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_ORACLE, bench=True,
+          doc="TPC-H Q5-shape multi-join, broadcast dims")
+def q5_local_supplier_volume(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    # Dims (customer, supplier, nation, region) broadcast; lineitem
+    # shuffles only on l_orderkey to meet orders.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------
+# broadcast join: lineitem x part, agg by brand
+# --------------------------------------------------------------------
+
+_BRAND_ORACLE = """
+SELECT
+  p.p_brand,
+  round(sum(l.l_quantity), 2)                           AS sum_qty,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*)                                              AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("join_broadcast_brand_volume", oracle=_BRAND_ORACLE,
+          doc="broadcast hash join fact x dim, agg by brand")
+def join_broadcast_brand_volume(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------
+# semi / anti joins
+# --------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+@register("semi_join_big_spenders", oracle=_SEMI_ORACLE,
+          doc="left-semi join (EXISTS rewrite)")
+def semi_join_big_spenders(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+@register("anti_join_no_urgent_orders", oracle=_ANTI_ORACLE,
+          doc="left-anti join (NOT EXISTS rewrite)")
+def anti_join_no_urgent_orders(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------
+# outer join with missing side
+# --------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT
+  n.n_name,
+  count(s.s_suppkey)                            AS n_suppliers,
+  round(coalesce(sum(s.s_acctbal), 0.0), 2)     AS total_bal
+FROM nation n
+LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("outer_join_nation_suppliers", oracle=_OUTER_ORACLE,
+          doc="left outer join preserving unmatched dim rows")
+def outer_join_nation_suppliers(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            r2(F.coalesce(F.sum("s_acctbal"), F.lit(0.0))).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY c_custkey
+"""
+
+
+@register("set_union_segments", oracle=_UNION_ORACLE, doc="UNION (distinct)")
+def set_union_segments(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY c_custkey
+"""
+
+
+@register("set_intersect_segments", oracle=_INTERSECT_ORACLE, doc="INTERSECT")
+def set_intersect_segments(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b).orderBy("c_custkey")
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY c_custkey
+"""
+
+
+@register("set_except_segments", oracle=_EXCEPT_ORACLE, doc="EXCEPT (distinct)")
+def set_except_segments(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.subtract(b).orderBy("c_custkey")  # EXCEPT DISTINCT
+
+
+# --------------------------------------------------------------------
+# rollup / cube / pivot
+# --------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  round(sum(l_quantity), 2)     AS sum_qty,
+  count(*)                      AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("rollup_flag_status", oracle=_ROLLUP_ORACLE, doc="ROLLUP grouping")
+def rollup_flag_status(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(r2(F.sum("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("cube_flag_status", oracle=_CUBE_ORACLE, doc="CUBE grouping")
+def cube_flag_status(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(r2(F.sum("l_extendedprice")).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  l_returnflag,
+  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("pivot_linestatus", oracle=_PIVOT_ORACLE, doc="pivot to columns")
+def pivot_linestatus(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(r2(F.sum("l_quantity")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# scalar subquery / top-n
+# --------------------------------------------------------------------
+
+_ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_subquery_above_avg", oracle=_ABOVE_AVG_ORACLE,
+          doc="scalar aggregate subquery in predicate")
+def scalar_subquery_above_avg(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    # broadcast the 1-row aggregate: no shuffle of orders
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", r2(F.col("o_totalprice")).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("topn_orders_by_price", oracle=_TOPN_ORACLE,
+          doc="global top-n (TakeOrderedAndProject)")
+def topn_orders_by_price(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("totalprice"))
+        .limit(25)
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT
+  count(DISTINCT l_orderkey)                    AS n_orders,
+  count(DISTINCT l_partkey)                     AS n_parts,
+  count(DISTINCT l_suppkey)                     AS n_supps,
+  count(*)                                      AS n_rows
+FROM lineitem
+"""
+
+
+@register("distinct_counts", oracle=_DISTINCT_ORACLE, doc="multi distinct aggregation")
+def distinct_counts(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,130 @@
+"""Window-function coverage: ranking, running totals, lag/lead.
+
+Not present in the reference (SURVEY.md §2.6 — declared intent only);
+all native Spark window execution.
+
+Scale notes: every window partitions on a real key (supplier, brand,
+user) — never an unpartitioned global window, which would serialize
+through a single task at 100 TB. Running totals use ROWS frames with a
+deterministic total order (ties broken by primary key) so results are
+reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, fmt_ts, r2
+
+_TOPK_ORACLE = """
+SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+ORDER BY p_brand, rn
+"""
+
+
+@register("window_topk_per_brand", oracle=_TOPK_ORACLE,
+          doc="row_number partition top-k", bench=True)
+def window_topk_per_brand(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name",
+                r2(F.col("p_retailprice")).alias("retailprice"), "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT
+  l_suppkey, l_orderkey, l_linenumber,
+  round(sum(l_quantity) OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+@register("window_running_total", oracle=_RUNNING_ORACLE,
+          doc="running sum per supplier, ROWS frame", bench=True)
+def window_running_total(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.select(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            r2(F.sum("l_quantity").over(w)).alias("running_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+_LAG_ORACLE = """
+SELECT
+  user_id, event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  round(value - lag(value) OVER w, 4)  AS delta_value,
+  lead(event_type) OVER w              AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@register("window_lag_lead_events", oracle=_LAG_ORACLE,
+          doc="lag/lead per user over event time")
+def window_lag_lead_events(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id", "event_id",
+            fmt_ts(F.col("ts"), with_micros=True).alias("ts_s"),
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_NTILE_ORACLE = """
+SELECT
+  c_mktsegment, c_custkey,
+  ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile,
+  rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank
+FROM customer
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+@register("window_rank_ntile", oracle=_NTILE_ORACLE,
+          doc="rank/dense_rank/ntile per segment")
+def window_rank_ntile(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
