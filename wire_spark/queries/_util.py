@@ -38,3 +38,49 @@ def r4(col):
 
 def r6(col):
     return F.round(col, 6)
+
+
+def t4(col):
+    """Truncate to 4 dp via floor — for PER-ROW ratios/composites.
+
+    Unlike ``round``, which Spark implements through BigDecimal
+    HALF_UP and DuckDB through double math (they disagree on exact
+    .5 boundaries like 0.31575), floor(x*1e4)/1e4 is bit-deterministic
+    given the identical input double both engines compute for
+    per-row expressions. Oracle side: ``floor(x * 10000) / 10000``.
+    Do NOT use for cross-row aggregates (sums/avgs) — those differ in
+    the last ulp by summation order; use r2/r4 there.
+    """
+    return F.floor(col * F.lit(10000.0)) / F.lit(10000.0)
+
+
+def t6(col):
+    """Truncate to 6 dp via floor (see t4); oracle:
+    ``floor(x * 1000000) / 1000000``."""
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def word_shingles(text_col: str = "text", k: int = 3):
+    """Distinct word k-gram shingles of a text column (JVM-side only:
+    split + transform higher-order function, no Python UDF).
+
+    Matches the DuckDB oracle formulation
+    ``[words[i] || ' ' || ... for i in range(1, len(words)-k+2)]``.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), n - (k - 1))  # 1-based
+    shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.array_distinct(F.when(n >= k, shingles).otherwise(F.array()))
+
+
+def md5_long(col):
+    """Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+
+    Identical in DuckDB via
+    ``CAST(CONCAT('0x', SUBSTRING(md5(x),1,15)) AS BIGINT)`` — the
+    cross-engine hash primitive for minhash/simhash parity. (Spark's
+    native xxhash64/murmur3 would be faster but engine-specific; the
+    md5 path is still JVM codegen, no Python.)
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -1,1 +1,336 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators for LLM-data pipelines: exact (hash),
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+North-star operators (BASELINE.json) beyond the reference's surface.
+All JVM-side (split/transform/md5/bit ops — no Python UDFs); the LSH
+variants are the 100 TB scale path: candidate generation by
+band-bucket equi-join (shuffle on band signature) instead of an
+all-pairs cross join, then exact verification on the candidate set
+only.
+
+Parity design: both engines compute the identical deterministic
+algorithm (md5-derived 60-bit hashes), so Spark-vs-DuckDB results
+match bit-for-bit — including the LSH candidate sets. For SimHash the
+banding (6 bands x 10 bits, threshold hamming<=5) is *provably*
+equivalent to the all-pairs filter by pigeonhole, so the oracle uses
+the simpler all-pairs form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, md5_long, t4, word_shingles
+
+# --------------------------------------------------------------------
+# exact dedup: hash-groupBy
+# --------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+  doc_id,
+  md5(text) AS fp,
+  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, bench=True,
+          doc="exact dedup via content-hash groupBy, min-id survivor")
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    # window over the fingerprint == groupBy fp + broadcast-back join;
+    # at 100 TB this is one shuffle keyed on a uniform 128-bit hash —
+    # no skew by construction.
+    w = W.partitionBy("fp")
+    return (
+        d.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# n-gram Jaccard (exact all-pairs via shingle equi-join)
+# --------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1) ]) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+"""
+
+_JACCARD_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, floor(i * 1.0 / (s1.n + s2.n - i) * 10000.0) / 10000.0 AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+def _shingle_df(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+
+
+def _jaccard_pairs(spark, sf_dir, threshold: float):
+    """Exact all-pairs Jaccard via shingle equi-join.
+
+    Scale path: the join shuffles on `shingle`, so cost is
+    sum(df(shingle)^2) over shingle doc-frequencies — fine while
+    shingles are near-unique (3-gram text shingles are). At 100 TB
+    you additionally drop stop-shingles with df > ~1000 (they
+    contribute candidates, not evidence); the LSH variant below
+    removes even that term.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", t4(jac).alias("jaccard"))
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, bench=True,
+          doc="exact 3-gram Jaccard near-dup pairs (threshold 0.8)")
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _jaccard_pairs(spark, sf_dir, 0.8).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH (24 permutations, 6 bands x 4 rows, verify >= 0.8)
+# --------------------------------------------------------------------
+
+_MINHASH_ORACLE = _SHINGLES_CTE + """
+, perms AS (SELECT unnest(range(24)) AS p)
+, h AS (
+  SELECT doc_id, p,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS hv
+  FROM sh, perms
+), sig AS (
+  SELECT doc_id, p, min(hv) AS mh FROM h GROUP BY doc_id, p
+), band AS (
+  SELECT doc_id, p // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bsig
+  FROM sig GROUP BY doc_id, p // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2, floor(i.i * 1.0 / (s1.n + s2.n - i.i) * 10000.0) / 10000.0 AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.d1 = s1.doc_id
+JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8
+ORDER BY i.d1, i.d2
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, bench=True,
+          doc="MinHash-LSH near-dup: 24 perms, 6 bands x 4, exact verify")
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingle_df(spark, sf_dir)
+    perms = spark.range(24).select(F.col("id").cast("int").alias("p"))
+    # 24 permutations via seed-prefixed md5 (portable; see md5_long).
+    h = sh.crossJoin(F.broadcast(perms)).select(
+        "doc_id", "p",
+        md5_long(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
+    )
+    sig = h.groupBy("doc_id", "p").agg(F.min("hv").alias("mh"))
+    band = (
+        sig.withColumn("band", (F.col("p") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("bsig")
+        )
+    )
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bsig") == F.col("b.bsig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact-verify ONLY the candidates: intersect counts via two joins
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(sa, "d1").join(sb, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", t4(jac).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash (60-bit over 3-gram shingles; banded; hamming <= 5)
+# --------------------------------------------------------------------
+
+_SIMHASH_ORACLE = _SHINGLES_CTE + """
+, h AS (
+  SELECT doc_id, CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT) AS hv
+  FROM sh
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.s, b.s)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 5
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, bench=True,
+          doc="60-bit shingle SimHash, 6x10-bit bands, hamming<=5")
+def dedup_simhash(spark, sf_dir):
+    sh = _shingle_df(spark, sf_dir)
+    h = sh.select("doc_id", md5_long(F.col("shingle")).alias("hv"))
+    # shiftright/shiftleft take a column shift amount only in SQL form
+    bits = (
+        h.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(hv, b) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("s")
+    )
+    # 6 bands x 10 bits: any pair with hamming <= 5 shares at least one
+    # band (pigeonhole) => banded candidates == all-pairs filter,
+    # without the O(n^2) cross join the oracle can afford.
+    bands = spark.range(6).select(F.col("id").cast("int").alias("i"))
+    banded = sig.crossJoin(F.broadcast(bands)).select(
+        "doc_id", "s", "i",
+        F.expr("shiftright(s, i * 10) & 1023").alias("bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.i") == F.col("b.i"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.filter(hamming <= 5)
+        .select("d1", "d2", hamming.cast("int").alias("hamming"))
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# --------------------------------------------------------------------
+
+_EMB_DUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       floor(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             * 10000.0) / 10000.0 AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+ORDER BY v1, v2
+"""
+
+
+def cosine_expr(va, vb):
+    """dot(a,b)/(|a||b|) over array<double> columns — built-in
+    zip_with/aggregate higher-order fns, same left-to-right summation
+    order as DuckDB's list_dot_product => bit-identical doubles."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE,
+          doc="embedding-cosine near-dup pairs (threshold 0.45)")
+def dedup_embedding_cosine(spark, sf_dir):
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            t4(cos).alias("cosine"),
+        )
+        .orderBy("v1", "v2")
+    )

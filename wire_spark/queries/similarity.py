@@ -1,1 +1,220 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and a one-pass IVF probe variant (the scale path), plus
+vector stats.
+
+North-star operators (BASELINE.json). Dot products use built-in
+`zip_with`/`aggregate` higher-order functions — JVM-side, no Python
+UDFs; the query side of every join is broadcast (queries and
+centroids are small by construction, so the big vector table never
+shuffles).
+
+Scale design: brute-force is O(|Q| x N) — correct baseline, and with
+broadcast queries it is one scan of the vector table, embarrassingly
+parallel. The IVF variant assigns vectors to centroids once
+(clustered table at rest), probes the top-2 centroids per query, and
+brute-forces only those clusters — at 100 TB with k centroids the
+scan shrinks by ~k/2x while staying deterministic (fixed seed
+centroids, rounded-similarity ranking with id tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, r4, t6
+from wire_spark.queries.dedup import cosine_expr
+
+_COS = """list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+
+
+def _vectors(spark, sf_dir):
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+# --------------------------------------------------------------------
+# brute-force cosine top-k
+# --------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         floor((""" + _COS + """) * 1000000.0) / 1000000.0 AS sim
+  FROM q a JOIN e b ON b.vec_id != a.vec_id
+)
+SELECT qid, nid, sim, rn FROM (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+  FROM sims
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("knn_bruteforce_cosine", oracle=_KNN_ORACLE, bench=True,
+          doc="brute-force cosine top-5 for query vectors (id % 100 == 0)")
+def knn_bruteforce_cosine(spark, sf_dir):
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    sims = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"),
+                t6(cosine_expr(F.col("qv"), F.col("v"))).alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# IVF probe top-k (approximate, deterministic)
+# --------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_dot_product(e.v, cent.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                  * 1000000.0) / 1000000.0 DESC,
+               cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY floor(list_dot_product(q.qv, cent.cv)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                  * 1000000.0) / 1000000.0 DESC,
+               cent.cid) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.qid, q.qv, e.vec_id AS nid, e.v
+  FROM probes p
+  JOIN q ON q.qid = p.qid
+  JOIN assign a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id != q.qid
+)
+SELECT qid, nid, sim, rn FROM (
+  SELECT qid, nid,
+         floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 AS sim,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 DESC,
+             nid) AS rn
+  FROM cand
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("ann_ivf_cosine", oracle=_IVF_ORACLE, bench=True,
+          doc="IVF-probe approximate top-5 (8 fixed centroids, 2 probes)")
+def ann_ivf_cosine(spark, sf_dir):
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # 1. assignment: nearest centroid per vector (one broadcast pass)
+    sim_c = t6(cosine_expr(F.col("v"), F.col("cv")))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # 2. probe: top-2 centroids per query
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", t6(cosine_expr(F.col("qv"), F.col("cv"))).alias("csim"), "cid")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "qv", "cid")
+    )
+    # 3. brute-force within probed clusters only
+    cand = (
+        probes.join(assign, "cid")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", F.col("vec_id").alias("nid"), "v")
+    )
+    w_top = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        cand.select("qid", "nid", t6(cosine_expr(F.col("qv"), F.col("v"))).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# vector stats
+# --------------------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm,
+       floor(min(sqrt(list_dot_product(v, v))) * 1000000.0) / 1000000.0 AS min_norm,
+       floor(max(sqrt(list_dot_product(v, v))) * 1000000.0) / 1000000.0 AS max_norm
+FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_ORACLE,
+          doc="per-label embedding norm statistics")
+def embedding_norm_stats(spark, sf_dir):
+    e = _vectors(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+    )
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("norm")).alias("avg_norm"),
+            t6(F.min("norm")).alias("min_norm"),
+            t6(F.max("norm")).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, fmt_ts, r2
+from wire_spark.queries._util import T, fmt_ts, r2, t4
 
 _TOPK_ORACLE = """
 SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice, rn
@@ -79,7 +79,7 @@ _LAG_ORACLE = """
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-  round(value - lag(value) OVER w, 4)  AS delta_value,
+  floor((value - lag(value) OVER w) * 10000.0) / 10000.0 AS delta_value,
   lead(event_type) OVER w              AS next_type
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -96,7 +96,7 @@ def window_lag_lead_events(spark, sf_dir):
         e.select(
             "user_id", "event_id",
             fmt_ts(F.col("ts"), with_micros=True).alias("ts_s"),
-            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_value"),
+            t4(F.col("value") - F.lag("value").over(w)).alias("delta_value"),
             F.lead("event_type").over(w).alias("next_type"),
         )
         .orderBy("user_id", "event_id")
