@@ -85,9 +85,18 @@ ORDER BY d1, d2
 """
 
 
-def _shingle_df(spark, sf_dir):
+def _shingle_df(spark, sf_dir, cache: bool = True):
+    """(doc_id, shingle) exploded pairs.
+
+    Cached by default: every dedup query reuses this relation on both
+    sides of a self-join, and without persistence Spark re-derives it
+    from the parquet scan per branch. On a cluster the equivalent is
+    persisting (or checkpointing) the shingle/signature table before
+    the LSH join — a standard pattern for multi-pass dedup.
+    """
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    return sh.cache() if cache else sh
 
 
 def _jaccard_pairs(spark, sf_dir, threshold: float):
@@ -131,10 +140,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _MINHASH_ORACLE = _SHINGLES_CTE + """
 , perms AS (SELECT unnest(range(24)) AS p)
-, h AS (
-  SELECT doc_id, p,
-         CAST(CONCAT('0x', SUBSTRING(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS hv
-  FROM sh, perms
+, sh2 AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 12)) AS BIGINT)  AS h1,
+         CAST(CONCAT('0x', SUBSTRING(md5(shingle), 13, 12)) AS BIGINT) AS h2
+  FROM sh
+), h AS (
+  SELECT doc_id, p, (h1 + p * h2) % 1073741789 AS hv
+  FROM sh2, perms
 ), sig AS (
   SELECT doc_id, p, min(hv) AS mh FROM h GROUP BY doc_id, p
 ), band AS (
@@ -165,11 +178,19 @@ ORDER BY i.d1, i.d2
           doc="MinHash-LSH near-dup: 24 perms, 6 bands x 4, exact verify")
 def dedup_minhash_lsh(spark, sf_dir):
     sh = _shingle_df(spark, sf_dir)
-    perms = spark.range(24).select(F.col("id").cast("int").alias("p"))
-    # 24 permutations via seed-prefixed md5 (portable; see md5_long).
-    h = sh.crossJoin(F.broadcast(perms)).select(
+    perms = spark.range(24).select(F.col("id").cast("long").alias("p"))
+    # One md5 per shingle; 24 permutations via Carter-Wegman-style
+    # (h1 + p*h2) mod prime — pure 53-bit-safe integer arithmetic,
+    # identical in DuckDB, and 24x cheaper than hashing per perm.
+    md5c = F.md5("shingle")
+    sh2 = sh.select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5c, 13, 12), 16, 10).cast("long").alias("h2"),
+    )
+    h = sh2.crossJoin(F.broadcast(perms)).select(
         "doc_id", "p",
-        md5_long(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
+        ((F.col("h1") + F.col("p") * F.col("h2")) % F.lit(1073741789)).alias("hv"),
     )
     sig = h.groupBy("doc_id", "p").agg(F.min("hv").alias("mh"))
     band = (
@@ -185,6 +206,7 @@ def dedup_minhash_lsh(spark, sf_dir):
             ).alias("bsig")
         )
     )
+    band = band.cache()  # reused on both sides of the LSH bucket join
     a, b = band.alias("a"), band.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -256,7 +278,7 @@ def dedup_simhash(spark, sf_dir):
         F.sum(
             F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
         ).alias("s")
-    )
+    ).cache()  # reused on both sides of the band join
     # 6 bands x 10 bits: any pair with hamming <= 5 shares at least one
     # band (pigeonhole) => banded candidates == all-pairs filter,
     # without the O(n^2) cross join the oracle can afford.

@@ -31,6 +31,10 @@ _COS = """list_dot_product(a.v, b.v)
 
 
 def _vectors(spark, sf_dir):
+    # NOT cached: columnar-caching array<double> columns measurably
+    # hurts here (cache build + InMemoryTableScan breaks the codegen
+    # pipeline around the higher-order-function dot products); the
+    # parquet re-scan of a pruned 3-column table is cheaper.
     return T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
