@@ -164,6 +164,17 @@ class KVStore:
             values=[[r.key, r.value] for r in rows],
         )
 
+    # -- raw access (StoreInDatabase/GetFromDatabase analog,
+    #    store.go:2036-2099 — bypasses the statement parser, so values
+    #    keep arbitrary whitespace; used for config persistence) ------
+
+    def put(self, key: str, value: str) -> None:
+        self._append(key, value, deleted=False)
+
+    def get(self, key: str) -> str | None:
+        rows = self.state().filter(F.col("key") == key).select("value").collect()
+        return rows[0].value if rows else None
+
     # -- state ------------------------------------------------------
 
     def _append(self, key: str, value: str | None, deleted: bool) -> None:
