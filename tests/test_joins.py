@@ -1,0 +1,56 @@
+"""Custom join operators: as-of semantics edge cases and salted-join
+equivalence with a plain join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wire_spark.engine import load_table
+from wire_spark.operators.joins import asof_join, salted_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a"),
+         (1, _ts("2024-01-01T12:00:00"), "b"),
+         (2, _ts("2024-01-01T09:00:00"), "c")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), 10.0),
+         (1, _ts("2024-01-01T11:00:00"), 20.0),
+         (1, _ts("2024-01-01T12:00:00"), 30.0),  # exactly equal ts -> matches (<=)
+         (2, _ts("2024-01-01T09:30:00"), 99.0)],  # after left -> no match
+        ["k", "ts", "v"],
+    )
+    out = {
+        (r.k, r.tag): r.matched_v
+        for r in asof_join(left, right, on="k", left_time="ts", right_time="ts",
+                           value_cols=["v"]).collect()
+    }
+    assert out == {
+        (1, "a"): 10.0,   # latest right <= 10:00 is 09:30
+        (1, "b"): 30.0,   # 12:00 right matches at equal ts
+        (2, "c"): None,   # unmatched left row survives with NULL
+    }
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # orders keyed as l_orderkey for the equi-join
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(l, o, on="l_orderkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)

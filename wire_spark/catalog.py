@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.text",
     "wire_spark.queries.dedup",
     "wire_spark.queries.similarity",
+    "wire_spark.queries.extras",
 )
 
 

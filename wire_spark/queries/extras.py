@@ -1,0 +1,225 @@
+"""Extended operator coverage: the reference's uppercase transform
+under the oracle gate, multimodal decode metadata, as-of join,
+grouping sets, exact percentiles, sessionization composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.operators.joins import asof_join
+from wire_spark.operators.multimodal import attach_media, decode_media
+from wire_spark.queries._util import T, fmt_ts, r2, r4, t4
+
+# --------------------------------------------------------------------
+# the reference's core transform, oracle-verified
+# --------------------------------------------------------------------
+
+_UPPER_ORACLE = """
+SELECT doc_id, upper(text) AS text_upper
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("transform_uppercase", oracle=_UPPER_ORACLE,
+          doc="the reference's uppercase transform (pipeline.go:282-340)")
+def transform_uppercase(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.upper("text").alias("text_upper")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# multimodal decode metadata — exercises the REAL mapInPandas path on
+# the Spark side; the oracle states the stub decode in closed form
+# --------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT
+  doc_id,
+  octet_length(encode(text))              AS n_bytes,
+  md5(text)                               AS sha,
+  octet_length(encode(text)) % 640 + 1    AS width,
+  (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+  octet_length(encode(text)) % 16 + 1     AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_decode_meta", oracle=_MEDIA_ORACLE,
+          doc="binary media column decode (mapInPandas, stubbed kernel)")
+def multimodal_decode_meta(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    decoded = decode_media(attach_media(d, "text"), id_col="doc_id")
+    return (
+        decoded.select(
+            "doc_id",
+            F.col("n_bytes").cast("int").alias("n_bytes"),
+            "sha",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# as-of join: each click joined to the user's latest prior purchase
+# --------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  c.user_id,
+  c.event_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  floor(p.value * 10000.0) / 10000.0     AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+@register("asof_join_click_purchase", oracle=_ASOF_ORACLE, bench=True,
+          doc="as-of join (latest purchase <= click time per user)")
+def asof_join_click_purchase(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["ts", "value"],
+    )
+    return (
+        joined.select(
+            "user_id",
+            "event_id",
+            fmt_ts(F.col("ts"), with_micros=True).alias("click_ts"),
+            fmt_ts(F.col("matched_ts"), with_micros=True).alias("purchase_ts"),
+            t4(F.col("matched_value")).alias("purchase_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# grouping sets (SQL surface)
+# --------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(CAST(l_suppkey AS VARCHAR), 'ALL') AS suppkey,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+ORDER BY returnflag, suppkey
+"""
+
+
+@register("grouping_sets_mixed", oracle=_GSETS_ORACLE,
+          doc="GROUP BY GROUPING SETS via the SQL surface")
+def grouping_sets_mixed(spark, sf_dir):
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(CAST(l_suppkey AS STRING), 'ALL') AS suppkey,
+          round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+        ORDER BY returnflag, suppkey
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# exact interpolated percentiles
+# --------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT
+  o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("percentile_order_value", oracle=_PCT_ORACLE,
+          doc="exact interpolated percentiles per priority class")
+def percentile_order_value(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            r4(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
+            r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
+            r4(F.expr("percentile(o_totalprice, 0.99)")).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# sessionization composition: top users by session count
+# --------------------------------------------------------------------
+
+_TOP_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 10 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM sessions
+GROUP BY user_id
+ORDER BY n_sessions DESC, user_id
+LIMIT 10
+"""
+
+
+@register("sessionized_top_users", oracle=_TOP_SESSIONS_ORACLE,
+          doc="session_window composition: top users by session count")
+def sessionized_top_users(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("user_id"))
+        .limit(10)
+    )
