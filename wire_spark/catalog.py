@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.dedup",
     "wire_spark.queries.similarity",
     "wire_spark.queries.extras",
+    "wire_spark.queries.tpch",
 )
 
 

@@ -40,6 +40,23 @@ def r6(col):
     return F.round(col, 6)
 
 
+def msum(col):
+    """Order-independent float sum: floor-truncate each addend to 4dp
+    in integer domain, sum exactly, scale back.
+
+    ``round(sum(x), 2)`` is NOT cross-engine stable: the two engines
+    sum in different orders, the last-ulp noise occasionally lands the
+    true sum exactly on a .005 rounding boundary (observed: q7 volume
+    296301.815). Here every addend ``floor(x*10000)`` is the same
+    integer in both engines (same per-row double in, deterministic
+    floor), integer sums are exact in any order (and exact in doubles
+    while < 2^53), and the final /10000 is a deterministic division.
+    Result has 4dp resolution. Oracle mirror:
+    ``sum(floor(x * 10000.0)) / 10000.0``.
+    """
+    return F.sum(F.floor(col * F.lit(10000.0))) / F.lit(10000.0)
+
+
 def t4(col):
     """Truncate to 4 dp via floor — for PER-ROW ratios/composites.
 

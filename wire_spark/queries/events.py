@@ -18,14 +18,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, r2, r4
+from wire_spark.queries._util import T, msum, r2, r4
 
 _TYPE_STATS_ORACLE = """
 SELECT
   event_type,
   count(*)                       AS n_events,
   count(DISTINCT user_id)        AS n_users,
-  round(sum(value), 2)           AS sum_value,
+  sum(floor(value * 10000.0)) / 10000.0 AS sum_value,
   round(avg(value), 4)           AS avg_value,
   round(min(value), 4)           AS min_value,
   round(max(value), 4)           AS max_value
@@ -44,7 +44,7 @@ def events_type_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            r2(F.sum("value")).alias("sum_value"),
+            msum(F.col("value")).alias("sum_value"),
             r4(F.avg("value")).alias("avg_value"),
             r4(F.min("value")).alias("min_value"),
             r4(F.max("value")).alias("max_value"),
@@ -60,7 +60,7 @@ SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   count(*)             AS n_events,
-  round(sum(value), 2) AS sum_value
+  sum(floor(value * 10000.0)) / 10000.0 AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start, event_type
@@ -73,7 +73,7 @@ def window_tumbling_hourly(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -97,7 +97,7 @@ WITH buckets AS (
 SELECT
   strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
   count(*)             AS n_events,
-  round(sum(value), 2) AS sum_value
+  sum(floor(value * 10000.0)) / 10000.0 AS sum_value
 FROM buckets
 GROUP BY window_start
 ORDER BY window_start
@@ -110,7 +110,7 @@ def window_sliding_30m(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
@@ -144,7 +144,7 @@ SELECT
   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')                       AS session_start,
   strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f')  AS session_end,
   count(*)                                                        AS n_events,
-  round(sum(value), 2)                                            AS sum_value
+  sum(floor(value * 10000.0)) / 10000.0                           AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -157,7 +157,7 @@ def window_session_10m(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),

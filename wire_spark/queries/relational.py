@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, fmt_ts, r2, r4
+from wire_spark.queries._util import T, fmt_ts, msum, r2, r4
 
 # --------------------------------------------------------------------
 # q1: pricing summary (TPC-H Q1 shape) — full scan + 4-way agg
@@ -31,9 +31,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                            AS sum_qty,
-  round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+  sum(floor(l_extendedprice * 10000.0)) / 10000.0                      AS sum_base_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * 10000.0)) / 10000.0   AS sum_disc_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0)) / 10000.0 AS sum_charge,
   round(avg(l_quantity), 4)                                            AS avg_qty,
   round(avg(l_extendedprice), 4)                                       AS avg_price,
   round(avg(l_discount), 4)                                            AS avg_disc,
@@ -55,9 +55,9 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            msum(disc_price).alias("sum_disc_price"),
+            msum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
             r4(F.avg("l_extendedprice")).alias("avg_price"),
             r4(F.avg("l_discount")).alias("avg_disc"),
@@ -74,7 +74,7 @@ def q1_pricing_summary(spark, sf_dir):
 _Q3_ORACLE = """
 SELECT
   o.o_orderkey,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')          AS orderdate,
   o.o_orderpriority
 FROM customer c
@@ -105,7 +105,7 @@ def q3_shipping_priority(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -125,7 +125,7 @@ _Q5_ORACLE = """
 SELECT
   r.r_name,
   n.n_name,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -163,7 +163,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("r_name", "n_name")
     )
 
@@ -176,7 +176,7 @@ _BRAND_ORACLE = """
 SELECT
   p.p_brand,
   round(sum(l.l_quantity), 2)                           AS sum_qty,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
   count(*)                                              AS n_items
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -195,7 +195,7 @@ def join_broadcast_brand_volume(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("p_brand")
@@ -255,7 +255,7 @@ _OUTER_ORACLE = """
 SELECT
   n.n_name,
   count(s.s_suppkey)                            AS n_suppliers,
-  round(coalesce(sum(s.s_acctbal), 0.0), 2)     AS total_bal
+  coalesce(sum(floor(s.s_acctbal * 10000.0)), 0) / 10000.0 AS total_bal
 FROM nation n
 LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name
@@ -273,7 +273,7 @@ def outer_join_nation_suppliers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
-            r2(F.coalesce(F.sum("s_acctbal"), F.lit(0.0))).alias("total_bal"),
+            (F.coalesce(F.sum(F.floor(F.col("s_acctbal") * F.lit(10000.0))), F.lit(0)) / F.lit(10000.0)).alias("total_bal"),
         )
         .orderBy("n_name")
     )
@@ -367,7 +367,7 @@ _CUBE_ORACLE = """
 SELECT
   coalesce(l_returnflag, 'ALL') AS returnflag,
   coalesce(l_linestatus, 'ALL') AS linestatus,
-  round(sum(l_extendedprice), 2) AS sum_price
+  sum(floor(l_extendedprice * 10000.0)) / 10000.0 AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
@@ -379,7 +379,7 @@ def cube_flag_status(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     return (
         l.cube("l_returnflag", "l_linestatus")
-        .agg(r2(F.sum("l_extendedprice")).alias("sum_price"))
+        .agg(msum(F.col("l_extendedprice")).alias("sum_price"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

@@ -1,0 +1,290 @@
+"""Further TPC-H-shape relational coverage: correlated subqueries,
+nation-pair volume, returned items, conditional-aggregate ratios,
+HAVING filters, disjunctive pushdown, composed anti-join + scalar
+subquery.
+
+All adapted to the synthetic star schema (no partsupp table; lineitem
+carries shipdate only). Catalyst-facing goals per query are noted —
+these exist to prove the optimizer surface (correlated rewrite to
+join, disjunct pushdown, partial aggregation) as much as the results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, fmt_ts, msum, r2, r4
+
+# --------------------------------------------------------------------
+# correlated scalar subquery (Q2 shape): cheapest part per type
+# --------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT p_type, p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+ORDER BY p_type, p_partkey
+"""
+
+
+@register("q2_min_cost_per_type", oracle=_Q2_ORACLE,
+          doc="correlated scalar subquery -> groupBy+join rewrite")
+def q2_min_cost_per_type(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    # the de-correlated form Catalyst rewrites to: min per group,
+    # broadcast back, equality filter
+    mins = p.groupBy("p_type").agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(F.broadcast(mins), "p_type")
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_name",
+                r2(F.col("p_retailprice")).alias("retailprice"))
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------
+# nation-pair volume (Q7 shape)
+# --------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS volume
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name
+ORDER BY supp_nation, cust_nation
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_ORACLE,
+          doc="cross-nation trade volume, dual dim-join on nation")
+def q7_nation_volume(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+# --------------------------------------------------------------------
+# returned items (Q10 shape): top customers by lost revenue
+# --------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  c.c_custkey, c.c_name,
+  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+  round(c.c_acctbal, 2) AS acctbal,
+  n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE,
+          doc="returned-item revenue ranking (Q10 shape)")
+def q10_returned_items(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                r2(F.col("c_acctbal")).alias("acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# promo revenue ratio (Q14 shape): conditional aggregation
+# --------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+  round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE,
+          doc="conditional-aggregate ratio (Q14 shape)")
+def q14_promo_revenue(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            r4(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# large orders (Q18 shape): HAVING on grouped fact
+# --------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT
+  c.c_name, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+  round(o.o_totalprice, 2) AS totalprice,
+  round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(l.l_quantity) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE,
+          doc="HAVING over grouped join (Q18 shape)")
+def q18_large_orders(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 150)
+        .select(
+            "c_name", "o_orderkey",
+            fmt_ts(F.col("o_orderdate")).alias("orderdate"),
+            r2(F.col("o_totalprice")).alias("totalprice"),
+            r2(F.col("qty_raw")).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------
+# disjunctive predicates (Q19 shape)
+# --------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1  AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register("q19_disjunctive_filter", oracle=_Q19_ORACLE,
+          doc="disjunctive multi-branch predicate (Q19 shape)")
+def q19_disjunctive_filter(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------
+# rich customers without urgent orders (Q22 shape):
+# scalar subquery + anti join composition
+# --------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH pos_avg AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT
+  c.c_mktsegment,
+  count(*) AS n_cust,
+  sum(floor(c.c_acctbal * 10000.0)) / 10000.0 AS total_bal
+FROM customer c, pos_avg
+WHERE c.c_acctbal > pos_avg.a
+  AND c.c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("q22_rich_inactive", oracle=_Q22_ORACLE,
+          doc="scalar subquery + anti join composition (Q22 shape)")
+def q22_rich_inactive(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pos_avg = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"), msum(F.col("c_acctbal")).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
