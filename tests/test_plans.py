@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, bounded shuffles, partial
+top-n) asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+from wire_spark.catalog import load_registry
+from wire_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_columns,
+)
+
+REG = load_registry()
+
+
+def _df(spark, sf_dir, name):
+    return REG[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf  # predicate reached the parquet scan
+    rs = " ".join(scan_columns(df))
+    assert "l_orderkey" not in rs  # untouched columns pruned from scan
+    assert "l_partkey" not in rs
+
+
+def test_q3_broadcasts_dims_and_partial_topn(spark, sf_dir):
+    df = _df(spark, sf_dir, "q3_shipping_priority")
+    assert has_broadcast_join(df)  # customer (and orders at small SF)
+    assert has_take_ordered(df)    # top-n is partial + merge, no global sort
+    pf = " ".join(pushed_filters(df))
+    assert "BUILDING" in pf        # dim filter pushed into its scan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    df = _df(spark, sf_dir, "kv_point_lookup")
+    pf = " ".join(pushed_filters(df))
+    assert "EqualTo(user_id,7)" in pf  # point predicate at the scan
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    # one exchange for the aggregation, one for the final orderBy —
+    # the fact table must not shuffle more than that
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    assert count_shuffles(df) <= 2
+
+
+def test_broadcast_brand_join_no_fact_shuffle(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_broadcast_brand_volume")
+    assert has_broadcast_join(df)
+    # broadcast join + agg + sort: lineitem shuffles only for the agg
+    assert count_shuffles(df) <= 2
+
+
+def test_similarity_queries_broadcast_query_side(spark, sf_dir):
+    df = _df(spark, sf_dir, "knn_bruteforce_cosine")
+    assert has_broadcast_join(df)  # query vectors broadcast, table scans once

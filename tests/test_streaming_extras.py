@@ -1,0 +1,147 @@
+"""Stream-stream joins, materialized views, DLQ routing, CDC apply —
+the reference's declared-intent operator set (ROADMAP.md:55-58,
+:102-107) delivered Spark-native."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from wire_spark.model import SourceConfig
+from wire_spark.sources import data_source_factory
+from wire_spark.streaming.joins import stream_static_join, stream_stream_join
+from wire_spark.streaming.materialized import materialize, read_view
+from wire_spark.sinks.dlq import with_dlq
+from wire_spark.transforms.cdc import CDC_SCHEMA, apply_cdc, cdc_stats
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _file_stream(spark, path):
+    return data_source_factory(
+        SourceConfig(name="s", type="file", key="k", config={"path": path})
+    ).read(spark)
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Clicks enriched with impressions in the preceding hour."""
+    clicks_dir, imps_dir = str(tmp_path / "clicks"), str(tmp_path / "imps")
+    _write_jsonl(
+        os.path.join(clicks_dir, "c.json"),
+        [{"uid": 1, "cts": "2024-03-01T10:30:00", "page": "home"},
+         {"uid": 2, "cts": "2024-03-01T10:40:00", "page": "shop"}],
+    )
+    _write_jsonl(
+        os.path.join(imps_dir, "i.json"),
+        [{"uid": 1, "its": "2024-03-01T10:00:00", "ad": "A"},   # within 1h -> match
+         {"uid": 1, "its": "2024-03-01T08:00:00", "ad": "B"},   # too old -> no match
+         {"uid": 2, "its": "2024-03-01T11:00:00", "ad": "C"}],  # after click -> no match
+    )
+    clicks = _file_stream(spark, clicks_dir).withColumn("cts", F.to_timestamp("cts"))
+    imps = _file_stream(spark, imps_dir).withColumn("its", F.to_timestamp("its"))
+    joined = stream_stream_join(
+        clicks, imps, on="uid", left_time="cts", right_time="its", window="1 hour"
+    )
+    q = (
+        joined.select("l.uid", "l.page", "r.ad")
+        .writeStream.format("memory").queryName("ssj")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r.uid, r.page, r.ad) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert rows == {(1, "home", "A")}
+
+
+def test_stream_static_join(spark, tmp_path, sf_dir):
+    ev_dir = str(tmp_path / "ev")
+    _write_jsonl(os.path.join(ev_dir, "e.json"),
+                 [{"n_nationkey": 0, "x": 1}, {"n_nationkey": 99, "x": 2}])
+    from wire_spark.engine import load_table
+
+    stream = _file_stream(spark, ev_dir)
+    static = load_table(spark, sf_dir, "nation")
+    q = (
+        stream_static_join(stream, static, on="n_nationkey")
+        .select("n_nationkey", "x", "n_name")
+        .writeStream.format("memory").queryName("ssj2")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r.n_nationkey, r.n_name) for r in spark.sql("SELECT * FROM ssj2").collect()}
+    assert (0, "NATION_0") in rows
+    assert (99, None) in rows  # left join keeps unmatched stream rows
+
+
+def test_materialized_view_maintenance(spark, tmp_path):
+    """Streaming agg continuously maintaining a queryable table; new
+    data arrives -> view updates on the next run (same checkpoint)."""
+    in_dir, view_path = str(tmp_path / "in"), str(tmp_path / "view")
+    _write_jsonl(os.path.join(in_dir, "b0.json"),
+                 [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}, {"k": "b", "v": 5.0}])
+    stream = _file_stream(spark, in_dir)
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    materialize(agg, view_path, str(tmp_path / "ck"), "mv_test").awaitTermination(60)
+    view = {r.k: (r.n, r.s) for r in read_view(spark, view_path).collect()}
+    assert view == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    _write_jsonl(os.path.join(in_dir, "b1.json"), [{"k": "a", "v": 4.0}])
+    materialize(agg, view_path, str(tmp_path / "ck"), "mv_test").awaitTermination(60)
+    view2 = {r.k: (r.n, r.s) for r in read_view(spark, view_path).collect()}
+    assert view2 == {"a": (3, 7.0), "b": (1, 5.0)}  # incremental state kept
+
+
+def test_dlq_routes_invalid_rows(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir, dlq_dir = str(tmp_path / "out"), str(tmp_path / "dlq")
+    _write_jsonl(
+        os.path.join(in_dir, "b.json"),
+        [{"id": 1, "amount": 10.0}, {"id": 2, "amount": -5.0}, {"id": 3, "amount": None}],
+    )
+    stream = _file_stream(spark, in_dir)
+    q = with_dlq(
+        stream,
+        valid=F.col("amount") > 0,
+        out_path=out_dir,
+        dlq_path=dlq_dir,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(60)
+    good = {r.id for r in spark.read.json(out_dir).collect()}
+    bad = {(r.id, r.dlq_reason) for r in spark.read.json(dlq_dir).collect()}
+    assert good == {1}
+    assert bad == {(2, "validation_failed"), (3, "validation_failed")}
+
+
+def test_cdc_apply_and_stats(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        ("t1", "insert", "d1", '{"a":1}', "db", "c", None, None, base, 100),
+        ("t2", "update", "d1", '{"a":2}', "db", "c", '{"a":2}', None, base, 101),
+        ("t3", "insert", "d2", '{"b":1}', "db", "c", None, None, base, 102),
+        ("t4", "delete", "d2", None, "db", "c", None, None, base, 103),
+        ("t5", "insert", "d3", '{"c":1}', "db", "c", None, None, base, 104),
+        ("t6", "replace", "d3", '{"c":9}', "db", "c", None, None, base, 105),
+    ]
+    changes = spark.createDataFrame(rows, schema=CDC_SCHEMA)
+    state = {r.document_id: r.full_document for r in apply_cdc(changes).collect()}
+    assert state == {"d1": '{"a":2}', "d3": '{"c":9}'}  # d2 deleted
+
+    stats = {
+        (r.operation_type, r.n_ops)
+        for r in cdc_stats(changes).collect()
+    }
+    assert ("insert", 3) in stats and ("delete", 1) in stats
