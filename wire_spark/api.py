@@ -1,0 +1,185 @@
+"""HTTP facade: the reference's rqlite-style API surface.
+
+Mirrors internal/http/service.go routes (:484-580):
+
+- ``POST /connector``            create + start a pipeline
+  (service.go:1801-1875: parse source/sink configs, persist raw body
+  under key 'config', run).
+- ``GET/POST/DELETE /key``       raw KV access (service.go:513-517,
+  :1785-1799 — the StoreInDatabase path).
+- ``POST /db/execute``           statements (SET/DELETE), rqlite
+  request shape: JSON array of statement strings; response
+  ``{"results": [{"rows_affected": n}], "time": t}``.
+- ``POST /db/query``             GET statements -> QueryRows JSON
+  (plain or ``?associative`` — encoding/json.go:27-160 shapes).
+- ``GET /status`` ``GET /readyz`` diagnostics (service.go:508-511).
+
+No auth/TLS/cluster-redirect tier: there is no leader to redirect to
+(SURVEY.md §7.3) — any API node can serve any request because state
+lives in Spark + table storage, which is the point of the re-design.
+
+Built on stdlib ThreadingHTTPServer: the API is a control plane (a
+few requests/sec); the data plane is Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from wire_spark.kv import KVStore
+from wire_spark.model import SinkConfig, SourceConfig
+from wire_spark.pipeline import PipelineRegistry
+
+
+class WireService:
+    """Engine context served over HTTP."""
+
+    def __init__(self, spark: SparkSession, kv: KVStore | None = None):
+        self.spark = spark
+        self.kv = kv or KVStore(spark)
+        self.registry = PipelineRegistry(spark)
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- handlers ----------------------------------------------------
+
+    def create_pipeline(self, body: dict) -> dict:
+        src = body["source"]
+        snk = body["sink"]
+        key = src.get("key") or snk.get("key")
+        self.registry.add_source(
+            SourceConfig(name=src.get("name", key), type=src["type"], key=key,
+                         config=src.get("config", {}))
+        )
+        self.registry.add_sink(
+            SinkConfig(name=snk.get("name", key), type=snk["type"], key=key,
+                       config=snk.get("config", {}))
+        )
+        self.registry.create(key)
+        # persist raw body under 'config' (service.go:1870)
+        self.kv.put("config", json.dumps(body, sort_keys=True))
+        if body.get("run", True):
+            self.registry.run(key, available_now=body.get("available_now", False))
+        return {"key": key, "pipeline": self.registry.show()[key]}
+
+    def execute(self, statements: list[str]) -> dict:
+        t0 = time.perf_counter()
+        results = []
+        for s in statements:
+            r = self.kv.execute(s)
+            results.append(
+                {"rows_affected": r.rows_affected} if r.error is None else {"error": r.error}
+            )
+        return {"results": results, "time": time.perf_counter() - t0}
+
+    def query(self, statements: list[str], associative: bool = False) -> dict:
+        t0 = time.perf_counter()
+        results = []
+        for s in statements:
+            try:
+                rows = self.kv.query(s)
+                results.append(rows.to_json_dict(associative=associative))
+            except Exception as e:
+                results.append({"error": str(e)})
+        return {"results": results, "time": time.perf_counter() - t0}
+
+    def status(self) -> dict:
+        return {
+            "node": {"uptime": True},
+            "store": {"keys_live": self.kv.state().count()},
+            "pipelines": self.registry.show(),
+            "active": self.registry.active(),
+            "spark": {"version": self.spark.version},
+        }
+
+    # -- server lifecycle --------------------------------------------
+
+    def serve(self, port: int = 0) -> int:
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n)) if n else None
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                qs = parse_qs(u.query, keep_blank_values=True)
+                if u.path == "/readyz":
+                    self._send(200, {"ready": True})
+                elif u.path == "/status":
+                    self._send(200, service.status())
+                elif u.path == "/key":
+                    key = qs.get("key", [None])[0]
+                    if key is None:
+                        self._send(400, {"error": "missing key"})
+                        return
+                    v = service.kv.get(key)
+                    self._send(200, {"key": key, "value": v})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                qs = parse_qs(u.query, keep_blank_values=True)
+                try:
+                    if u.path.startswith("/connector"):
+                        self._send(200, service.create_pipeline(self._body()))
+                    elif u.path == "/db/execute":
+                        self._send(200, service.execute(self._body()))
+                    elif u.path == "/db/query":
+                        self._send(
+                            200,
+                            service.query(
+                                self._body(), associative="associative" in qs
+                            ),
+                        )
+                    elif u.path == "/key":
+                        body = self._body()
+                        service.kv.put(body["key"], body["value"])
+                        self._send(200, {"ok": True})
+                    else:
+                        self._send(404, {"error": "not found"})
+                except Exception as e:  # rqlite returns JSON errors
+                    self._send(400, {"error": str(e)})
+
+            def do_DELETE(self):
+                u = urlparse(self.path)
+                qs = parse_qs(u.query, keep_blank_values=True)
+                if u.path == "/key":
+                    key = qs.get("key", [None])[0]
+                    if key is None:
+                        self._send(400, {"error": "missing key"})
+                        return
+                    service.kv.execute(f"DELETE {key}")
+                    self._send(200, {"ok": True})
+                else:
+                    self._send(404, {"error": "not found"})
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def shutdown(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+        self.registry.close_all()
