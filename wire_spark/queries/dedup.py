@@ -340,12 +340,17 @@ def cosine_expr(va, vb):
 @register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE,
           doc="embedding-cosine near-dup pairs (threshold 0.45)")
 def dedup_embedding_cosine(spark, sf_dir):
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b)
+
+    # norms precomputed per vector: one dot per pair in the O(n^2) stage
     e = (
         T(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= 0.45)

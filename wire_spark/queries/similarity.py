@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.queries._util import T, r4, t6
-from wire_spark.queries.dedup import cosine_expr
 
 _COS = """list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b)
 
 
 def _vectors(spark, sf_dir):
@@ -35,11 +38,16 @@ def _vectors(spark, sf_dir):
     # hurts here (cache build + InMemoryTableScan breaks the codegen
     # pipeline around the higher-order-function dot products); the
     # parquet re-scan of a pruned 3-column table is cheaper.
+    #
+    # Norm precomputed ONCE per vector (O(N)) so the pairwise stage
+    # evaluates a single dot product per pair instead of three —
+    # parity-safe: sqrt(dot(v,v)) is the same double whether computed
+    # per row or per pair.
     return T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
 # --------------------------------------------------------------------
@@ -69,12 +77,12 @@ ORDER BY qid, rn
 def knn_bruteforce_cosine(spark, sf_dir):
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     sims = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"),
-                t6(cosine_expr(F.col("qv"), F.col("v"))).alias("sim"))
+                t6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -145,12 +153,12 @@ ORDER BY qid, rn
 @register("ann_ivf_cosine", oracle=_IVF_ORACLE, bench=True,
           doc="IVF-probe approximate top-5 (8 fixed centroids, 2 probes)")
 def ann_ivf_cosine(spark, sf_dir):
-    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
     cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     # 1. assignment: nearest centroid per vector (one broadcast pass)
-    sim_c = t6(cosine_expr(F.col("v"), F.col("cv")))
+    sim_c = t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assign = (
         e.crossJoin(F.broadcast(cent))
@@ -161,26 +169,29 @@ def ann_ivf_cosine(spark, sf_dir):
     )
     # 2. probe: top-2 centroids per query
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     w_probe = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", t6(cosine_expr(F.col("qv"), F.col("cv"))).alias("csim"), "cid")
+        .select("qid", "qv", "qn",
+                t6(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
+                "cid")
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= 2)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "qn", "cid")
     )
     # 3. brute-force within probed clusters only
     cand = (
         probes.join(assign, "cid")
         .join(e, "vec_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qv", F.col("vec_id").alias("nid"), "v")
+        .select("qid", "qv", "qn", F.col("vec_id").alias("nid"), "v", "nrm")
     )
     w_top = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        cand.select("qid", "nid", t6(cosine_expr(F.col("qv"), F.col("v"))).alias("sim"))
+        cand.select("qid", "nid",
+                    t6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"))
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 5)
         .select("qid", "nid", "sim", "rn")
@@ -208,11 +219,8 @@ ORDER BY label
           doc="per-label embedding norm statistics")
 def embedding_norm_stats(spark, sf_dir):
     e = _vectors(spark, sf_dir)
-    norm = F.sqrt(
-        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-    )
     return (
-        e.select("label", norm.alias("norm"))
+        e.select("label", F.col("nrm").alias("norm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
