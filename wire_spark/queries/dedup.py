@@ -361,3 +361,73 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .orderBy("v1", "v2")
     )
+
+
+# --------------------------------------------------------------------
+# near-dup survivor materialization (greedy keep-lowest-id)
+# --------------------------------------------------------------------
+
+_SURVIVORS_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT d2 FROM dup_pairs)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_near_survivors", oracle=_SURVIVORS_ORACLE,
+          doc="near-dup removal: drop the higher-id doc of each dup pair")
+def dedup_near_survivors(spark, sf_dir):
+    """Greedy survivor set: any document appearing as the HIGHER id of
+    a >=0.8-Jaccard pair is dropped; lowest id of each dup cluster
+    survives (for chains a~b~c this keeps a and may keep c — the
+    standard one-pass policy; full transitive closure needs iterative
+    connected components, a different cost class).
+    """
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8)
+    d = T(spark, sf_dir, "documents")
+    drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    return (
+        d.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# shingle vocabulary mining: most frequent 3-grams
+# --------------------------------------------------------------------
+
+_VOCAB_ORACLE = _SHINGLES_CTE + """
+SELECT shingle, count(*) AS doc_freq
+FROM sh
+GROUP BY shingle
+HAVING count(*) >= 4
+ORDER BY doc_freq DESC, shingle
+LIMIT 50
+"""
+
+
+@register("ngram_vocab_mining", oracle=_VOCAB_ORACLE,
+          doc="document-frequency mining of 3-gram shingles (top 50)")
+def ngram_vocab_mining(spark, sf_dir):
+    """The df(shingle) profile that justifies stop-shingle capping in
+    exact Jaccard at scale (see _jaccard_pairs docstring)."""
+    sh = _shingle_df(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 4)
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(50)
+    )
