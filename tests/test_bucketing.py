@@ -19,8 +19,16 @@ from wire_spark.plans import count_shuffles, formatted_plan
 @pytest.fixture(scope="module")
 def bucketed(spark, sf_dir):
     # default warehouse dir (spark-warehouse/, gitignored) — the
-    # warehouse conf is static and cannot move on a live session
+    # warehouse conf is static and cannot move on a live session.
+    # A previous session's on-disk table locations outlive the
+    # in-memory catalog: clear them or saveAsTable refuses.
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    for t in ("lineitem_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS bktest.{t}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/bktest.db", ignore_errors=True)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     (l.write.mode("overwrite").bucketBy(8, "l_orderkey")
