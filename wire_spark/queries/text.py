@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_tokens,
+    fingerprint,
+    quality_score,
+    stopword_tokens,
+    ws_tokens,
+)
 from wire_spark.queries._util import T, t4
 
 # --------------------------------------------------------------------
@@ -45,18 +53,17 @@ ORDER BY doc_id
           doc="whitespace + BPE-ish token counting per document")
 def text_token_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    ws_tokens = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    bpe_tokens = F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    toks = ws_tokens("text")
     return (
         d.select(
             "doc_id",
             "n_chars",
-            F.size(ws_tokens).alias("n_tokens"),
-            F.size(bpe_tokens).alias("n_bpe_tokens"),
-            F.size(F.array_distinct(ws_tokens)).alias("n_distinct_tokens"),
+            F.size(toks).alias("n_tokens"),
+            F.size(bpe_tokens("text")).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
             t4(
                 F.length(F.regexp_replace("text", r"\s", "")) * F.lit(1.0)
-                / F.size(ws_tokens)
+                / F.size(toks)
             ).alias("avg_token_len"),
         )
         .orderBy("doc_id")
@@ -92,21 +99,18 @@ ORDER BY doc_id
           doc="length/diversity/stopword quality heuristic")
 def text_quality_score(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    ws_tokens = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    stopwords = F.regexp_extract_all("text", F.lit(r"\b(?:the|a|of|and|in)\b"), 0)
-    n_tokens = F.size(ws_tokens)
+    toks = ws_tokens("text")
+    n_tokens = F.size(toks)
     length_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
-    diversity = F.size(F.array_distinct(ws_tokens)) * F.lit(1.0) / n_tokens
-    stop_ratio = F.size(stopwords) * F.lit(1.0) / n_tokens
+    diversity = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    stop_ratio = F.size(stopword_tokens("text")) * F.lit(1.0) / n_tokens
     return (
         d.select(
             "doc_id",
             t4(length_score).alias("length_score"),
             t4(diversity).alias("diversity"),
             t4(stop_ratio).alias("stopword_ratio"),
-            t4(
-                F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * stop_ratio
-            ).alias("quality"),
+            t4(quality_score("text", "n_chars")).alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -149,10 +153,10 @@ def text_lang_id(spark, sf_dir):
     scored = d.select(
         "doc_id",
         "lang",
-        cnt(r"\b(?:the|a|of|and|in)\b").alias("en_cnt"),
-        cnt(r"\b(?:el|los|una|que)\b").alias("es_cnt"),
-        cnt(r"\b(?:le|les|une|est)\b").alias("fr_cnt"),
-        cnt(r"\b(?:der|und|ein|ist)\b").alias("de_cnt"),
+        cnt(LANG_MARKERS["en"]).alias("en_cnt"),
+        cnt(LANG_MARKERS["es"]).alias("es_cnt"),
+        cnt(LANG_MARKERS["fr"]).alias("fr_cnt"),
+        cnt(LANG_MARKERS["de"]).alias("de_cnt"),
     )
     top = F.greatest("en_cnt", "es_cnt", "fr_cnt", "de_cnt")
     pred = (
@@ -189,7 +193,7 @@ ORDER BY doc_id
           doc="content fingerprint (md5 of normalized text) + shard key")
 def text_fingerprint(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    fp = fingerprint("text")
     return (
         d.select(
             "doc_id",
