@@ -1,0 +1,73 @@
+"""Scale patterns: streaming dedup within watermark, date-partitioned
+layout with partition pruning — the at-rest and in-flight data
+discipline for 100 TB operation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from wire_spark.engine import load_table
+from wire_spark.model import SourceConfig
+from wire_spark.plans import formatted_plan
+from wire_spark.sources import data_source_factory
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Exact dedup on a stream: duplicates within the watermark horizon
+    are dropped with bounded state (the streaming face of dedup_exact)."""
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(
+        os.path.join(in_dir, "b.json"),
+        [
+            {"id": "a", "ts": "2024-03-01T10:00:00", "v": 1},
+            {"id": "a", "ts": "2024-03-01T10:00:05", "v": 2},  # dup id
+            {"id": "b", "ts": "2024-03-01T10:01:00", "v": 3},
+            {"id": "b", "ts": "2024-03-01T10:02:00", "v": 4},  # dup id
+            {"id": "c", "ts": "2024-03-01T10:03:00", "v": 5},
+        ],
+    )
+    stream = (
+        data_source_factory(
+            SourceConfig(name="s", type="file", key="k", config={"path": in_dir})
+        )
+        .read(spark)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["id"])
+    q = (
+        deduped.writeStream.format("memory").queryName("sdedup")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT id FROM sdedup").collect()
+    assert sorted(r.id for r in rows) == ["a", "b", "c"]
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned parquet: a day predicate prunes the scan to
+    one partition directory (PartitionFilters, not data filters)."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+       .write.partitionBy("day").mode("overwrite").parquet(out))
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "2024-01-03")
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly that day's events
+    expected = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-03").count()
+    assert one_day.count() == expected > 0
