@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.similarity",
     "wire_spark.queries.extras",
     "wire_spark.queries.tpch",
+    "wire_spark.queries.extras2",
 )
 
 
