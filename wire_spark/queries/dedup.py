@@ -431,3 +431,52 @@ def ngram_vocab_mining(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# full near-dup clustering: transitive closure over dup pairs
+# --------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+  UNION SELECT d1, d1 FROM pairs
+  UNION SELECT d2, d2 FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+# note: driver prepends nothing — DuckDB needs WITH RECURSIVE:
+_COMPONENTS_ORACLE = _COMPONENTS_ORACLE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+
+
+@register("dedup_connected_components", oracle=_COMPONENTS_ORACLE,
+          doc="transitive near-dup clustering (iterative label propagation "
+              "vs recursive-CTE oracle)")
+def dedup_connected_components(spark, sf_dir):
+    """Full dup-cluster ids: min-label propagation over >=0.8-Jaccard
+    edges (wire_spark/operators/graph.py) — the iterative algorithm a
+    single join cannot express; the oracle computes the same closure
+    with a recursive CTE."""
+    from wire_spark.operators.graph import connected_components
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    comps = connected_components(pairs, src="d1", dst="d2")
+    return (
+        comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
