@@ -8,7 +8,6 @@ Extends the reference's example-based FSM tests
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

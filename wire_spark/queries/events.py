@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, msum, r2, r4
+from wire_spark.queries._util import T, msum, r4
 
 _TYPE_STATS_ORACLE = """
 SELECT

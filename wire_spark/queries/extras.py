@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.operators.joins import asof_join
 from wire_spark.operators.multimodal import attach_media, decode_media
-from wire_spark.queries._util import T, fmt_ts, r2, r4, t4
+from wire_spark.queries._util import T, fmt_ts, r4, t4
 
 # --------------------------------------------------------------------
 # the reference's core transform, oracle-verified

@@ -8,7 +8,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, r2, t4
+from wire_spark.queries._util import T, t4
 
 # --------------------------------------------------------------------
 # range join: orders binned into price-band intervals

@@ -11,7 +11,7 @@ checkpoint makes the whole batch retry-idempotent.
 from __future__ import annotations
 
 import time
-from collections.abc import Callable
+
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

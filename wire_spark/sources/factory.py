@@ -24,7 +24,6 @@ Semantics upgrades over the reference (documented, intentional):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from wire_spark.model import SourceConfig
 
