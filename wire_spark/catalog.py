@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.extras",
     "wire_spark.queries.tpch",
     "wire_spark.queries.extras2",
+    "wire_spark.queries.extras3",
 )
 
 
