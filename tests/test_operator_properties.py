@@ -1,0 +1,84 @@
+"""Property-based verification of the custom operators with the most
+semantic surface: as-of join and connected components, each checked
+against a brute-force Python model on random inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wire_spark.operators.graph import connected_components
+from wire_spark.operators.joins import asof_join
+
+_key = st.integers(min_value=0, max_value=3)
+_t = st.integers(min_value=0, max_value=20)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=8, unique=True),
+    right=st.lists(st.tuples(_key, _t, st.integers(0, 99)), min_size=1, max_size=8,
+                   unique_by=lambda r: (r[0], r[1])),
+)
+def test_asof_join_matches_bruteforce_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(left)], ["k", "ts", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), float(v)) for k, t, v in right], ["k", "ts", "v"]
+    )
+    got = {
+        (r.k, r.lid): r.matched_v
+        for r in asof_join(ldf, rdf, on="k", left_time="ts", right_time="ts",
+                           value_cols=["v"]).collect()
+    }
+    # model: for each left row, the right row of the same key with the
+    # greatest ts <= left.ts
+    expected = {}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        expected[(k, i)] = float(max(cands)[1]) if cands else None
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=1, max_size=15))
+def test_components_match_union_find_model(spark, edges):
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.comp for r in connected_components(edf).collect()}
+
+    # union-find model
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {}
+    for v in {x for e in edges for x in e}:
+        expected[v] = find(v)
+    # canonicalize: min element of each component
+    comp_min: dict[int, int] = {}
+    for v, root in expected.items():
+        comp_min[root] = min(comp_min.get(root, v), v)
+    expected = {v: comp_min[find(v)] for v in expected}
+    assert got == expected

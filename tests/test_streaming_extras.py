@@ -145,3 +145,34 @@ def test_cdc_apply_and_stats(spark):
         for r in cdc_stats(changes).collect()
     }
     assert ("insert", 3) in stats and ("delete", 1) in stats
+
+
+def test_rate_source_pipeline(spark, tmp_path):
+    """The rate source (test/load-gen source, the in-engine analog of
+    the reference's utils/generate-random-data script)."""
+    src = data_source_factory(
+        SourceConfig(name="gen", type="rate", key="k",
+                     config={"rows_per_second": "500"})
+    )
+    stream = src.read(spark)
+    q = (
+        stream.withColumn("value2", F.col("value") * 2)
+        .writeStream.format("memory").queryName("rate_mem")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 30
+        n = 0
+        while _time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_mem").collect()[0].n
+            if n > 0:
+                break
+            _time.sleep(0.5)
+        assert n > 0
+        rows = spark.sql("SELECT * FROM rate_mem LIMIT 5").collect()
+        assert all(r.value2 == 2 * r.value for r in rows)
+    finally:
+        q.stop()
