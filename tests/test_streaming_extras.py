@@ -176,3 +176,58 @@ def test_rate_source_pipeline(spark, tmp_path):
         assert all(r.value2 == 2 * r.value for r in rows)
     finally:
         q.stop()
+
+
+def test_cdc_stream_to_keyed_table(spark, tmp_path):
+    """The reference's flagship use case end-to-end at table scale:
+    a CDC change stream applied incrementally to a keyed table via
+    foreachBatch + partitioned merge (sources/mongo.go:207-309 ->
+    sink, but with O(touched partitions) apply)."""
+    from wire_spark.operators.upsert import merge_upsert, read_table, write_initial
+    from wire_spark.transforms.cdc import apply_cdc
+
+    table = str(tmp_path / "docs_table")
+    write_initial(
+        spark.createDataFrame(
+            [("d1", '{"a":0}'), ("d2", '{"b":0}')], ["document_id", "full_document"]
+        ),
+        table, key="document_id", n_buckets=4,
+    )
+
+    in_dir = str(tmp_path / "cdc")
+    _write_jsonl(
+        os.path.join(in_dir, "batch0.json"),
+        [
+            {"resume_token": "t1", "operation_type": "update", "document_id": "d1",
+             "full_document": '{"a":1}', "cluster_time": 101},
+            {"resume_token": "t2", "operation_type": "insert", "document_id": "d3",
+             "full_document": '{"c":1}', "cluster_time": 102},
+            {"resume_token": "t3", "operation_type": "delete", "document_id": "d2",
+             "full_document": None, "cluster_time": 103},
+        ],
+    )
+    changes = _file_stream(spark, in_dir)
+
+    def apply_batch(batch_df, _epoch):
+        if batch_df.isEmpty():
+            return
+        latest = apply_cdc(batch_df)  # fold batch to final op per doc
+        deleted = (
+            batch_df.groupBy("document_id")
+            .agg(F.max_by("operation_type", "cluster_time").alias("op"))
+            .filter(F.col("op") == "delete")
+            .select("document_id")
+        )
+        merge_upsert(spark, table, latest, key="document_id",
+                     n_buckets=4, delete_keys=deleted)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = {r.document_id: r.full_document for r in read_table(spark, table).collect()}
+    assert state == {"d1": '{"a":1}', "d3": '{"c":1}'}  # d2 deleted, d3 inserted
