@@ -149,28 +149,86 @@ def grouping_sets_mixed(spark, sf_dir):
 # exact interpolated percentiles
 # --------------------------------------------------------------------
 
+# Percentiles hand-rolled identically on both sides (rank the group,
+# pick floor/ceil positions of h = (n-1)p, interpolate v_lo +
+# (v_hi - v_lo)*frac): the engines' built-in percentile_cont
+# implementations compute the same DEFINITION through different
+# floating expressions, which is not bit-stable; this formulation is.
 _PCT_ORACLE = """
-SELECT
-  o_orderpriority,
-  round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-  round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*)    OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), pos AS (
+  SELECT r.o_orderpriority, p.p, r.n,
+         CAST(floor((r.n - 1) * p.p) AS BIGINT) + 1 AS lo_rn,
+         CAST(ceil((r.n - 1) * p.p)  AS BIGINT) + 1 AS hi_rn,
+         (r.n - 1) * p.p - floor((r.n - 1) * p.p)   AS frac
+  FROM (SELECT DISTINCT o_orderpriority, n FROM ranked) r,
+       (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
+), interp AS (
+  SELECT pos.o_orderpriority, pos.p,
+         lo.o_totalprice + (hi.o_totalprice - lo.o_totalprice) * pos.frac AS v
+  FROM pos
+  JOIN ranked lo ON lo.o_orderpriority = pos.o_orderpriority AND lo.rn = pos.lo_rn
+  JOIN ranked hi ON hi.o_orderpriority = pos.o_orderpriority AND hi.rn = pos.hi_rn
+)
+SELECT o_orderpriority,
+       floor(max(CASE WHEN p = 0.5  THEN v END) * 10000.0) / 10000.0 AS p50,
+       floor(max(CASE WHEN p = 0.9  THEN v END) * 10000.0) / 10000.0 AS p90,
+       floor(max(CASE WHEN p = 0.99 THEN v END) * 10000.0) / 10000.0 AS p99
+FROM interp
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
 
 @register("percentile_order_value", oracle=_PCT_ORACLE,
-          doc="exact interpolated percentiles per priority class")
+          doc="exact interpolated percentiles per priority class (hand-rolled, bit-stable)")
 def percentile_order_value(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], ["p"])
+    groups = ranked.select("o_orderpriority", "n").distinct()
+    h = (F.col("n") - 1) * F.col("p")
+    pos = groups.crossJoin(F.broadcast(ps)).select(
+        "o_orderpriority", "p",
+        (F.floor(h) + 1).alias("lo_rn"),
+        (F.ceil(h) + 1).alias("hi_rn"),
+        (h - F.floor(h)).alias("frac"),
+    )
+    lo = ranked.select(
+        F.col("o_orderpriority").alias("op_l"), F.col("rn").alias("lo_rn"),
+        F.col("o_totalprice").alias("v_lo"),
+    )
+    hi = ranked.select(
+        F.col("o_orderpriority").alias("op_h"), F.col("rn").alias("hi_rn"),
+        F.col("o_totalprice").alias("v_hi"),
+    )
+    interp = (
+        pos.join(lo, (pos.o_orderpriority == lo.op_l) & (pos.lo_rn == lo.lo_rn))
+        .join(hi, (pos.o_orderpriority == hi.op_h) & (pos.hi_rn == hi.hi_rn))
+        .select(
+            "o_orderpriority", "p",
+            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("v"),
+        )
+    )
+    t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
     return (
-        o.groupBy("o_orderpriority")
+        interp.groupBy("o_orderpriority")
         .agg(
-            r4(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
-            r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
-            r4(F.expr("percentile(o_totalprice, 0.99)")).alias("p99"),
+            t4v(F.max(F.when(F.col("p") == 0.5, F.col("v")))).alias("p50"),
+            t4v(F.max(F.when(F.col("p") == 0.9, F.col("v")))).alias("p90"),
+            t4v(F.max(F.when(F.col("p") == 0.99, F.col("v")))).alias("p99"),
         )
         .orderBy("o_orderpriority")
     )

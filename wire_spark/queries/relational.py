@@ -420,10 +420,14 @@ def pivot_linestatus(spark, sf_dir):
 # scalar subquery / top-n
 # --------------------------------------------------------------------
 
+# exact-integer average: the comparison threshold is bit-stable (a
+# float avg differs in the last ulp by summation order, and a row
+# could sit exactly on the boundary)
 _ABOVE_AVG_ORACLE = """
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders
-WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.5 * ((SELECT sum(floor(o_totalprice * 100.0)) / 100.0 FROM orders)
+                            / (SELECT count(*) FROM orders))
 ORDER BY o_orderkey
 """
 
@@ -432,7 +436,12 @@ ORDER BY o_orderkey
           doc="scalar aggregate subquery in predicate")
 def scalar_subquery_above_avg(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
-    avg_df = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    avg_df = o.agg(
+        (
+            (F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))) / F.lit(100.0))
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
     # broadcast the 1-row aggregate: no shuffle of orders
     return (
         o.join(F.broadcast(avg_df))

@@ -138,12 +138,15 @@ def q10_returned_items(spark, sf_dir):
 # promo revenue ratio (Q14 shape): conditional aggregation
 # --------------------------------------------------------------------
 
+# ratio of EXACT integer sums (floor-scaled addends): both numerator
+# and denominator are order-independent, so the ratio is bit-stable
 _Q14_ORACLE = """
 SELECT
-  round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0.0 END)
-        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+  floor(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                         ELSE 0 END)
+        / sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0))
+        * 10000.0) / 10000.0 AS promo_pct,
   count(*) AS n_items
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -160,15 +163,18 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     p = T(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+    )
+    ratio = (
+        F.lit(100.0)
+        * F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0)))
+        / F.sum(rev_i)
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            r4(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev)
-            ).alias("promo_pct"),
+            (F.floor(ratio * F.lit(10000.0)) / F.lit(10000.0)).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
