@@ -99,3 +99,29 @@ def test_persistence_roundtrip(spark, tmp_path):
     kv1.checkpoint()
     kv2 = KVStore(spark, persist_path=path)
     assert kv2.query("GET durable").values == [["durable", "yes"]]
+
+
+def test_queued_writes_sequence_and_wait(kv):
+    """rqlite queue semantics (service.go:369-382, :1106-1159):
+    buffered statements, sequence numbers, wait-for-flush."""
+    kv.start_queue(batch_size=4, timeout=0.05)
+    try:
+        seqs = [kv.queue_execute(f"SET qk{i} v{i}") for i in range(10)]
+        assert seqs == list(range(1, 11))
+        assert kv.queue_wait(seqs[-1], timeout=30)
+        for i in range(10):
+            assert kv.query(f"GET qk{i}").values == [[f"qk{i}", f"v{i}"]]
+    finally:
+        kv.stop_queue()
+
+
+def test_queued_writes_apply_in_order(kv):
+    kv.start_queue(batch_size=2, timeout=0.02)
+    try:
+        kv.queue_execute("SET ok first")
+        kv.queue_execute("SET ok second")
+        s = kv.queue_execute("SET ok third")
+        assert kv.queue_wait(s, timeout=30)
+        assert kv.query("GET ok").values == [["ok", "third"]]  # enqueue order
+    finally:
+        kv.stop_queue()

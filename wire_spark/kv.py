@@ -163,6 +163,82 @@ class KVStore:
             values=[[r.key, r.value] for r in rows],
         )
 
+    # -- queued (async) writes ---------------------------------------
+    # rqlite write queue analog (internal/http/service.go:369-382,
+    # :1106-1159): statements buffer up to `queue_capacity`, flush on
+    # `queue_batch_size` or `queue_timeout` seconds, caller gets a
+    # sequence number and may wait for it to be applied. In the
+    # reference the queue drains through Raft; here it drains through
+    # the same FSM-equivalent `execute`, applied in enqueue order.
+
+    def start_queue(
+        self,
+        capacity: int = 1024,
+        batch_size: int = 128,
+        timeout: float = 0.1,
+    ) -> None:
+        import queue as _queue
+
+        self._q: _queue.Queue = _queue.Queue(maxsize=capacity)
+        self._q_applied = 0
+        self._q_enqueued = 0
+        self._q_cv = threading.Condition()
+        self._q_stop = False
+
+        def drain() -> None:
+            import time as _time
+
+            while True:
+                batch: list[str] = []
+                deadline = _time.monotonic() + timeout
+                while len(batch) < batch_size:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        item = self._q.get(timeout=remaining)
+                    except _queue.Empty:
+                        break
+                    if item is None:
+                        # drain remainder then exit
+                        for s in batch:
+                            self.execute(s)
+                        with self._q_cv:
+                            self._q_applied += len(batch)
+                            self._q_cv.notify_all()
+                        return
+                    batch.append(item)
+                if batch:
+                    for s in batch:
+                        self.execute(s)
+                    with self._q_cv:
+                        self._q_applied += len(batch)
+                        self._q_cv.notify_all()
+                if self._q_stop and self._q.empty():
+                    return
+
+        self._q_thread = threading.Thread(target=drain, daemon=True)
+        self._q_thread.start()
+
+    def queue_execute(self, statement: str) -> int:
+        """Enqueue a write; returns its sequence number (the rqlite
+        queue sequence, service.go:1106-1159)."""
+        self._q.put(statement)
+        with self._q_cv:
+            self._q_enqueued += 1
+            return self._q_enqueued
+
+    def queue_wait(self, seq: int, timeout: float = 30.0) -> bool:
+        """Block until the given sequence number has been applied
+        (the ?wait flush path)."""
+        with self._q_cv:
+            return self._q_cv.wait_for(lambda: self._q_applied >= seq, timeout=timeout)
+
+    def stop_queue(self) -> None:
+        self._q_stop = True
+        self._q.put(None)
+        self._q_thread.join(timeout=30)
+
     # -- raw access (StoreInDatabase/GetFromDatabase analog,
     #    store.go:2036-2099 — bypasses the statement parser, so values
     #    keep arbitrary whitespace; used for config persistence) ------
