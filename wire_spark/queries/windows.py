@@ -50,7 +50,7 @@ SELECT
   l_suppkey, l_orderkey, l_linenumber,
   round(sum(l_quantity) OVER (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
 FROM lineitem
 ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -63,7 +63,11 @@ def window_running_total(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # l_quantity last: the sf0.1 generator emits duplicate
+        # (orderkey, linenumber) pairs, so the business key alone is
+        # not a total order — equal-qty ties are then harmless
+        # (identical prefix sums in any order)
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
