@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.tpch",
     "wire_spark.queries.extras2",
     "wire_spark.queries.extras3",
+    "wire_spark.queries.extras4",
 )
 
 
