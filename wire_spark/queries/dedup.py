@@ -464,7 +464,7 @@ FROM reach GROUP BY a ORDER BY doc_id
 _COMPONENTS_ORACLE = _COMPONENTS_ORACLE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
 
 
-@register("dedup_connected_components", oracle=_COMPONENTS_ORACLE,
+@register("dedup_connected_components", oracle=_COMPONENTS_ORACLE, bench=True,
           doc="transitive near-dup clustering (iterative label propagation "
               "vs recursive-CTE oracle)")
 def dedup_connected_components(spark, sf_dir):
