@@ -230,3 +230,106 @@ def embedding_norm_stats(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes)
+# --------------------------------------------------------------------
+
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — computed
+    once in Python, embedded as literals in BOTH engines so the
+    sign-bit hashing is bit-identical."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000001) / 1000000.0 - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in planes
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{i}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    plane_cols = ", ".join(f"pl[{i + 1}] AS p{i}" for i in range(len(planes)))
+    return f"""
+WITH pl_t AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
+  FROM embeddings, pl_t
+), hashed AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.qid, q.qv, h.vec_id AS nid, h.v
+  FROM q JOIN hashed h ON h.bucket = q.bucket AND h.vec_id != q.qid
+)
+SELECT qid, nid, sim, rn FROM (
+  SELECT qid, nid,
+         floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 AS sim,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 DESC, nid) AS rn
+  FROM cand
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("ann_lsh_cosine", oracle=_lsh_oracle(),
+          doc="LSH-bucketed ANN: 8 random-hyperplane sign bits -> 256 buckets")
+def ann_lsh_cosine(spark, sf_dir):
+    """Scale path #2 (companion to IVF): vectors hashed to one of 256
+    sign-bit buckets (8 deterministic hyperplanes); a query scans only
+    its own bucket (~N/256 of the table), then exact cosine top-5.
+    At 100 TB the bucket is a partition key — the scan prunes to one
+    partition per query; multi-probe (flip lowest-margin bits) trades
+    recall for scan breadth without changing the shape."""
+    planes = _lsh_planes()
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+
+    def dot_lit(vcol, row):
+        arr = F.array(*[F.lit(w) for w in row])
+        return F.aggregate(
+            F.zip_with(vcol, arr, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+
+    bucket = None
+    for i, row in enumerate(planes):
+        bit = F.when(dot_lit(F.col("v"), row) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    hashed = e.withColumn("bucket", bucket)
+    q = hashed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qbucket"),
+    )
+    cand = hashed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        cand.select(
+            "qid", F.col("vec_id").alias("nid"),
+            t6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
