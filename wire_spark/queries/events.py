@@ -192,3 +192,39 @@ def events_json_extract(spark, sf_dir):
         .filter(F.col("k") > 90)
         .orderBy("event_id")
     )
+
+
+# per-user activity profile: pivot the event-type dimension to columns
+_EV_PIVOT_ORACLE = """
+SELECT
+  user_id,
+  count(*) FILTER (event_type = 'click')    AS n_click,
+  count(*) FILTER (event_type = 'view')     AS n_view,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup')   AS n_signup,
+  count(*) FILTER (event_type = 'error')    AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_pivot_by_type", oracle=_EV_PIVOT_ORACLE,
+          doc="per-user activity profile (pivot event_type to columns)")
+def events_pivot_by_type(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pivoted.select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in ("click", "view", "purchase", "signup", "error")
+            ],
+        )
+        .orderBy("user_id")
+    )

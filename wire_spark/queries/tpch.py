@@ -294,3 +294,38 @@ def q22_rich_inactive(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_cust"), msum(F.col("c_acctbal")).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------
+# forecasting revenue change (Q6 shape): pure filter + aggregate
+# --------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+  sum(floor(l_extendedprice * l_discount * 10000.0)) / 10000.0 AS revenue_effect,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE,
+          doc="pure filter + aggregate, full predicate pushdown (Q6 shape)")
+def q6_forecast_revenue(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000.0)))
+             / F.lit(10000.0)).alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
