@@ -82,3 +82,25 @@ def test_components_match_union_find_model(spark, edges):
         comp_min[root] = min(comp_min.get(root, v), v)
     expected = {v: comp_min[find(v)] for v in expected}
     assert got == expected
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    """dedup_embedding_cosine_lsh is candidates-subset-of-exact with
+    measured recall: every LSH pair must appear in the exact result
+    with the identical cosine, and recall at sf0.001 is the known 6/7
+    (sign-LSH at threshold 0.45 ~ 63 degrees; documented tradeoff)."""
+    from wire_spark.catalog import load_registry
+
+    reg = load_registry()
+    exact = {
+        (r.v1, r.v2): r.cosine
+        for r in reg["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.v1, r.v2): r.cosine
+        for r in reg["dedup_embedding_cosine_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact)          # no false positives survive verify
+    for k, v in lsh.items():
+        assert v == exact[k]               # identical verified cosine
+    assert len(lsh) >= len(exact) - 1      # 6/7 at sf0.001

@@ -60,3 +60,14 @@ def test_broadcast_brand_join_no_fact_shuffle(spark, sf_dir):
 def test_similarity_queries_broadcast_query_side(spark, sf_dir):
     df = _df(spark, sf_dir, "knn_bruteforce_cosine")
     assert has_broadcast_join(df)  # query vectors broadcast, table scans once
+
+
+def test_embedding_dedup_no_nested_loop(spark, sf_dir):
+    # exact all-pairs must run as a block-partitioned equi-join, not a
+    # BroadcastNestedLoopJoin / cartesian over the whole vector table
+    from wire_spark.plans import formatted_plan
+
+    for name in ("dedup_embedding_cosine", "dedup_embedding_cosine_lsh"):
+        plan = formatted_plan(_df(spark, sf_dir, name))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -71,3 +71,22 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read returns exactly that day's events
     expected = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-03").count()
     assert one_day.count() == expected > 0
+
+
+def test_jaccard_stop_shingle_cap_guards_candidates(spark, sf_dir):
+    """The df cap must (a) actually shrink the shingle relation when
+    low, (b) leave the default output invariant when above max df —
+    the 100 TB viral-shingle guard from dedup.py:_jaccard_pairs."""
+    from wire_spark.queries.dedup import _jaccard_pairs, _shingle_df
+
+    sh = _shingle_df(spark, sf_dir, cache=False)
+    df_prof = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dropped = df_prof.filter(F.col("df") > 5).count()
+    assert dropped > 0  # cap=5 really removes stop-shingles at sf0.001
+
+    capped = _jaccard_pairs(spark, sf_dir, 0.8, df_cap=5)
+    uncapped = _jaccard_pairs(spark, sf_dir, 0.8, df_cap=None)
+    default = _jaccard_pairs(spark, sf_dir, 0.8)  # cap=1000 > max df
+    assert sorted(map(tuple, default.collect())) == sorted(map(tuple, uncapped.collect()))
+    # candidate pairs can only shrink under a cap
+    assert capped.count() <= uncapped.count()
