@@ -54,3 +54,31 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
     ).collect()[0]
     assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_asof_join_single_row_match_with_nulls(spark):
+    """Matched value columns must all come from the SAME right row:
+    a newest right row with a NULL in one value column must not have
+    that column backfilled from an older row. Right rows with NULL
+    time are ignored entirely."""
+    left = spark.createDataFrame([("k", 10, "L1")], ["k", "t", "payload"])
+    right = spark.createDataFrame(
+        [("k", 1, "old_a", "old_b"),
+         ("k", 5, None, "new_b"),        # newest match: a is NULL
+         ("k", None, "null_ts_a", "null_ts_b")],  # no timeline position
+        ["k", "t", "a", "b"],
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    value_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # whole-row semantics: (None, new_b), NOT (old_a, new_b)
+    assert r.matched_a is None and r.matched_b == "new_b"
+
+
+def test_salted_join_rejects_outer(spark):
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "y")], ["k", "w"])
+    import pytest
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, on="k", how="full")

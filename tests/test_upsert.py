@@ -64,3 +64,57 @@ def test_merge_upsert_empty_batch_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "key STRING, value STRING")
     assert merge_upsert(spark, path, empty, key="key", n_buckets=4) == 0
     assert {r.key for r in read_table(spark, path).collect()} == {"a"}
+
+
+def test_merge_upsert_delete_entire_bucket(spark, tmp_path):
+    """A batch that deletes every key in a bucket must clear that
+    bucket's partition — dynamic overwrite alone would leave the old
+    files (and the 'deleted' keys) in place."""
+    path = str(tmp_path / "kvtable3")
+    base = spark.range(64).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+    )
+    write_initial(base, path, key="key", n_buckets=4)
+
+    # find every key living in one specific bucket and delete them all
+    with_b = spark.read.parquet(path)
+    bucket = with_b.select("__bucket").first()[0]
+    doomed = [r.key for r in with_b.filter(F.col("__bucket") == bucket).collect()]
+    assert doomed  # non-empty bucket chosen
+    deletes = spark.createDataFrame([(k,) for k in doomed], ["key"])
+    empty_updates = spark.createDataFrame([], "key STRING, value STRING")
+    merge_upsert(spark, path, empty_updates, key="key", n_buckets=4, delete_keys=deletes)
+
+    state = {r.key for r in read_table(spark, path).collect()}
+    assert state.isdisjoint(set(doomed))
+    assert len(state) == 64 - len(doomed)
+
+
+def test_merge_upsert_leaves_session_conf_alone(spark, tmp_path):
+    """The dynamic overwrite must be per-write, not a session-wide
+    semantics change for unrelated writes."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    path = str(tmp_path / "kvtable4")
+    write_initial(
+        spark.createDataFrame([("a", "1"), ("b", "2")], ["key", "value"]),
+        path, key="key", n_buckets=2,
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([("a", "9")], ["key", "value"]),
+        key="key", n_buckets=2,
+    )
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+
+def test_merge_upsert_dedups_batch(spark, tmp_path):
+    """Duplicate keys within one batch collapse to a single row."""
+    path = str(tmp_path / "kvtable5")
+    write_initial(
+        spark.createDataFrame([("a", "1")], ["key", "value"]), path, key="key", n_buckets=2
+    )
+    dup_batch = spark.createDataFrame([("a", "x"), ("a", "y")], ["key", "value"])
+    merge_upsert(spark, path, dup_batch, key="key", n_buckets=2)
+    rows = read_table(spark, path).filter(F.col("key") == "a").collect()
+    assert len(rows) == 1

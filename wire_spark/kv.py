@@ -222,9 +222,13 @@ class KVStore:
 
     def queue_execute(self, statement: str) -> int:
         """Enqueue a write; returns its sequence number (the rqlite
-        queue sequence, service.go:1106-1159)."""
-        self._q.put(statement)
+        queue sequence, service.go:1106-1159). The put and the seq
+        increment happen under one lock so the returned number always
+        matches actual queue order under concurrent producers (the
+        drain thread never needs the condition to free queue space,
+        so a full-queue put cannot deadlock)."""
         with self._q_cv:
+            self._q.put(statement)
             self._q_enqueued += 1
             return self._q_enqueued
 

@@ -33,41 +33,53 @@ def asof_join(
     the latest right row whose time <= the left row's time, per ``on``
     key. Unmatched left rows keep NULLs (left-join semantics).
     """
+    from pyspark.sql.types import StructField, StructType
+
     lt = left.withColumn("__ts", F.col(left_time)).withColumn("__side", F.lit(1))
-    rt = right.withColumn("__ts", F.col(right_time)).withColumn("__side", F.lit(0))
+    # right rows with NULL time have no position on the timeline; left
+    # in, they would sort first and act as default matches for every
+    # left row — drop them up front.
+    rt = (
+        right.filter(F.col(right_time).isNotNull())
+        .withColumn("__ts", F.col(right_time))
+        .withColumn("__side", F.lit(0))
+    )
     l_cols = [c for c in left.columns]
+    # all value columns ride in ONE struct so the match is a single
+    # right ROW — per-column last(ignorenulls) could stitch fields
+    # from different right rows when the newest row has NULL in one.
+    v_type = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
     combined = lt.select(
         on, "__ts", "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(v_type).alias("__v"),
         *[F.col(c).alias(f"__l_{c}") for c in l_cols if c != on],
     ).unionByName(
         rt.select(
             on, "__ts", "__side",
-            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+            F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
             *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols if c != on],
         )
     )
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    # right row at exactly left.ts matches (<= semantics)
+    # right row at exactly left.ts matches (<= semantics); __v as the
+    # final key makes tied right timestamps deterministic (max struct
+    # wins) instead of partition-order-dependent.
     w = (
         W.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__v")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = combined.select(
         on, "__ts", "__side",
         *[F.col(f"__l_{c}") for c in l_cols if c != on],
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        F.last("__v", ignorenulls=True).over(w).alias("__m"),
     )
     return (
         filled.filter(F.col("__side") == 1)
         .select(
             on,
             *[F.col(f"__l_{c}").alias(c) for c in l_cols if c != on],
-            *[F.col(f"__m_{c}").alias(f"matched_{c}") for c in value_cols],
+            *[F.col("__m")[c].alias(f"matched_{c}") for c in value_cols],
         )
     )
 
@@ -86,8 +98,24 @@ def salted_join(
     one reducer; salting rebalances at the cost of replicating the
     small side salt-fold. Prefer AQE skew-join first; use this when
     the skew is known and extreme.
+
+    Only inner/left-side joins are supported: right/full outer would
+    emit every unmatched small-side row once per salt replica.
     """
-    big_s = big.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the small "
+            "side is replicated per salt bucket, so unmatched small-side "
+            "rows of a right/full outer join would appear `salt` times"
+        )
+    # salt from a hash of the row's own columns — deterministic under
+    # task retry (F.rand's per-task stream re-seeds by partition id,
+    # so a retried/recombined task could route rows differently
+    # mid-join and drop or duplicate matches).
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
     small_s = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))

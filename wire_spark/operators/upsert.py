@@ -46,9 +46,12 @@ def merge_upsert(
     delete_keys: DataFrame | None = None,
 ) -> int:
     """Upsert ``updates`` (and optionally delete ``delete_keys``) into
-    the bucketed table at ``path``. Returns #partitions rewritten."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    up = _with_bucket(updates, key, n_buckets)
+    the bucketed table at ``path``. Returns #partitions rewritten.
+
+    Duplicate keys within one updates batch are collapsed to a single
+    arbitrary-but-deterministic row (callers with an ordering column
+    should pre-resolve last-writer-wins before calling)."""
+    up = _with_bucket(updates.dropDuplicates([key]), key, n_buckets)
     changed = up.select(BUCKET_COL)
     if delete_keys is not None:
         delete_keys = _with_bucket(delete_keys.select(key), key, n_buckets)
@@ -64,7 +67,24 @@ def merge_upsert(
     kept = target.join(replaced_keys.distinct(), key, "left_anti")
     merged = kept.unionByName(up).localCheckpoint(eager=True)
 
-    (merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
+    # per-write dynamic overwrite: only partitions present in `merged`
+    # are replaced, and the session-wide conf is left untouched for
+    # unrelated writes.
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(BUCKET_COL).parquet(path))
+
+    # a batch that deletes EVERY key in a touched bucket leaves no row
+    # for that bucket in `merged`, so dynamic overwrite never rewrites
+    # it — clear those partition directories explicitly or the deleted
+    # keys stay visible.
+    present = {r[BUCKET_COL] for r in merged.select(BUCKET_COL).distinct().collect()}
+    emptied = [b for b in touched if b not in present]
+    if emptied:
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
+            p.getFileSystem(hconf).delete(p, True)
     return len(touched)
 
 
