@@ -95,24 +95,29 @@ def resolve_kv(log: DataFrame) -> DataFrame:
 class KVStore:
     """In-session KV store speaking the reference's statement dialect.
 
-    Maintains an append-only log (list of Rows) plus an optional
-    parquet persistence path; `execute`/`query` parse statements with
-    reference-exact semantics.
+    The log is split into a parquet-backed base (lazy DataFrame — never
+    collected to the driver) plus a driver-side tail of rows appended
+    since the last checkpoint/compaction. Statement traffic is
+    control-plane-sized (pipeline configs, reference store.go usage);
+    bulk keyed data belongs on the relational `resolve_kv` path, which
+    is a pure max_by aggregation over any log-shaped table.
     """
 
     def __init__(self, spark: SparkSession, persist_path: str | None = None):
         self.spark = spark
         self.persist_path = persist_path
-        self._log: list[Row] = []
+        self._base: DataFrame | None = None  # lazy parquet-backed log
+        self._tail: list[Row] = []           # appends since last persist
         self._seq = 0
         self._lock = threading.Lock()
         if persist_path:
             try:
-                existing = spark.read.schema(KV_SCHEMA).parquet(persist_path)
-                self._log = existing.collect()
-                self._seq = max((r.seq for r in self._log), default=0)
+                self._base = spark.read.schema(KV_SCHEMA).parquet(persist_path)
+                # scalar aggregate, not a full collect — the log itself
+                # stays distributed
+                self._seq = self._base.agg(F.max("seq")).first()[0] or 0
             except Exception:
-                pass  # fresh store
+                self._base = None  # fresh store
 
     # -- statement surface ------------------------------------------
 
@@ -259,26 +264,65 @@ class KVStore:
     def _append(self, key: str, value: str | None, deleted: bool) -> None:
         with self._lock:
             self._seq += 1
-            self._log.append(Row(key=key, value=value, seq=self._seq, deleted=deleted))
+            self._tail.append(Row(key=key, value=value, seq=self._seq, deleted=deleted))
 
     def log_df(self) -> DataFrame:
-        return self.spark.createDataFrame(self._log or [], schema=KV_SCHEMA)
+        tail = self.spark.createDataFrame(self._tail or [], schema=KV_SCHEMA)
+        return self._base.unionByName(tail) if self._base is not None else tail
 
     def state(self) -> DataFrame:
         return resolve_kv(self.log_df())
 
+    def _swap_persist(self, df: DataFrame) -> None:
+        """Write ``df`` as the new persisted log and re-point the lazy
+        base at it. Write-to-tmp + rename because the plan being
+        written may itself read the current files."""
+        tmp = self.persist_path + "__compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(self.persist_path)
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        self._base = self.spark.read.schema(KV_SCHEMA).parquet(self.persist_path)
+        self._tail = []
+
     def checkpoint(self) -> None:
-        """Persist the log (the reference's snapshot analog,
-        store.go:1561-1632 — here just a parquet write)."""
+        """Persist the full log (the reference's snapshot analog,
+        store.go:1561-1632) — a distributed parquet write; the
+        driver-side tail empties into the base."""
         if self.persist_path:
-            self.log_df().write.mode("overwrite").parquet(self.persist_path)
+            with self._lock:
+                self._swap_persist(self.log_df())
 
     def compact(self) -> None:
-        """Fold the log to live state (Raft log compaction analog)."""
+        """Fold the log to live state (Raft log compaction analog).
+
+        With a persist path this is fully distributed: resolve_kv (a
+        max_by aggregation) -> parquet write -> lazy reload; the
+        resolved rows NEVER materialize on the driver, so the store
+        compacts at any table size. Without a persist path the store
+        is driver-resident by construction (the tail list) and folds
+        in memory.
+        """
         with self._lock:
-            live = resolve_kv(self.log_df()).collect()
-            self._log = [
-                Row(key=r.key, value=r.value, seq=i + 1, deleted=False)
-                for i, r in enumerate(sorted(live, key=lambda x: x.key))
-            ]
-            self._seq = len(self._log)
+            folded = resolve_kv(self.log_df()).select(
+                "key", "value",
+                # compaction leaves exactly one row per key, so a
+                # constant seq preserves last-writer-wins; the live
+                # counter stays ahead, so later appends always win
+                F.lit(1).cast("long").alias("seq"),
+                F.lit(False).alias("deleted"),
+            )
+            if self.persist_path:
+                self._swap_persist(folded)
+            else:
+                live = resolve_kv(self.log_df()).collect()
+                self._tail = [
+                    Row(key=r.key, value=r.value, seq=i + 1, deleted=False)
+                    for i, r in enumerate(sorted(live, key=lambda x: x.key))
+                ]
+                self._base = None
+                self._seq = len(self._tail)

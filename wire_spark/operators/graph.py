@@ -28,17 +28,31 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (id, comp) where comp = min vertex id reachable from id.
 
     ``edges`` is an undirected edge list (any orientation); isolated
     vertices absent from it are absent from the output.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    RELIABLE ``df.checkpoint()`` into that directory (survives executor
+    loss — required on a real cluster); when None, ``localCheckpoint``
+    (executor-local, fine for single-JVM runs, lost on executor death).
     """
-    sym = (
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist_round(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = _persist_round(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
@@ -48,11 +62,10 @@ def connected_components(
             sym.join(labels, sym.b == labels.id)
             .select(F.col("a").alias("id"), F.col("comp"))
         )
-        new_labels = (
+        new_labels = _persist_round(  # truncate lineage per round
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)  # truncate lineage per round
         )
         changed = (
             new_labels.alias("n")
