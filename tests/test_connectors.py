@@ -1,0 +1,171 @@
+"""Connector contract tests: Kafka option/serialization wiring and the
+Elasticsearch bulk sink, exercised without a broker/cluster (none in
+this environment) via pure option mappings and a recording transport.
+These fail if topic/offset/value wiring or the bulk/doc-id protocol
+regresses."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wire_spark.model import SinkConfig, SourceConfig
+from wire_spark.sinks.elasticsearch import ElasticsearchSink, RecordingTransport
+from wire_spark.sinks.factory import data_sink_factory, kafka_frame, kafka_write_options
+from wire_spark.sources.factory import data_source_factory, kafka_read_options
+
+
+# --------------------------------------------------------------------
+# kafka: option mapping + value serialization contracts
+# --------------------------------------------------------------------
+
+def test_kafka_read_option_contract():
+    """Reference consumer semantics (sources/kafka.go:30-67,185-193):
+    topic subscription, broker list, and load_initial_data -> replay
+    from earliest."""
+    opts = kafka_read_options(
+        {"bootstrap_servers": "b1:9092,b2:9092", "topic": "events"}
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",  # default load_initial_data=true
+    }
+    assert kafka_read_options(
+        {"bootstrap_servers": "b", "topic": "t", "load_initial_data": "false"}
+    )["startingOffsets"] == "latest"
+
+
+def test_kafka_write_option_contract():
+    opts = kafka_write_options({"bootstrap_servers": "b:9092", "topic": "out"})
+    assert opts == {"kafka.bootstrap.servers": "b:9092", "topic": "out"}
+
+
+def test_kafka_frame_wire_format_roundtrip(spark):
+    """The sink serializes rows to a single `value` JSON column (the
+    reference produces raw JSON bytes, sinks/kafka.go:62-76); values
+    must round-trip through from_json losslessly."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    framed = kafka_frame(df)
+    assert framed.columns == ["value"]  # kafka writer contract
+    back = framed.select(
+        F.from_json("value", "id bigint, name string").alias("r")
+    ).select("r.*")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+    # already-framed input passes through untouched
+    assert kafka_frame(framed) is framed
+
+
+def test_kafka_source_sink_factory_accept_config():
+    src = data_source_factory(
+        SourceConfig(name="s", type="kafka", key="k",
+                     config={"bootstrap_servers": "b:9092", "topic": "t"})
+    )
+    assert src.cfg.type == "kafka"
+    sink = data_sink_factory(
+        SinkConfig(name="s", type="kafka", key="k",
+                   config={"bootstrap_servers": "b:9092", "topic": "t"})
+    )
+    assert sink.cfg.type == "kafka"
+
+
+# --------------------------------------------------------------------
+# elasticsearch: bulk protocol against a recording transport
+# --------------------------------------------------------------------
+
+def _read_requests(directory: str):
+    reqs = []
+    for fname in sorted(os.listdir(directory)):
+        with open(os.path.join(directory, fname)) as f:
+            lines = f.read().splitlines()
+        reqs.append((lines[0], lines[1:]))
+    return reqs
+
+
+def test_es_sink_bulk_protocol(spark, tmp_path):
+    """Doc-id extraction from _id, {"doc": ...} body wrapping, bulk
+    NDJSON framing, refresh flag — sinks/elasticsearch.go:61-135."""
+    rec_dir = str(tmp_path / "reqs")
+    os.makedirs(rec_dir)
+    df = spark.createDataFrame(
+        [("d1", "alpha", 1), ("d2", "beta", 2), (None, "skipped", 3)],
+        ["_id", "name", "rank"],
+    ).repartition(1)
+    sink = ElasticsearchSink(
+        index="docs", url="http://es:9200", transport=RecordingTransport(rec_dir)
+    )
+    sent = sink.write_batch(df)
+    assert sent == 2  # NULL _id row skipped, log-and-continue parity
+
+    reqs = _read_requests(rec_dir)
+    assert len(reqs) == 1
+    url, lines = reqs[0]
+    assert url == "http://es:9200/_bulk?refresh=true"  # go:117 Refresh
+    assert len(lines) == 4  # 2 docs x (action + body)
+    actions = [json.loads(lines[i]) for i in (0, 2)]
+    bodies = [json.loads(lines[i]) for i in (1, 3)]
+    assert {a["index"]["_id"] for a in actions} == {"d1", "d2"}
+    assert all(a["index"]["_index"] == "docs" for a in actions)
+    # body wraps the original document as {"doc": {...}} (go:75)
+    by_id = {b["doc"]["_id"]: b["doc"] for b in bodies}
+    assert by_id["d1"]["name"] == "alpha" and by_id["d1"]["rank"] == 1
+
+
+def test_es_sink_bulk_chunking(spark, tmp_path):
+    """bulk_size bounds each request: 7 docs at bulk_size=3 on one
+    partition -> requests of 3+3+1."""
+    rec_dir = str(tmp_path / "reqs2")
+    os.makedirs(rec_dir)
+    df = (
+        spark.range(7)
+        .select(F.concat(F.lit("id"), "id").alias("_id"), F.col("id").alias("n"))
+        .repartition(1)
+    )
+    sink = ElasticsearchSink(
+        index="i", transport=RecordingTransport(rec_dir), bulk_size=3
+    )
+    assert sink.write_batch(df) == 7
+    sizes = sorted(len(lines) // 2 for _, lines in _read_requests(rec_dir))
+    assert sizes == [1, 3, 3]
+
+
+def test_es_sink_missing_id_column_raises(spark):
+    df = spark.createDataFrame([("x",)], ["name"])
+    with pytest.raises(ValueError, match="_id"):
+        ElasticsearchSink(index="i", transport=lambda u, b: {}).write_batch(df)
+
+
+def test_es_sink_streaming_foreach_batch(spark, tmp_path):
+    """The factory's elasticsearch type drives foreachBatch end-to-end
+    on a real (file) stream."""
+    rec_dir = str(tmp_path / "reqs3")
+    os.makedirs(rec_dir)
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.json"), "w") as f:
+        f.write('{"_id": "s1", "v": 10}\n{"_id": "s2", "v": 20}\n')
+
+    src = data_source_factory(
+        SourceConfig(name="src", type="json", key="k", config={"path": src_dir})
+    ).read(spark)
+    sink = data_sink_factory(
+        SinkConfig(
+            name="es", key="k", type="elasticsearch",
+            config={
+                "index_name": "stream_docs",
+                "transport": RecordingTransport(rec_dir),
+                "checkpoint": str(tmp_path / "ckpt"),
+            },
+        )
+    )
+    q = sink.write(src, "es_stream", available_now=True)
+    q.awaitTermination(60)
+
+    ids = set()
+    for _, lines in _read_requests(rec_dir):
+        for i in range(0, len(lines), 2):
+            ids.add(json.loads(lines[i])["index"]["_id"])
+    assert ids == {"s1", "s2"}

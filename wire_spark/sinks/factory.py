@@ -24,9 +24,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
+from pyspark.sql import functions as F
+
 from wire_spark.model import SinkConfig
 
-_KNOWN = ("file", "json", "parquet", "memory", "console", "noop", "kafka")
+_KNOWN = ("file", "json", "parquet", "memory", "console", "noop", "kafka",
+          "elasticsearch")
+
+
+def kafka_write_options(c: dict) -> dict:
+    """Config -> Spark kafka-format writer options (pure, testable).
+    Mirrors the reference producer (sinks/kafka.go:30-58): brokers +
+    topic; delivery is per-micro-batch with checkpointed epochs
+    instead of the reference's blocking per-record produce."""
+    return {
+        "kafka.bootstrap.servers": c["bootstrap_servers"],
+        "topic": c["topic"],
+    }
+
+
+def kafka_frame(df: DataFrame) -> DataFrame:
+    """Serialize an arbitrary DataFrame to the kafka sink's wire
+    contract: one ``value`` string column of the row's JSON document —
+    byte-compatible with the reference producer, which ships the raw
+    JSON bytes of each doc as the record value with no key
+    (sinks/kafka.go:62-76). JVM-side ``to_json``; no Python in the
+    serialization path."""
+    if df.columns == ["value"]:
+        return df
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
 class DataSink:
@@ -36,6 +62,8 @@ class DataSink:
     def write(self, df: DataFrame, query_name: str, available_now: bool = False) -> StreamingQuery:
         c = self.cfg.config
         t = self.cfg.type
+        if t == "kafka":
+            df = kafka_frame(df)  # serialize rows to the wire contract
         writer: DataStreamWriter = df.writeStream.queryName(query_name)
         if available_now:
             writer = writer.trigger(availableNow=True)
@@ -53,12 +81,18 @@ class DataSink:
         if t == "noop":
             return writer.format("noop").start()
         if t == "kafka":
-            return (
-                writer.format("kafka")
-                .option("kafka.bootstrap.servers", c["bootstrap_servers"])
-                .option("topic", c["topic"])
-                .start()
+            return writer.format("kafka").options(**kafka_write_options(c)).start()
+        if t == "elasticsearch":
+            from wire_spark.sinks.elasticsearch import ElasticsearchSink
+
+            sink = ElasticsearchSink(
+                index=c["index_name"],
+                url=c.get("url", "http://localhost:9200"),
+                api_key=c.get("api_key"),
+                id_field=c.get("id_field", "_id"),
+                transport=c.get("transport"),  # injectable for tests
             )
+            return writer.foreachBatch(sink.foreach_batch()).start()
         raise ValueError(f"unknown sink type: {t!r}")
 
 

@@ -28,6 +28,25 @@ from pyspark.sql import DataFrame, SparkSession
 from wire_spark.model import SourceConfig
 
 
+def kafka_read_options(c: dict) -> dict:
+    """Config -> Spark kafka-format reader options (pure, testable).
+
+    Mirrors the reference consumer setup (sources/kafka.go:30-67):
+    ``topic`` -> subscribe, ``bootstrap_servers`` -> brokers, and
+    ``load_initial_data`` -> startingOffsets (the reference's
+    LoadInitialData stub reads the whole topic by switching consumer
+    group, kafka.go:185-193; earliest-offset replay is the Spark
+    equivalent). Offsets are checkpoint-managed, not auto-committed.
+    """
+    return {
+        "kafka.bootstrap.servers": c["bootstrap_servers"],
+        "subscribe": c["topic"],
+        "startingOffsets": (
+            "earliest" if c.get("load_initial_data", "true") == "true" else "latest"
+        ),
+    }
+
+
 class DataSource:
     """A bound source: ``read(spark)`` yields the (streaming)
     DataFrame. ``is_streaming`` False gives the batch path (the
@@ -65,17 +84,7 @@ class DataSource:
                 .load()
             )
         if t == "kafka":
-            reader = (
-                spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", c["bootstrap_servers"])
-                .option("subscribe", c["topic"])
-                .option(
-                    "startingOffsets",
-                    # load_initial_data=true -> replay from the
-                    # beginning (kafka.go:185-193 stub's intent)
-                    "earliest" if c.get("load_initial_data", "true") == "true" else "latest",
-                )
-            )
+            reader = spark.readStream.format("kafka").options(**kafka_read_options(c))
             return reader.load()
         raise ValueError(f"unknown source type: {t!r}")  # config.go:265-266
 
