@@ -125,3 +125,33 @@ def test_queued_writes_apply_in_order(kv):
         assert kv.query("GET ok").values == [["ok", "third"]]  # enqueue order
     finally:
         kv.stop_queue()
+
+
+def test_execute_many_transaction_atomic(kv):
+    """transaction=True is all-or-nothing: a malformed statement in
+    the batch leaves state untouched (the reference plumbs the
+    transaction flag, command.proto:24-28, but never enforces it —
+    here it is enforced)."""
+    kv.execute("SET base v0")
+    bad_batch = ["SET a 1", "BOGUS x", "SET b 2"]
+    res = kv.execute_many(bad_batch, transaction=True)
+    assert all(r.error and "aborted" in r.error for r in res)
+    state = {r.key: r.value for r in kv.state().collect()}
+    assert "a" not in state and "b" not in state  # nothing applied
+    assert state["base"] == "v0"
+
+    ok = kv.execute_many(["SET a 1", "DELETE base", "SET b x y"], transaction=True)
+    assert [r.rows_affected for r in ok] == [1, 1, 1]
+    state = {r.key: r.value for r in kv.state().collect()}
+    assert state == {"a": "1", "b": "x y"}
+
+
+def test_execute_many_non_transactional_partial(kv):
+    """Without the flag, statements apply independently and errors are
+    per-statement."""
+    res = kv.execute_many(["SET p 1", "BOGUS", "SET q 2"])
+    assert res[0].rows_affected == 1
+    assert res[1].error and "unknown verb" in res[1].error
+    assert res[2].rows_affected == 1
+    state = {r.key: r.value for r in kv.state().collect()}
+    assert state["p"] == "1" and state["q"] == "2"

@@ -225,3 +225,65 @@ def test_stateful_running_counter(spark, tmp_path):
     got2 = {k: (n, s) for k, n, s in collected}
     # only user 1 appears in the new batch, with accumulated state
     assert got2 == {1: (3, 15.0)}
+
+
+def test_stateful_running_counter_v2(spark, tmp_path):
+    """Same running counter on the Spark 4 state-v2 API
+    (transformWithStateInPandas); outputs must match the v1 operator
+    including state persistence across restarts. The v2 driver worker
+    speaks protobuf to the JVM state server; skip when the env lacks
+    google.protobuf (no pip installs allowed here)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(
+        os.path.join(in_dir, "b0.json"),
+        [
+            {"user_id": 1, "value": 2.0},
+            {"user_id": 1, "value": 3.0},
+            {"user_id": 2, "value": 5.0},
+        ],
+    )
+    from wire_spark.streaming.stateful import running_counter_v2
+
+    src = data_source_factory(
+        SourceConfig(name="s", type="file", key="k", config={"path": in_dir})
+    )
+    df = src.read(spark)
+    collected: list[tuple] = []
+
+    def collect_batch(bdf, _epoch):
+        collected.extend((r.key, r.n_events, r.sum_value) for r in bdf.collect())
+
+    def run_once():
+        q = (
+            running_counter_v2(df)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_v2"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {k: (n, s) for k, n, s in collected} == {1: (2, 5.0), 2: (1, 5.0)}
+
+    try:
+        _write_jsonl(os.path.join(in_dir, "b1.json"), [{"user_id": 1, "value": 10.0}])
+        collected.clear()
+        run_once()
+        assert {k: (n, s) for k, n, s in collected} == {1: (3, 15.0)}
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

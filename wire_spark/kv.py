@@ -121,29 +121,66 @@ class KVStore:
 
     # -- statement surface ------------------------------------------
 
-    def execute(self, statement: str) -> ExecuteResult:
-        """Apply a write statement: SET / DELETE.
-
-        Parsing mirrors internal/store/store.go:1681-1731 —
+    @staticmethod
+    def _parse_write(statement: str) -> tuple[str, str | None, bool] | str:
+        """Parse SET/DELETE to (key, value, deleted), or an error
+        string. Mirrors internal/store/store.go:1681-1731 —
         whitespace-tokenize; SET joins the value tokens with single
-        spaces; DELETE is idempotent but still reports 1 row.
-        """
+        spaces; DELETE is idempotent but still reports 1 row."""
         tokens = statement.split()
         if not tokens:
-            return ExecuteResult(0, error="empty statement")
+            return "empty statement"
         verb = tokens[0].upper()
         if verb == "SET":
             if len(tokens) < 2:
-                return ExecuteResult(0, error="SET requires a key")
-            key, value = tokens[1], " ".join(tokens[2:])
-            self._append(key, value, deleted=False)
-            return ExecuteResult(1)
+                return "SET requires a key"
+            return (tokens[1], " ".join(tokens[2:]), False)
         if verb == "DELETE":
             if len(tokens) != 2:
-                return ExecuteResult(0, error="DELETE requires exactly one key")
-            self._append(tokens[1], None, deleted=True)
-            return ExecuteResult(1)  # idempotent, always 1 (store.go:1725-1730)
-        return ExecuteResult(0, error=f"unknown verb: {tokens[0]}")
+                return "DELETE requires exactly one key"
+            return (tokens[1], None, True)
+        return f"unknown verb: {tokens[0]}"
+
+    def execute(self, statement: str) -> ExecuteResult:
+        """Apply a write statement: SET / DELETE."""
+        parsed = self._parse_write(statement)
+        if isinstance(parsed, str):
+            return ExecuteResult(0, error=parsed)
+        self._append(*parsed)
+        return ExecuteResult(1)  # DELETE idempotent (store.go:1725-1730)
+
+    def execute_many(
+        self, statements: list[str], transaction: bool = False
+    ) -> list[ExecuteResult]:
+        """Apply a batch of write statements.
+
+        The reference plumbs a ``transaction`` flag end-to-end
+        (command.proto:24-28) but never enforces it
+        (store.go:1314 ignores qr.Transaction); here it is real:
+        with ``transaction=True`` the batch is all-or-nothing — every
+        statement parses first, any error aborts with ZERO state
+        change, and the writes land under one lock in one contiguous
+        seq range (no interleaving with concurrent writers). With
+        ``transaction=False`` statements apply independently and
+        errors are reported per-statement (rqlite's default shape).
+        """
+        if not transaction:
+            return [self.execute(s) for s in statements]
+        parsed: list[tuple[str, str | None, bool]] = []
+        for i, s in enumerate(statements):
+            p = self._parse_write(s)
+            if isinstance(p, str):
+                return [
+                    ExecuteResult(0, error=f"transaction aborted by statement {i}: {p}")
+                ] * len(statements)
+            parsed.append(p)
+        with self._lock:
+            for key, value, deleted in parsed:
+                self._seq += 1
+                self._tail.append(
+                    Row(key=key, value=value, seq=self._seq, deleted=deleted)
+                )
+        return [ExecuteResult(1)] * len(statements)
 
     def query(self, statement: str) -> QueryRows:
         """Run a read statement: GET <key>.

@@ -173,7 +173,7 @@ ORDER BY d1, d2
 """
 
 
-@register("dedup_jaccard_capped", oracle=_CAPPED_ORACLE,
+@register("dedup_jaccard_capped", oracle=_CAPPED_ORACLE, bench=True,
           doc="Jaccard near-dup with an aggressive stop-shingle cap "
               "(df <= 5): the 100 TB skew guard, demonstrated live")
 def dedup_jaccard_capped(spark, sf_dir):
@@ -400,34 +400,68 @@ def _emb_vectors(spark, sf_dir):
     )
 
 
-@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE,
+def _block_pair_gemm(pdf):
+    """Per-block-pair kernel: one BLAS GEMM computes every cross-block
+    dot product at once. Runs inside applyInPandas (Arrow batch in,
+    Arrow batch out); numpy float64 matches the JVM/DuckDB per-element
+    double math (verified value-exact vs the all-pairs oracle at every
+    test SF by the catalog-oracle sweep, tests/test_catalog_oracle.py)."""
+    import numpy as np
+    import pandas as pd
+
+    gi, gj = int(pdf["gi"].iloc[0]), int(pdf["gj"].iloc[0])
+    a_side = pdf[pdf["g"] == gi]
+    b_side = pdf[pdf["g"] == gj]
+    if a_side.empty or b_side.empty:
+        return pd.DataFrame({"v1": [], "v2": [], "cosine": []})
+    Va = np.stack(a_side["v"].to_numpy())
+    Vb = np.stack(b_side["v"].to_numpy())
+    ids_a = a_side["vec_id"].to_numpy()
+    ids_b = b_side["vec_id"].to_numpy()
+    cos = (Va @ Vb.T) / np.outer(a_side["nrm"].to_numpy(), b_side["nrm"].to_numpy())
+    if gi == gj:
+        # self-block: upper triangle only (a.id < b.id)
+        mask = ids_a[:, None] < ids_b[None, :]
+    else:
+        # cross-block: every pair once, ordered (min,max) below
+        mask = np.ones_like(cos, dtype=bool)
+    ia, ib = np.nonzero(mask & (cos >= 0.45))
+    return pd.DataFrame(
+        {
+            "v1": np.minimum(ids_a[ia], ids_b[ib]),
+            "v2": np.maximum(ids_a[ia], ids_b[ib]),
+            "cosine": np.floor(cos[ia, ib] * 10000.0) / 10000.0,
+        }
+    )
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE, bench=True,
           doc="embedding-cosine near-dup pairs (threshold 0.45), "
-              "block-partitioned exact all-pairs")
+              "block-partitioned exact all-pairs via per-task GEMM")
 def dedup_embedding_cosine(spark, sf_dir, blocks: int = 8):
-    """Exact all-pairs cosine >= 0.45, block-partitioned.
+    """Exact all-pairs cosine >= 0.45, block-partitioned + GEMM.
 
     Scale shape: a naive `a.vec_id < b.vec_id` non-equi self-join
     executes as BroadcastNestedLoopJoin — every row shipped to every
-    task. Instead we use the standard distributed all-pairs
-    decomposition: hash each vector into one of B blocks, build the
-    B(B+1)/2 block-pair task table, replicate each vector to the B
-    tasks whose block pair contains its block, and equi-join on the
-    task id (SortMergeJoin, uniform keys, no nested loop). Shuffle
-    volume is O(n*B) rows; the O(n^2) *comparisons* are inherent to
-    exact all-pairs and are spread evenly over B(B+1)/2 tasks.
-    Raise `blocks` ~ sqrt(2 * cluster cores) on a real cluster.
-    For 100 TB the exact form is the verifiable baseline; the
-    bucketed scale path is `dedup_embedding_cosine_lsh` below.
+    task. Instead: hash each vector into one of B blocks, replicate
+    each vector to the B block-pair tasks containing its block
+    (broadcast join on the tiny membership table, shuffle O(n*B)
+    rows), and compute each task's cross-block similarities with ONE
+    numpy GEMM inside applyInPandas. Row-at-a-time higher-order-
+    function dots cost ~15us/pair (measured 33s for the 2M pairs at
+    sf0.1); the blocked GEMM is the standard distributed all-pairs
+    similarity design (O(n^2) flops are inherent to the exact form,
+    BLAS does them at memory bandwidth). Same-block pairs are kept
+    only in the diagonal task to avoid duplicates. Raise `blocks` ~
+    sqrt(2 * cluster cores) on a real cluster. The bucketed scale
+    path that avoids O(n^2) entirely is `dedup_embedding_cosine_lsh`.
     """
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b)
-
     B = blocks
     e = _emb_vectors(spark, sf_dir).withColumn(
         "g", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
     )
-    # (task, gi, gj, g): one membership row per block of each block pair
+    # (task, gi, gj, g): one membership row per block of each block
+    # pair; same-block pairs live only in the diagonal task (gi==gj).
     rows = []
     for i in range(B):
         for j in range(i, B):
@@ -437,25 +471,10 @@ def dedup_embedding_cosine(spark, sf_dir, blocks: int = 8):
                 rows.append((t, i, j, j))
     tasks = spark.createDataFrame(rows, "task int, gi int, gj int, g int")
     rep = e.join(F.broadcast(tasks), "g")
-    a, b = rep.alias("a"), rep.alias("b")
-    # same-block pairs co-occur in every task containing the block:
-    # keep them only in the diagonal task (gi == gj) to avoid dupes.
-    cand = a.join(
-        b,
-        (F.col("a.task") == F.col("b.task"))
-        & (F.col("a.vec_id") < F.col("b.vec_id"))
-        & ((F.col("a.g") != F.col("b.g")) | (F.col("a.gi") == F.col("a.gj"))),
+    pairs = rep.groupBy("task", "gi", "gj").applyInPandas(
+        _block_pair_gemm, schema="v1 long, v2 long, cosine double"
     )
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        cand.filter(cos >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            t4(cos).alias("cosine"),
-        )
-        .orderBy("v1", "v2")
-    )
+    return pairs.orderBy("v1", "v2")
 
 
 # --------------------------------------------------------------------
@@ -507,7 +526,7 @@ ORDER BY v1, v2
 """
 
 
-@register("dedup_embedding_cosine_lsh", oracle=_emb_lsh_oracle(),
+@register("dedup_embedding_cosine_lsh", oracle=_emb_lsh_oracle(), bench=True,
           doc="embedding near-dup via banded sign-bit LSH candidates "
               "(64 planes, 16 bands x 4 bits) + exact verify")
 def dedup_embedding_cosine_lsh(spark, sf_dir):
@@ -530,45 +549,73 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     from wire_spark.queries.similarity import _lsh_planes
 
     planes = _lsh_planes(_LSH_DEDUP_PLANES)
+    e = _emb_vectors(spark, sf_dir)
 
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b)
+    def band_explode(batches):
+        # all 64 plane dots per vector in ONE GEMM (V @ P.T); the
+        # row-at-a-time HOF formulation evaluated a 64-literal
+        # zip_with per plane per row per join side (~10s of the 11.5s
+        # sf0.1 wall). Sign parity with the oracle's per-plane
+        # list_dot_product is exact on this data (all-SF oracle sweep).
+        # Each vector is emitted once per band, carrying (v, nrm) so
+        # the bucket verify below needs NO gather join. At 100 TB the
+        # 16x vector replication trades against a 1M+-candidate
+        # distinct + two array-gather shuffles — replication wins
+        # while dim*bands stays O(1 KB/row); beyond that, ship
+        # (vec_id,k,bv) and gather.
+        import numpy as np
+        import pandas as pd
 
-    def dot_lit(vcol, row):
-        arr = F.array(*[F.lit(w) for w in row])
-        return F.aggregate(
-            F.zip_with(vcol, arr, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        P = np.array(planes)  # (planes, dim)
+        n_bands, r = _LSH_DEDUP_BANDS, _LSH_DEDUP_R
+        weights = (1 << np.arange(r)).astype("int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            bits = (V @ P.T) >= 0  # (n, planes), plane index = k*r + t
+            n = len(pdf)
+            bv = (bits.reshape(n, n_bands, r) * weights).sum(axis=2)
+            idx = np.repeat(np.arange(n), n_bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "k": np.tile(np.arange(n_bands, dtype="int32"), n),
+                    "bv": bv.reshape(-1).astype("int32"),
+                    "v": pdf["v"].to_numpy()[idx],
+                    "nrm": pdf["nrm"].to_numpy()[idx],
+                }
+            )
+
+    def bucket_verify(pdf):
+        # one small GEMM per (band, band-value) bucket: exact cosine
+        # over the bucket's upper-triangle pairs. A pair sharing j
+        # bands surfaces j times with a bit-identical cosine (same
+        # input rows, same K=64 kernel); dropDuplicates collapses them.
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        cos = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= 0.45))
+        return pd.DataFrame(
+            {
+                "v1": ids[ia],
+                "v2": ids[ib],
+                "cosine": np.floor(cos[ia, ib] * 10000.0) / 10000.0,
+            }
         )
 
-    e = _emb_vectors(spark, sf_dir)
-    band_structs = []
-    for k in range(_LSH_DEDUP_BANDS):
-        bv = None
-        for t in range(_LSH_DEDUP_R):
-            bit = F.when(
-                dot_lit(F.col("v"), planes[k * _LSH_DEDUP_R + t]) >= 0, F.lit(1 << t)
-            ).otherwise(F.lit(0))
-            bv = bit if bv is None else bv + bit
-        band_structs.append(F.struct(F.lit(k).alias("k"), bv.alias("bv")))
-    bands = (
-        e.select("vec_id", F.explode(F.array(*band_structs)).alias("s"))
-        .select("vec_id", F.col("s.k").alias("k"), F.col("s.bv").alias("bv"))
+    banded = e.select("vec_id", "v", "nrm").mapInPandas(
+        band_explode,
+        schema="vec_id long, k int, bv int, v array<double>, nrm double",
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.k") == F.col("b.k"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(ea, "v1").join(eb, "v2")
-        .filter(cos >= 0.45)
-        .select("v1", "v2", t4(cos).alias("cosine"))
+        banded.groupBy("k", "bv")
+        .applyInPandas(bucket_verify, schema="v1 long, v2 long, cosine double")
+        .dropDuplicates(["v1", "v2"])
         .orderBy("v1", "v2")
     )
 

@@ -39,7 +39,7 @@ ORDER BY band_id
 """
 
 
-@register("range_join_price_bands", oracle=_RANGE_ORACLE,
+@register("range_join_price_bands", oracle=_RANGE_ORACLE, bench=True,
           doc="interval (range) join: orders into equal-width price bands")
 def range_join_price_bands(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -81,7 +81,7 @@ ORDER BY c_mktsegment, c_custkey
 """
 
 
-@register("window_distribution_funcs", oracle=_DIST_ORACLE,
+@register("window_distribution_funcs", oracle=_DIST_ORACLE, bench=True,
           doc="percent_rank / cume_dist per segment")
 def window_distribution_funcs(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -112,7 +112,7 @@ ORDER BY n.n_name
 """
 
 
-@register("agg_collect_sorted", oracle=_COLLECT_ORACLE,
+@register("agg_collect_sorted", oracle=_COLLECT_ORACLE, bench=True,
           doc="ordered array_agg rendered as CSV (cross-engine-stable)")
 def agg_collect_sorted(spark, sf_dir):
     s = T(spark, sf_dir, "supplier")

@@ -25,7 +25,7 @@ ORDER BY y, m
 """
 
 
-@register("orders_by_month", oracle=_MONTHLY_ORACLE,
+@register("orders_by_month", oracle=_MONTHLY_ORACLE, bench=True,
           doc="calendar rollup by extracted year/month")
 def orders_by_month(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -58,7 +58,7 @@ ORDER BY p_partkey
 """
 
 
-@register("string_functions_part", oracle=_STRFN_ORACLE,
+@register("string_functions_part", oracle=_STRFN_ORACLE, bench=True,
           doc="split_part / LIKE / substring / length surface")
 def string_functions_part(spark, sf_dir):
     p = T(spark, sf_dir, "part")
@@ -89,7 +89,7 @@ ORDER BY name1, name2
 """
 
 
-@register("fuzzy_match_part_names", oracle=_FUZZY_ORACLE,
+@register("fuzzy_match_part_names", oracle=_FUZZY_ORACLE, bench=True,
           doc="Levenshtein near-match pairs over distinct names")
 def fuzzy_match_part_names(spark, sf_dir):
     # distinct-name self-join: the candidate space is the VOCABULARY

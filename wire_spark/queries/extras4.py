@@ -36,7 +36,7 @@ ORDER BY user_id, event_id
 """
 
 
-@register("window_range_frame_30m", oracle=_RANGE_FRAME_ORACLE,
+@register("window_range_frame_30m", oracle=_RANGE_FRAME_ORACLE, bench=True,
           doc="RANGE interval frame: rolling 30-minute per-user sums")
 def window_range_frame_30m(spark, sf_dir):
     e = T(spark, sf_dir, "events")
@@ -86,7 +86,7 @@ ORDER BY c_mktsegment
 """
 
 
-@register("null_semantics_audit", oracle=_NULLS_ORACLE,
+@register("null_semantics_audit", oracle=_NULLS_ORACLE, bench=True,
           doc="COUNT variants / null-safe equality / COALESCE over outer-join NULLs")
 def null_semantics_audit(spark, sf_dir):
     c = T(spark, sf_dir, "customer")

@@ -28,7 +28,7 @@ ORDER BY p_type, p_partkey
 """
 
 
-@register("q2_min_cost_per_type", oracle=_Q2_ORACLE,
+@register("q2_min_cost_per_type", oracle=_Q2_ORACLE, bench=True,
           doc="correlated scalar subquery -> groupBy+join rewrite")
 def q2_min_cost_per_type(spark, sf_dir):
     p = T(spark, sf_dir, "part")
@@ -67,7 +67,7 @@ ORDER BY supp_nation, cust_nation
 """
 
 
-@register("q7_nation_volume", oracle=_Q7_ORACLE,
+@register("q7_nation_volume", oracle=_Q7_ORACLE, bench=True,
           doc="cross-nation trade volume, dual dim-join on nation")
 def q7_nation_volume(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
@@ -114,7 +114,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=_Q10_ORACLE,
+@register("q10_returned_items", oracle=_Q10_ORACLE, bench=True,
           doc="returned-item revenue ranking (Q10 shape)")
 def q10_returned_items(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -155,7 +155,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
-@register("q14_promo_revenue", oracle=_Q14_ORACLE,
+@register("q14_promo_revenue", oracle=_Q14_ORACLE, bench=True,
           doc="conditional-aggregate ratio (Q14 shape)")
 def q14_promo_revenue(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem").filter(
@@ -200,7 +200,7 @@ LIMIT 50
 """
 
 
-@register("q18_large_orders", oracle=_Q18_ORACLE,
+@register("q18_large_orders", oracle=_Q18_ORACLE, bench=True,
           doc="HAVING over grouped join (Q18 shape)")
 def q18_large_orders(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -238,7 +238,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 
 """
 
 
-@register("q19_disjunctive_filter", oracle=_Q19_ORACLE,
+@register("q19_disjunctive_filter", oracle=_Q19_ORACLE, bench=True,
           doc="disjunctive multi-branch predicate (Q19 shape)")
 def q19_disjunctive_filter(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
@@ -280,7 +280,7 @@ ORDER BY c.c_mktsegment
 """
 
 
-@register("q22_rich_inactive", oracle=_Q22_ORACLE,
+@register("q22_rich_inactive", oracle=_Q22_ORACLE, bench=True,
           doc="scalar subquery + anti join composition (Q22 shape)")
 def q22_rich_inactive(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -312,7 +312,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", oracle=_Q6_ORACLE,
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, bench=True,
           doc="pure filter + aggregate, full predicate pushdown (Q6 shape)")
 def q6_forecast_revenue(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")

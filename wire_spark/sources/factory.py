@@ -86,11 +86,22 @@ class DataSource:
         if t == "kafka":
             reader = spark.readStream.format("kafka").options(**kafka_read_options(c))
             return reader.load()
+        if t in ("http", "webhook"):
+            # push ingestion: embedded webhook endpoint spooling to a
+            # landing dir the file stream tails (the reference README
+            # promises this source but ships none, README.md:67-75)
+            from wire_spark.sources.http_source import HttpWebhookSource
+
+            src = c.get("_source") or HttpWebhookSource(c["spool_dir"])
+            if c.get("_source") is None and c.get("start_server", "true") == "true":
+                src.start(int(c.get("port", 0)))
+            return src.read(spark, c["schema"])
         raise ValueError(f"unknown source type: {t!r}")  # config.go:265-266
 
 
 def data_source_factory(cfg: SourceConfig, streaming: bool = True) -> DataSource:
     """config.go:250-268 analog (validation up front, read lazily)."""
-    if cfg.type not in ("file", "json", "text", "parquet", "rate", "kafka"):
+    if cfg.type not in ("file", "json", "text", "parquet", "rate", "kafka",
+                        "http", "webhook"):
         raise ValueError(f"unknown source type: {cfg.type!r}")
     return DataSource(cfg, streaming=streaming)

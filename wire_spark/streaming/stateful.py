@@ -57,3 +57,50 @@ def running_counter(df: DataFrame, key_col: str = "user_id", value_col: str = "v
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counter_v2(
+    df: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Same per-key running (count, sum), on the Spark 4 state-v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``).
+
+    Functionally identical to :func:`running_counter`; the v2 API adds
+    composable typed state (value/list/map handles), event/processing-
+    time timers, and per-state TTL — the surface new stateful
+    operators should target. Kept alongside the v1 form so both
+    execution paths stay covered (tests assert identical outputs).
+
+    Runtime requirements (gated in tests): the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) and
+    the ``google.protobuf`` package for the driver-side state server
+    protocol — absent from this sandbox, so the v1 operator is the
+    tested-everywhere default.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({"key": [key[0]], "n_events": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    renamed = df.selectExpr(f"{key_col} AS key", f"{value_col} AS value")
+    return renamed.groupBy("key").transformWithStateInPandas(
+        RunningCounter(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
