@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.extras2",
     "wire_spark.queries.extras3",
     "wire_spark.queries.extras4",
+    "wire_spark.queries.sampling",
 )
 
 

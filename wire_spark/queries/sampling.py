@@ -1,0 +1,152 @@
+"""Deterministic sampling & split operators for training-data
+pipelines: hash-based sampling, train/val/test assignment, and token
+Zipf statistics.
+
+Why hash-based, not ``df.sample``: random sampling is seed- and
+partitioning-dependent (not reproducible across engines, runs, or
+cluster layouts). Hashing a stable key gives a sample that is (a)
+identical on every engine — the DuckDB oracles mirror the arithmetic
+exactly, (b) stable under repartitioning/retries, and (c) consistent
+across derived tables (joining a 10% sample of documents to any
+side table keeps exactly those documents). This is the standard
+reproducible-pipeline design for corpus curation at any scale — one
+narrow projection, no shuffle at all for the sample filter itself.
+
+The hash is the portable md5-prefix primitive (`md5_long`,
+queries/_util.py), bucketed by modulus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, md5_long, t4
+
+# --------------------------------------------------------------------
+# 10% deterministic sample
+# --------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+ORDER BY doc_id
+"""
+
+
+@register("sample_hash_documents", oracle=_SAMPLE_ORACLE,
+          doc="deterministic 10% corpus sample: md5(doc_id) % 10 == 0")
+def sample_hash_documents(spark, sf_dir):
+    """Reproducible 10% sample — the filter is a pure projection
+    (no shuffle, pushes nothing but the scan), identical under any
+    partitioning and on any engine."""
+    d = T(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    return (
+        d.filter(h % 10 == 0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# train/val/test split assignment
+# --------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT
+    lang,
+    CASE
+      WHEN b < 80 THEN 'train'
+      WHEN b < 90 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM (
+    SELECT lang,
+           CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+    FROM documents
+  )
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@register("train_val_test_split", oracle=_SPLIT_ORACLE,
+          doc="deterministic 80/10/10 train/val/test split by doc_id hash, "
+              "counted per language")
+def train_val_test_split(spark, sf_dir):
+    """Hash-range split assignment (80/10/10): stable across runs,
+    engines, and table layouts — a document never migrates between
+    splits when the corpus grows, which sampled or ordered splits
+    cannot guarantee. Output is the per-(lang, split) audit count."""
+    d = T(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+# --------------------------------------------------------------------
+# token Zipf statistics
+# --------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS freq FROM tok WHERE token != '' GROUP BY token
+), total_t AS (SELECT sum(freq) AS total FROM freq),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM freq
+)
+SELECT rank, token, freq,
+       floor(sum(freq) OVER (ORDER BY rank) * 1.0 / total * 10000.0) / 10000.0
+         AS cum_share
+FROM ranked, total_t
+WHERE rank <= 100
+ORDER BY rank
+"""
+
+
+@register("token_zipf", oracle=_ZIPF_ORACLE,
+          doc="token rank-frequency (Zipf) profile: top-100 tokens with "
+              "cumulative corpus share")
+def token_zipf(spark, sf_dir):
+    """Corpus token distribution — the curve you inspect before
+    tokenizer training / vocab pruning. Counts are exact integers
+    (cross-engine safe); the cumulative share is an exact integer sum
+    divided once, floor-truncated (t4) for float parity. One shuffle
+    for the count, partial top-k for the rank cut."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token")))
+    ).filter(F.col("rank") <= 100)
+    cum = F.sum("freq").over(W.orderBy("rank"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank", "token", "freq",
+            t4(cum * F.lit(1.0) / F.col("total")).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from wire_spark.model import SinkConfig
 
 _KNOWN = ("file", "json", "parquet", "memory", "console", "noop", "kafka",
-          "elasticsearch")
+          "elasticsearch", "redis", "s3")
 
 
 def kafka_write_options(c: dict) -> dict:
@@ -93,6 +93,26 @@ class DataSink:
                 transport=c.get("transport"),  # injectable for tests
             )
             return writer.foreachBatch(sink.foreach_batch()).start()
+        if t == "redis":
+            from wire_spark.sinks.kv_sinks import RedisSink
+
+            sink = RedisSink(
+                host=c.get("host", "localhost"),
+                port=int(c.get("port", 6379)),
+                id_field=c.get("id_field", "_id"),
+                key_prefix=c.get("key_prefix", ""),
+                transport=c.get("transport"),  # injectable for tests
+            )
+            return writer.foreachBatch(sink.foreach_batch()).start()
+        if t == "s3":
+            from wire_spark.sinks.kv_sinks import s3_sink_config
+
+            path, hconf = s3_sink_config(c)
+            jconf = df.sparkSession._jsc.hadoopConfiguration()
+            for k, v in hconf.items():
+                jconf.set(k, v)
+            # an object-store path IS the file sink (json-lines parts)
+            return writer.format("json").option("path", c.get("path_override", path)).start()
         raise ValueError(f"unknown sink type: {t!r}")
 
 
