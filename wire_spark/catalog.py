@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.extras3",
     "wire_spark.queries.extras4",
     "wire_spark.queries.sampling",
+    "wire_spark.queries.curation",
 )
 
 

@@ -1,0 +1,196 @@
+"""Corpus-curation operators: benchmark decontamination, length
+bucketing, and sequence-packing planning — the remaining standard ops
+of a training-data pipeline (alongside dedup/, sampling.py, text.py).
+
+All JVM-side column ops with exact-integer or floor-truncated outputs
+so the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, md5_long, t4, word_shingles
+
+# --------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap vs a held-out probe set
+# --------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1) ]) AS shingle
+  FROM w
+), bench AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 50 = 0
+), probe AS (
+  SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)
+), cand AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         count(*) FILTER (WHERE probe.shingle IS NOT NULL) AS n_overlap
+  FROM sh
+  LEFT JOIN probe ON sh.shingle = probe.shingle
+  WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       floor(n_overlap * 1.0 / n_shingles * 10000.0) / 10000.0 AS overlap_frac
+FROM cand
+WHERE n_overlap > 0
+ORDER BY overlap_frac DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("decontamination_overlap", oracle=_DECONTAM_ORACLE,
+          doc="benchmark decontamination: 3-gram overlap of corpus docs "
+              "against a held-out probe set, top-20 most contaminated")
+def decontamination_overlap(spark, sf_dir):
+    """Flag training documents that leak a held-out benchmark: the
+    probe set is the distinct shingles of a deterministic 2% document
+    sample (md5 % 50 — standing in for a real benchmark suite), and
+    each candidate doc scores the fraction of ITS shingles found in the
+    probe set. Scale shape: probe-set semi-scoring is a shuffle on
+    shingle (same key as the dedup family — one co-partitioning
+    serves all of them); the probe side is small enough to broadcast
+    in a real deployment.
+    """
+    sh = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    )
+    is_bench = md5_long(F.col("doc_id").cast("string")) % 50 == 0
+    bench_ids = (
+        T(spark, sf_dir, "documents").filter(is_bench).select("doc_id")
+    )
+    probe = (
+        sh.join(F.broadcast(bench_ids), "doc_id")
+        .select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    cand = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        .join(probe, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")
+    return (
+        cand.filter(F.col("n_overlap") > 0)
+        .select("doc_id", "n_shingles", "n_overlap", t4(frac).alias("overlap_frac"))
+        .orderBy(F.desc("overlap_frac"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# token-length histogram (sequence-length planning)
+# --------------------------------------------------------------------
+
+_LENBUCKET_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT
+  CASE WHEN n_tokens <= 64 THEN '<=64'
+       WHEN n_tokens <= 128 THEN '<=128'
+       WHEN n_tokens <= 256 THEN '<=256'
+       WHEN n_tokens <= 512 THEN '<=512'
+       ELSE '>512' END AS bucket,
+  count(*) AS n_docs,
+  sum(n_tokens) AS total_tokens,
+  min(n_tokens) AS min_tokens,
+  max(n_tokens) AS max_tokens
+FROM lens
+GROUP BY 1
+ORDER BY min(n_tokens)
+"""
+
+
+@register("length_bucket_histogram", oracle=_LENBUCKET_ORACLE,
+          doc="token-length histogram in doubling buckets (sequence-length "
+              "planning for packing/curriculum)")
+def length_bucket_histogram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    bucket = (
+        F.when(n_tokens <= 64, "<=64")
+        .when(n_tokens <= 128, "<=128")
+        .when(n_tokens <= 256, "<=256")
+        .when(n_tokens <= 512, "<=512")
+        .otherwise(">512")
+    )
+    return (
+        d.select(bucket.alias("bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("min_tokens")
+    )
+
+
+# --------------------------------------------------------------------
+# sequence-packing plan (concat-and-chunk into fixed context windows)
+# --------------------------------------------------------------------
+
+_PACKING_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), planned AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT)
+           AS bin
+  FROM lens
+)
+SELECT bin,
+       count(*) AS n_docs,
+       sum(n_tokens) AS bin_tokens,
+       floor(sum(n_tokens) * 1.0 / 2048 * 10000.0) / 10000.0 AS fill_ratio
+FROM planned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("sequence_packing_plan", oracle=_PACKING_ORACLE,
+          doc="concat-and-chunk packing plan: docs into 2048-token context "
+              "bins by running token count, with per-bin fill ratios")
+def sequence_packing_plan(spark, sf_dir):
+    """Deterministic packing plan: documents in doc_id order are
+    concatenated and chunked into 2048-token context windows; a doc's
+    bin is its running-sum prefix divided by the context length (the
+    streaming-concat packing every pretraining loader uses). One
+    window over a single global ordering — at 100 TB you run the same
+    plan per partition-range (doc_id ranges are the natural split) so
+    the window never needs a global sort; fill ratios audit padding
+    waste."""
+    d = T(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    w = W.orderBy("doc_id")
+    planned = lens.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)).cast("long"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            t4(F.sum("n_tokens") * F.lit(1.0) / F.lit(2048)).alias("fill_ratio"),
+        )
+        .orderBy("bin")
+    )
