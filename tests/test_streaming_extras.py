@@ -231,3 +231,83 @@ def test_cdc_stream_to_keyed_table(spark, tmp_path):
 
     state = {r.document_id: r.full_document for r in read_table(spark, table).collect()}
     assert state == {"d1": '{"a":1}', "d3": '{"c":1}'}  # d2 deleted, d3 inserted
+
+
+def test_streaming_minhash_near_dup_detection(spark, tmp_path):
+    """Incremental LSH dedup: a doc arriving in a later micro-batch
+    collides in every band with an identical earlier doc, and in no
+    band with unrelated docs; state persists across batches."""
+    import json as _json
+    import os as _os
+
+    from wire_spark.streaming.dedup_stream import streaming_near_dup_flags
+
+    in_dir = str(tmp_path / "in")
+    _os.makedirs(in_dir)
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content with no overlapping shingles at all here"
+    with open(_os.path.join(in_dir, "b0.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": text_a}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": text_b}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(in_dir)
+    )
+    rows: list[tuple] = []
+
+    def run_once():
+        q = (
+            streaming_near_dup_flags(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: rows.extend(
+                    (r.doc_id, r.band, r.n_prior, tuple(r.prior_ids)) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # first batch: every band of both docs lands in a fresh bucket
+    assert {r[0] for r in rows} == {1, 2}
+    assert all(r[2] == 0 for r in rows)
+    assert len(rows) == 12  # 2 docs x 6 bands
+
+    # batch 2: doc 3 duplicates doc 1 -> collides with it in all 6
+    # bands (identical signature); never with doc 2
+    with open(_os.path.join(in_dir, "b1.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": 3, "text": text_a}) + "\n")
+    rows.clear()
+    run_once()
+    mine = [r for r in rows if r[0] == 3]
+    assert len(mine) == 6
+    assert all(r[2] == 1 and r[3] == (1,) for r in mine)
+
+
+def test_streaming_bands_agree_with_batch_lsh(spark, sf_dir):
+    """The stream-safe signature (array_min/transform, no groupBy)
+    must reproduce the batch banding: every pair the batch
+    dedup_minhash_lsh emits shares at least one streaming band
+    bucket (same Carter-Wegman arithmetic => same buckets)."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.dedup_stream import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(docs).collect()
+    buckets: dict[tuple, set] = {}
+    for r in bands:
+        buckets.setdefault((r.band, r.bsig), set()).add(r.doc_id)
+
+    batch_pairs = [
+        (r.d1, r.d2)
+        for r in load_registry()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    ]
+    assert batch_pairs  # non-vacuous
+    for d1, d2 in batch_pairs:
+        assert any(d1 in mem and d2 in mem for mem in buckets.values()), (d1, d2)
