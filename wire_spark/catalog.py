@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.extras4",
     "wire_spark.queries.sampling",
     "wire_spark.queries.curation",
+    "wire_spark.queries.cdc_queries",
 )
 
 
