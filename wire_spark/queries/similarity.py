@@ -430,3 +430,58 @@ def ann_lsh_cosine(spark, sf_dir):
         .select("qid", "nid", "sim", "rn")
         .orderBy("qid", "rn")
     )
+
+
+# --------------------------------------------------------------------
+# int8 quantization audit
+# --------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id,
+       floor(scale * 1000000.0) / 1000000.0 AS scale,
+       floor(list_max(
+         list_transform(v, x -> abs(x - floor(x / scale) * scale))
+       ) * 1000000.0) / 1000000.0 AS max_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE,
+          doc="int8 symmetric quantization audit: per-vector scale and "
+              "max reconstruction error")
+def embedding_quantize_int8(spark, sf_dir):
+    """Storage-shrink audit for the embedding table: symmetric int8
+    quantization (scale = max|v| / 127, code = floor(v/scale)) with
+    the per-vector max reconstruction error — the check you run
+    before switching an ANN index to quantized storage (8x smaller
+    vectors, 8x more of the table per executor page). Pure
+    higher-order functions per row, embarrassingly parallel, no
+    shuffle; every arithmetic step is per-element deterministic so
+    the oracle matches bit-for-bit."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # The scale expression is INLINED into the error lambda rather
+    # than bound via withColumn: after projection collapse, a
+    # F.col("scale") reference inside a transform() lambda nests the
+    # scale's own transform() under the outer lambda and the variable
+    # binding silently captures the OUTER element (scale became
+    # per-element — observed, wrong by 3%). Inline composition keeps
+    # each lambda's variable distinct. The subexpression is
+    # per-row-constant; worst case it re-evaluates per element
+    # (d^2 = 4096 flops/row — noise).
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    err = F.array_max(
+        F.transform("v", lambda x: F.abs(x - F.floor(x / scale) * scale))
+    )
+    return (
+        e.select("vec_id", t6(scale).alias("scale"), t6(err).alias("max_abs_err"))
+        .orderBy("vec_id")
+    )
