@@ -485,3 +485,139 @@ def embedding_quantize_int8(spark, sf_dir):
         e.select("vec_id", t6(scale).alias("scale"), t6(err).alias("max_abs_err"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------
+# product-quantized ANN (asymmetric distance computation)
+# --------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_SUB = 8      # dims per subspace (8 x 8 = 64)
+_PQ_K = 16       # codewords per subspace (deterministic: first 16 vectors)
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT unnest(range({_PQ_M})) AS m),
+cw AS (
+  SELECT vec_id AS code, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS cv
+  FROM e, subs WHERE vec_id < {_PQ_K}
+),
+sub_v AS (
+  SELECT vec_id, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+  FROM e, subs
+),
+assigned AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sub_v.vec_id, sub_v.m, cw.code,
+           row_number() OVER (
+             PARTITION BY sub_v.vec_id, sub_v.m
+             ORDER BY floor(list_distance(sub_v.sv, cw.cv) * 1000000.0) / 1000000.0,
+                      cw.code
+           ) AS rn
+    FROM sub_v JOIN cw ON sub_v.m = cw.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub_v WHERE vec_id % 100 = 0),
+adc AS (
+  SELECT q.qid, a.vec_id AS nid,
+         sum(CAST(floor(list_distance(q.qsv, cw.cv) * 1000000.0) AS BIGINT)) AS adist_i
+  FROM q
+  JOIN assigned a ON a.m = q.m AND a.vec_id != q.qid
+  JOIN cw ON cw.m = a.m AND cw.code = a.code
+  GROUP BY q.qid, a.vec_id
+)
+SELECT qid, nid, adist_i / 1000000.0 AS adist, rn FROM (
+  SELECT qid, nid, adist_i,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY adist_i, nid
+         ) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("ann_pq_adc", oracle=_pq_oracle(),
+          doc="product-quantized ANN: 8x8-dim subspaces, 16 codewords each, "
+              "asymmetric-distance top-5")
+def ann_pq_adc(spark, sf_dir):
+    """Product quantization with asymmetric distance computation: the
+    64-dim space splits into 8 subspaces of 8 dims; each sub-vector is
+    replaced by its nearest of 16 deterministic codewords (the first
+    16 vectors' sub-vectors — the same fixed-seed convention as the
+    IVF centroids), so a vector stores 8 small codes (64 dims -> 8
+    bytes, 32x compression). A query computes one 8x16 distance table
+    per subspace and ranks the WHOLE table by summed codeword
+    distances without touching any stored vector — the memory-bound
+    regime PQ exists for.
+
+    Scale shape: codebook (128 rows) broadcasts everywhere; encoding
+    is a one-pass broadcast join; the ADC join keys on (m, code)
+    against the tiny distance table, then aggregates 8 partial
+    distances per candidate — shuffle on vec_id only. Distances are
+    floor-truncated (t6) before every comparison so ranking matches
+    the oracle bit-for-bit.
+    """
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    # sub-vectors: slice m*8+1 .. +8 (1-based, mirrors DuckDB list slice)
+    sub_v = (
+        e.crossJoin(F.broadcast(subs))
+        .select(
+            "vec_id", "m",
+            F.slice("v", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+        )
+    )
+    cw = (
+        sub_v.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
+    )
+
+    def l2(a, b):
+        # euclidean distance, same element order as DuckDB list_distance
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, z: acc + z,
+            )
+        )
+
+    w_assign = W.partitionBy("vec_id", "m").orderBy("d", "code")
+    assigned = (
+        sub_v.join(F.broadcast(cw), "m")
+        .select("vec_id", "m", "code", t6(l2(F.col("sv"), F.col("cv"))).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = sub_v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    # per-query distance table: |Q| x m x k rows — tiny, broadcast
+    dist_table = (
+        q.join(F.broadcast(cw), "m")
+        .select("qid", "m", "code", l2(F.col("qsv"), F.col("cv")).alias("qd"))
+    )
+    # partial distances sum in INTEGER domain (floor(d*1e6) as long):
+    # adding 8 truncated doubles in Spark's nondeterministic agg order
+    # differs from DuckDB's in the last ulp — integer sums are exact
+    # in any order (NOTES.md parity rule 1 / msum)
+    adc = (
+        assigned.join(F.broadcast(dist_table), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum(F.floor(F.col("qd") * F.lit(1000000.0)).cast("long")).alias("adist_i"))
+    )
+    w_top = W.partitionBy("qid").orderBy(F.col("adist_i"), F.asc("nid"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid",
+                (F.col("adist_i") / F.lit(1000000.0)).alias("adist"), "rn")
+        .orderBy("qid", "rn")
+    )
