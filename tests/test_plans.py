@@ -71,3 +71,29 @@ def test_embedding_dedup_no_nested_loop(spark, sf_dir):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_sample_prunes_text_column(spark, sf_dir):
+    # the 10% sample must not read the (wide) text column: hashing
+    # keys on doc_id only — scan schema is the 3 output columns
+    df = _df(spark, sf_dir, "sample_hash_documents")
+    rs = " ".join(scan_columns(df))
+    assert "text" not in rs
+    assert "doc_id" in rs
+
+
+def test_split_audit_shuffle_budget(spark, sf_dir):
+    # hash-split + count: one exchange for the agg, one for the sort
+    df = _df(spark, sf_dir, "train_val_test_split")
+    assert count_shuffles(df) <= 2
+
+
+def test_decontamination_broadcasts_probe_side(spark, sf_dir):
+    df = _df(spark, sf_dir, "decontamination_overlap")
+    assert has_broadcast_join(df)  # benchmark ids + probe set are small
+
+
+def test_cdc_apply_shuffle_budget(spark, sf_dir):
+    # argmax fold: one exchange on document_id, one for the order-by
+    df = _df(spark, sf_dir, "cdc_apply_state")
+    assert count_shuffles(df) <= 2
