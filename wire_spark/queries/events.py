@@ -228,3 +228,128 @@ def events_pivot_by_type(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# conversion funnel: click -> purchase within 1 hour, per user
+# --------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), converted AS (
+  SELECT DISTINCT c.user_id
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+), clickers AS (SELECT DISTINCT user_id FROM clicks)
+SELECT
+  (SELECT count(*) FROM clickers) AS n_clickers,
+  (SELECT count(*) FROM converted) AS n_converted,
+  floor((SELECT count(*) FROM converted) * 1.0
+        / (SELECT count(*) FROM clickers) * 10000.0) / 10000.0
+    AS conversion_rate
+"""
+
+
+@register("events_funnel_conversion", oracle=_FUNNEL_ORACLE,
+          doc="funnel: users converting click -> purchase within 1 hour")
+def events_funnel_conversion(spark, sf_dir):
+    """Click->purchase conversion within an hour. The step join is an
+    event-time range join per user — shuffled on user_id (bounded per
+    key), with the interval predicate as a join filter; at 100 TB add
+    a coarse time-bucket equi-key ((user, hour) and (user, hour+1))
+    to bound the per-key candidate set. Counts are exact integers,
+    the rate a single floor-truncated division."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # one declarative plan, no driver-side actions: both scalar counts
+    # are single-row aggregates cross-joined (broadcast of 1 row)
+    n_clickers = (
+        clicks.select("user_id").distinct()
+        .agg(F.count(F.lit(1)).alias("n_clickers"))
+    )
+    n_converted = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    rate = F.floor(
+        F.col("n_converted") * F.lit(1.0) / F.col("n_clickers") * F.lit(10000.0)
+    ) / F.lit(10000.0)
+    return n_clickers.crossJoin(n_converted).select(
+        "n_clickers", "n_converted", rate.alias("conversion_rate")
+    )
+
+
+# --------------------------------------------------------------------
+# retention cohorts: signup week x weeks-since-signup activity
+# --------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH signups AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, s.cohort_week,
+         CAST(floor(date_diff('day', s.cohort_week, date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+           AS week_n
+  FROM events e JOIN signups s ON e.user_id = s.user_id
+  WHERE e.ts >= s.cohort_week
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_n,
+       count(*) AS n_active
+FROM activity
+WHERE week_n <= 8
+GROUP BY cohort_week, week_n
+ORDER BY cohort_week, week_n
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE,
+          doc="weekly retention cohorts: signup week x weeks-since-signup "
+              "distinct-user activity")
+def retention_cohorts(spark, sf_dir):
+    """The classic cohort-retention matrix. Two shuffles: the signup
+    argmin per user, then the cohort x week distinct-count; the user
+    join broadcasts at test scale and shuffles on user_id (uniform
+    key) at 100 TB."""
+    e = T(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    activity = (
+        e.join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id", "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7.0)
+            ).cast("long").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n") <= 8)
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n", "n_active",
+        )
+        .orderBy("cohort_week", "week_n")
+    )
