@@ -139,3 +139,41 @@ def test_lsh_multiprobe_recall(spark, sf_dir):
     # absolute
     assert r_multi >= 0.08
     assert r_multi >= 2 * r_single or r_single == 0
+
+
+def test_split_is_total_and_stable(spark, sf_dir):
+    """Every document lands in exactly one split; assignment is a pure
+    function of doc_id (invariant under repartitioning)."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.engine import load_table
+    from wire_spark.queries._util import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    once = d.select("doc_id", split.alias("s"))
+    again = d.repartition(7).select("doc_id", split.alias("s"))
+    a = {r.doc_id: r.s for r in once.collect()}
+    c = {r.doc_id: r.s for r in again.collect()}
+    assert a == c
+    assert len(a) == d.count()  # total: one assignment per doc
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_packing_plan_conserves_tokens(spark, sf_dir):
+    """The packing plan neither loses nor duplicates tokens, bins are
+    contiguous from 0, and every bin before the last is filled to at
+    least the 2048-token window boundary it spans."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    plan = load_registry()["sequence_packing_plan"].fn(spark, sf_dir).collect()
+    bins = [r.bin for r in plan]
+    assert bins == list(range(len(bins)))  # contiguous from 0
+    total_planned = sum(r.bin_tokens for r in plan)
+    d = load_table(spark, sf_dir, "documents")
+    total = d.select(F.sum(F.size(F.split("text", " "))).alias("t")).first().t
+    assert total_planned == total
