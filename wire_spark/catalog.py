@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.sampling",
     "wire_spark.queries.curation",
     "wire_spark.queries.cdc_queries",
+    "wire_spark.queries.clustering",
 )
 
 

@@ -1,0 +1,136 @@
+"""Clustering: one Lloyd (k-means) refinement round with an exact
+cross-engine oracle — the iterative-ML primitive (assign -> recompute
+means -> re-assign) expressed as pure DataFrame ops.
+
+Determinism design: the new centroid's per-dimension mean is computed
+as sum(floor(v[d] * 1e6)) / (n * 1e6) — the numerator is an exact
+integer sum (order-independent), the single division is one IEEE
+double op — so both engines hold bit-identical centroids, and the
+re-assignment (floor-truncated euclidean ranking, centroid-id
+tiebreak) matches row-for-row. More rounds = the same block repeated;
+each round is two shuffles (dimension-sum agg + re-assignment is
+broadcast, so really ONE shuffle per round at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, t6
+
+_K = 8
+_DIM = 64
+
+_LLOYD_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
+assign0 AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, cent0.cid, e.v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_distance(e.v, cent0.cv) * 1000000.0) / 1000000.0,
+                      cent0.cid
+           ) AS rn
+    FROM e CROSS JOIN cent0
+  ) WHERE rn = 1
+),
+dims AS (SELECT unnest(range(1, {_DIM} + 1)) AS d),
+sums AS (
+  SELECT cid, d,
+         sum(CAST(floor(v[d] * 1000000.0) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM assign0, dims
+  GROUP BY cid, d
+),
+cent1 AS (
+  SELECT cid, list(s * 1.0 / (n * 1000000.0) ORDER BY d) AS cv
+  FROM sums GROUP BY cid
+),
+assign1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent1.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_distance(e.v, cent1.cv) * 1000000.0) / 1000000.0,
+                      cent1.cid
+           ) AS rn
+    FROM e CROSS JOIN cent1
+  ) WHERE rn = 1
+)
+SELECT a.cid,
+       count(*) AS n_vectors,
+       floor(sqrt(list_dot_product(c.cv, c.cv)) * 1000000.0) / 1000000.0
+         AS centroid_norm
+FROM assign1 a JOIN cent1 c ON c.cid = a.cid
+GROUP BY a.cid, c.cv
+ORDER BY a.cid
+"""
+
+
+def _l2(a, b):
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, z: acc + z,
+        )
+    )
+
+
+@register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE,
+          doc="one Lloyd k-means round (8 seed centroids -> integer-exact "
+              "means -> re-assign), cluster sizes + centroid norms")
+def kmeans_lloyd_round(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent0 = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_a = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assign0 = (
+        e.crossJoin(F.broadcast(cent0))
+        .select("vec_id", "cid", "v", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    # per-dimension integer-exact means (1-based d to mirror DuckDB)
+    dims = (
+        assign0.select("cid", F.posexplode("v").alias("d0", "val"))
+        .select("cid", (F.col("d0") + 1).alias("d"), "val")
+    )
+    sums = dims.groupBy("cid", "d").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent1 = (
+        sums.select(
+            "cid",
+            F.struct("d", (F.col("s") * F.lit(1.0) / (F.col("n") * F.lit(1000000.0))).alias("m")).alias("dm"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias("cv")
+        )
+    )
+    w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assign1 = (
+        e.crossJoin(F.broadcast(cent1))
+        .select("vec_id", "cid", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    def dot(a):
+        return F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
+
+    return (
+        assign1.join(F.broadcast(cent1), "cid")
+        .groupBy("cid", "cv")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select("cid", "n_vectors", t6(F.sqrt(dot(F.col("cv")))).alias("centroid_norm"))
+        .orderBy("cid")
+    )
