@@ -104,7 +104,7 @@ ORDER BY operation_type
 """
 
 
-@register("cdc_op_stats", oracle=_CDC_STATS_ORACLE,
+@register("cdc_op_stats", oracle=_CDC_STATS_ORACLE, bench=True,
           doc="CDC operational summary: op counts and distinct documents "
               "per operation type")
 def cdc_op_stats(spark, sf_dir):

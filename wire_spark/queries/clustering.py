@@ -79,7 +79,7 @@ def _l2(a, b):
     )
 
 
-@register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE,
+@register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE, bench=True,
           doc="one Lloyd k-means round (8 seed centroids -> integer-exact "
               "means -> re-assign), cluster sizes + centroid norms")
 def kmeans_lloyd_round(spark, sf_dir):

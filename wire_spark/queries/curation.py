@@ -49,7 +49,7 @@ LIMIT 20
 """
 
 
-@register("decontamination_overlap", oracle=_DECONTAM_ORACLE,
+@register("decontamination_overlap", oracle=_DECONTAM_ORACLE, bench=True,
           doc="benchmark decontamination: 3-gram overlap of corpus docs "
               "against a held-out probe set, top-20 most contaminated")
 def decontamination_overlap(spark, sf_dir):
@@ -117,7 +117,7 @@ ORDER BY min(n_tokens)
 """
 
 
-@register("length_bucket_histogram", oracle=_LENBUCKET_ORACLE,
+@register("length_bucket_histogram", oracle=_LENBUCKET_ORACLE, bench=True,
           doc="token-length histogram in doubling buckets (sequence-length "
               "planning for packing/curriculum)")
 def length_bucket_histogram(spark, sf_dir):
@@ -166,7 +166,7 @@ ORDER BY bin
 """
 
 
-@register("sequence_packing_plan", oracle=_PACKING_ORACLE,
+@register("sequence_packing_plan", oracle=_PACKING_ORACLE, bench=True,
           doc="concat-and-chunk packing plan: docs into 2048-token context "
               "bins by running token count, with per-bin fill ratios")
 def sequence_packing_plan(spark, sf_dir):

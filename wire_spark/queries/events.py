@@ -254,7 +254,7 @@ SELECT
 """
 
 
-@register("events_funnel_conversion", oracle=_FUNNEL_ORACLE,
+@register("events_funnel_conversion", oracle=_FUNNEL_ORACLE, bench=True,
           doc="funnel: users converting click -> purchase within 1 hour")
 def events_funnel_conversion(spark, sf_dir):
     """Click->purchase conversion within an hour. The step join is an
@@ -317,7 +317,7 @@ ORDER BY cohort_week, week_n
 """
 
 
-@register("retention_cohorts", oracle=_RETENTION_ORACLE,
+@register("retention_cohorts", oracle=_RETENTION_ORACLE, bench=True,
           doc="weekly retention cohorts: signup week x weeks-since-signup "
               "distinct-user activity")
 def retention_cohorts(spark, sf_dir):

@@ -35,7 +35,7 @@ ORDER BY doc_id
 """
 
 
-@register("sample_hash_documents", oracle=_SAMPLE_ORACLE,
+@register("sample_hash_documents", oracle=_SAMPLE_ORACLE, bench=True,
           doc="deterministic 10% corpus sample: md5(doc_id) % 10 == 0")
 def sample_hash_documents(spark, sf_dir):
     """Reproducible 10% sample — the filter is a pure projection
@@ -76,7 +76,7 @@ ORDER BY lang, split
 """
 
 
-@register("train_val_test_split", oracle=_SPLIT_ORACLE,
+@register("train_val_test_split", oracle=_SPLIT_ORACLE, bench=True,
           doc="deterministic 80/10/10 train/val/test split by doc_id hash, "
               "counted per language")
 def train_val_test_split(spark, sf_dir):
@@ -121,7 +121,7 @@ ORDER BY rank
 """
 
 
-@register("token_zipf", oracle=_ZIPF_ORACLE,
+@register("token_zipf", oracle=_ZIPF_ORACLE, bench=True,
           doc="token rank-frequency (Zipf) profile: top-100 tokens with "
               "cumulative corpus share")
 def token_zipf(spark, sf_dir):

@@ -453,7 +453,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_quantize_int8", oracle=_QUANT_ORACLE,
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE, bench=True,
           doc="int8 symmetric quantization audit: per-vector scale and "
               "max reconstruction error")
 def embedding_quantize_int8(spark, sf_dir):
@@ -540,7 +540,7 @@ ORDER BY qid, rn
 """
 
 
-@register("ann_pq_adc", oracle=_pq_oracle(),
+@register("ann_pq_adc", oracle=_pq_oracle(), bench=True,
           doc="product-quantized ANN: 8x8-dim subspaces, 16 codewords each, "
               "asymmetric-distance top-5")
 def ann_pq_adc(spark, sf_dir):
