@@ -225,9 +225,10 @@ ORDER BY i.d1, i.d2
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, bench=True,
-          doc="MinHash-LSH near-dup: 24 perms, 6 bands x 4, exact verify")
-def dedup_minhash_lsh(spark, sf_dir):
+def _minhash_pairs(spark, sf_dir):
+    """Verified near-dup pairs (>= 0.8 Jaccard) from MinHash-LSH band
+    candidates — the scale-path edge generator shared by
+    dedup_minhash_lsh and dedup_components_lsh."""
     sh = _shingle_df(spark, sf_dir)
     perms = spark.range(24).select(F.col("id").cast("long").alias("p"))
     # One md5 per shingle; 24 permutations via Carter-Wegman-style
@@ -281,8 +282,13 @@ def dedup_minhash_lsh(spark, sf_dir):
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .filter(jac >= 0.8)
         .select("d1", "d2", t4(jac).alias("jaccard"))
-        .orderBy("d1", "d2")
     )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, bench=True,
+          doc="MinHash-LSH near-dup: 24 perms, 6 bands x 4, exact verify")
+def dedup_minhash_lsh(spark, sf_dir):
+    return _minhash_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------
@@ -732,6 +738,58 @@ def dedup_connected_components(spark, sf_dir):
     from wire_spark.operators.graph import connected_components
 
     pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    comps = connected_components(pairs, src="d1", dst="d2")
+    return (
+        comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# full near-dup clustering over LSH edges (the 100 TB variant)
+# --------------------------------------------------------------------
+
+_MINHASH_PAIRS_CTE = _MINHASH_ORACLE[: _MINHASH_ORACLE.index("SELECT i.d1")] + """
+, pairs AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8
+)
+"""
+
+_COMPONENTS_LSH_ORACLE = (_MINHASH_PAIRS_CTE + """
+, edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+  UNION SELECT d1, d1 FROM pairs
+  UNION SELECT d2, d2 FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component_id
+FROM reach GROUP BY a ORDER BY doc_id
+""").replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+
+
+@register("dedup_components_lsh", oracle=_COMPONENTS_LSH_ORACLE,
+          doc="transitive near-dup clustering over MinHash-LSH edges — "
+              "no exact shingle self-join anywhere in the pipeline")
+def dedup_components_lsh(spark, sf_dir):
+    """The end-to-end 100 TB clustering path: edges come from the
+    banded MinHash candidates (exact-verified on candidates only,
+    never an all-shingle self-join), closure from the same iterative
+    min-label propagation as dedup_connected_components. At every
+    stage the shuffle key is bounded (band signature, then vertex id)
+    — this is the variant to run when the exact-Jaccard edge
+    generator's sum(df^2) term is unaffordable even with the stop-
+    shingle cap."""
+    from wire_spark.operators.graph import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
     comps = connected_components(pairs, src="d1", dst="d2")
     return (
         comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
