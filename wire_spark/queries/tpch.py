@@ -329,3 +329,195 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Q4 shape: EXISTS subquery -> order-priority checking
+# --------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=_Q4_ORACLE, bench=True,
+          doc="Q4 shape: priority counts of orders with a late-shipping "
+              "line (EXISTS correlated subquery -> semi join)")
+def q4_priority_exists(spark, sf_dir):
+    """Catalyst goal: the EXISTS rewrites to a LeftSemi join on
+    l_orderkey with the date comparison as join condition — one
+    shuffle on the order key, no de-dup pass needed (semi join emits
+    each order once by construction). The adapted predicate uses
+    l_shipdate > o_orderdate (this schema has no commit/receipt
+    dates)."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Q12 shape: two-class conditional counts per group
+# --------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q12_priority_classes", oracle=_Q12_ORACLE, bench=True,
+          doc="Q12 shape: high/low-priority conditional counts per "
+              "return flag for late-shipped lines")
+def q12_priority_classes(spark, sf_dir):
+    """Conditional aggregation over a fact-fact join (shipmode is
+    absent from this schema; returnflag stands in as the class key).
+    Exact integer outputs; one shuffle on the order key, partial
+    aggregation on the tiny group key."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Q13: customer order-count distribution
+# --------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_ORACLE, bench=True,
+          doc="Q13: distribution of per-customer order counts "
+              "(left join preserving zero-order customers)")
+def q13_customer_distribution(spark, sf_dir):
+    """Two-level aggregation: count orders per customer (left join
+    keeps customers with zero orders — count(o_orderkey) ignores the
+    null), then histogram the counts. Shuffles: custkey, then the
+    tiny c_count key."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per part group, with exclusion
+# --------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+@register("q16_supplier_counts", oracle=_Q16_ORACLE, bench=True,
+          doc="Q16 shape: distinct suppliers per (brand, type) with a "
+              "brand exclusion (lineitem as the part-supplier relation)")
+def q16_supplier_counts(spark, sf_dir):
+    """The schema has no partsupp table; lineitem's (partkey, suppkey)
+    pairs are the observed part-supplier relation. Catalyst goals: the
+    brand exclusion pushes into the part scan; the distinct count
+    expands to a two-phase aggregate (partial on (brand,type,supp))."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Q17: small-quantity revenue with a per-part average threshold
+# --------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         sum(l_quantity) * 1.0 / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT floor(sum(floor(l_extendedprice * 10000.0)) / 10000.0 / 7.0 * 100.0) / 100.0
+         AS avg_yearly
+FROM lineitem JOIN pa ON pk = l_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE, bench=True,
+          doc="Q17: revenue of below-one-fifth-of-average-quantity lines "
+              "(correlated avg -> join on the grouped aggregate)")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (avg quantity per part) rewritten to
+    a join against the grouped aggregate — the decorrelation every
+    engine performs; cross-engine parity holds because avg_qty is an
+    exact-integer sum divided once, and the revenue sum goes through
+    the integer-domain msum before the final scalar division."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    joined = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    yearly = F.floor(
+        (F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0))) / F.lit(10000.0))
+        / F.lit(7.0) * F.lit(100.0)
+    ) / F.lit(100.0)
+    return joined.agg(yearly.alias("avg_yearly"))
