@@ -521,3 +521,310 @@ def q17_small_quantity_revenue(spark, sf_dir):
         / F.lit(7.0) * F.lit(100.0)
     ) / F.lit(100.0)
     return joined.agg(yearly.alias("avg_yearly"))
+
+
+# --------------------------------------------------------------------
+# Q8: national market share within a region, by year
+# --------------------------------------------------------------------
+
+_Q8_ORACLE = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) AS v,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1.0
+             / sum(v) * 10000.0) / 10000.0 AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, bench=True,
+          doc="Q8: NATION_3's share of ASIA-customer volume per year "
+              "(ratio of exact-integer volume sums)")
+def q8_market_share(spark, sf_dir):
+    """Both the numerator and denominator are integer-domain volume
+    sums (floor(x*1e4) addends — exact in any order), so the share is
+    one deterministic division per year. All dims broadcast; the only
+    fact shuffle is lineitem-orders."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    v = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)).cast("long")
+    vol = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rk"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"), v.alias("v"), "supp_nation")
+    )
+    share = F.floor(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0))
+        * F.lit(1.0) / F.sum("v") * F.lit(10000.0)
+    ) / F.lit(10000.0)
+    return vol.groupBy("o_year").agg(share.alias("mkt_share")).orderBy("o_year")
+
+
+# --------------------------------------------------------------------
+# Q9 shape: profit by supplier nation and year
+# --------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity * 0.1) * 10000.0) AS BIGINT))
+         / 10000.0 AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_profit_by_nation", oracle=_Q9_ORACLE, bench=True,
+          doc="Q9 shape: per-nation per-year profit (revenue minus a "
+              "retailprice-based cost; no partsupp in this schema)")
+def q9_profit_by_nation(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+        ) * F.lit(10000.0)
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(amount) / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q11 shape: important part value concentration (HAVING vs global sum)
+# --------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(floor(l_extendedprice * 10000.0) AS BIGINT)) AS val_i
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+), tot AS (SELECT sum(val_i) AS total_i FROM pv)
+SELECT pk AS l_partkey, val_i / 10000.0 AS part_value
+FROM pv, tot
+WHERE val_i * 5000 > total_i
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE, bench=True,
+          doc="Q11 shape: parts whose NATION_3-supplied value exceeds 0.02% "
+              "of the national total (integer-exact threshold)")
+def q11_important_parts(spark, sf_dir):
+    """The HAVING-vs-global-scalar pattern with an EXACT comparison:
+    val * 1000 > total compares two integers — no float threshold can
+    flip across engines. Scalar total broadcasts (1 row)."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    pv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("long")).alias("val_i"))
+    )
+    tot = pv.agg(F.sum("val_i").alias("total_i"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_i") * 5000 > F.col("total_i"))
+        .select("l_partkey", (F.col("val_i") / F.lit(10000.0)).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Q15: top supplier(s) by revenue (view + max)
+# --------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+           AS rev_i
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_i / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_i = (SELECT max(rev_i) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, bench=True,
+          doc="Q15: supplier(s) with maximum revenue (scalar-max "
+              "subquery over a revenue view, integer-exact)")
+def q15_top_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)).cast("long")
+        ).alias("rev_i")
+    )
+    mx = rev.agg(F.max("rev_i").alias("max_i"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_i") == F.col("max_i"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", (F.col("rev_i") / F.lit(10000.0)).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Q20 shape: suppliers of high-volume parts (nested semi-join chain)
+# --------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH heavy AS (
+  SELECT l_partkey, l_suppkey
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+  HAVING sum(l_quantity) > 60
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM heavy
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+)
+ORDER BY s_name, s_acctbal
+"""
+
+
+@register("q20_heavy_part_suppliers", oracle=_Q20_ORACLE, bench=True,
+          doc="Q20 shape: suppliers who moved > 60 units of a "
+              "'small%'-named part (nested IN -> semi-join chain)")
+def q20_heavy_part_suppliers(spark, sf_dir):
+    """Catalyst goal: both INs rewrite to LeftSemi joins — part filter
+    pushes into its scan, the quantity HAVING is a partial aggregate,
+    and supplier is only touched by the final semi join. Integer
+    quantities make the threshold exact."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(heavy.select("l_suppkey").distinct(),
+               F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------
+# Q21 shape: sole late supplier in multi-supplier orders
+# --------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate
+), multi AS (
+  SELECT l_orderkey
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+  GROUP BY l_orderkey HAVING count(*) > 1
+), sole_late AS (
+  SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+  FROM late
+  GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole_late
+JOIN multi USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_sole_late_supplier", oracle=_Q21_ORACLE, bench=True,
+          doc="Q21 shape: suppliers who were the ONLY late shipper in "
+              "multi-supplier orders (exists + not-exists composition)")
+def q21_sole_late_supplier(spark, sf_dir):
+    """The classic exists/not-exists pair expressed as two aggregates:
+    orders with exactly one late supplier (the not-exists: no OTHER
+    late supplier) intersected with orders having >1 supplier overall
+    (the exists). Shuffles stay on l_orderkey throughout — one
+    co-partitioning serves all three aggregations."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.select("l_orderkey", "l_suppkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(multi, "l_orderkey")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
