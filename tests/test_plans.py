@@ -97,3 +97,21 @@ def test_cdc_apply_shuffle_budget(spark, sf_dir):
     # argmax fold: one exchange on document_id, one for the order-by
     df = _df(spark, sf_dir, "cdc_apply_state")
     assert count_shuffles(df) <= 2
+
+
+def test_token_zipf_partial_topk(spark, sf_dir):
+    # the top-100 cut must be TakeOrderedAndProject (per-partition
+    # partial top-k) so the full distinct-token table never funnels
+    # through a single-partition row_number window
+    df = _df(spark, sf_dir, "token_zipf")
+    assert has_take_ordered(df)
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir):
+    # the prefix sum is two-pass (bucket totals + within-bucket
+    # window): the plan must contain no SinglePartition exchange —
+    # the one-task global running sum is exactly the 100 TB killer
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "sequence_packing_plan")
+    assert "Exchange SinglePartition" not in formatted_plan(df)

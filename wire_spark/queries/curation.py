@@ -166,6 +166,13 @@ ORDER BY bin
 """
 
 
+#: doc_ids per prefix-sum bucket (pass-1 granularity). At 100 TB pick
+#: this so one bucket's rows fit a task (e.g. 1e6); the pass-1
+#: aggregate is then n_docs / _PACK_BUCKET rows — small enough to
+#: cumsum on the driver (or cascade one more level if not).
+_PACK_BUCKET = 128
+
+
 @register("sequence_packing_plan", oracle=_PACKING_ORACLE, bench=True,
           doc="concat-and-chunk packing plan: docs into 2048-token context "
               "bins by running token count, with per-bin fill ratios")
@@ -173,17 +180,46 @@ def sequence_packing_plan(spark, sf_dir):
     """Deterministic packing plan: documents in doc_id order are
     concatenated and chunked into 2048-token context windows; a doc's
     bin is its running-sum prefix divided by the context length (the
-    streaming-concat packing every pretraining loader uses). One
-    window over a single global ordering — at 100 TB you run the same
-    plan per partition-range (doc_id ranges are the natural split) so
-    the window never needs a global sort; fill ratios audit padding
-    waste."""
+    streaming-concat packing every pretraining loader uses).
+
+    The global running sum is a DISTRIBUTED two-pass prefix sum — a
+    naive ``sum().over(W.orderBy(...))`` would move the whole corpus
+    through one task (Exchange SinglePartition; plan-asserted against
+    in tests/test_plans.py):
+
+    1. bucket docs by ``floor(doc_id / _PACK_BUCKET)`` (deterministic
+       order-preserving ranges, no sampling-based range partitioner
+       whose bounds could differ between passes);
+    2. aggregate per-bucket token totals (tiny: n_docs/_PACK_BUCKET
+       rows), cumsum them into per-bucket offsets on the driver;
+    3. broadcast-join the offsets back and window WITHIN each bucket
+       only — every partition does bounded work, no global sort.
+
+    Fill ratios audit padding waste."""
     d = T(spark, sf_dir, "documents")
-    lens = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
-    w = W.orderBy("doc_id")
-    planned = lens.withColumn(
-        "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)).cast("long"),
+    lens = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(_PACK_BUCKET)).cast("long").alias("bkt"),
+    )
+    # pass 1: per-bucket totals -> driver-side cumulative offsets
+    totals = lens.groupBy("bkt").agg(F.sum("n_tokens").alias("t")).orderBy("bkt").collect()
+    running, offsets = 0, []
+    for r in totals:
+        offsets.append((r["bkt"], running))
+        running += r["t"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "bkt long, bkt_offset long")
+    # pass 2: within-bucket running sum + broadcast bucket offset
+    w = W.partitionBy("bkt").orderBy("doc_id")
+    planned = (
+        lens.join(F.broadcast(off_df), "bkt")
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) + F.col("bkt_offset") - F.col("n_tokens"))
+                / F.lit(2048.0)
+            ).cast("long"),
+        )
     )
     return (
         planned.groupBy("bin")

@@ -138,9 +138,18 @@ def token_zipf(spark, sf_dir):
     total = freq.agg(F.sum("freq").alias("total"))
     from pyspark.sql import Window as W
 
-    ranked = freq.withColumn(
+    # Partial top-k FIRST: orderBy+limit compiles to
+    # TakeOrderedAndProject — each partition keeps its own top-100,
+    # only 100·n_partitions candidate rows reach the driver-side
+    # merge. The rank/cumulative windows then run over <=100
+    # survivor rows, where a single partition is the right plan.
+    # (A bare row_number() window over the full distinct-token table
+    # would funnel billions of rows through one task at 100 TB —
+    # plan-asserted against in tests/test_plans.py.)
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+    ranked = top.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token")))
-    ).filter(F.col("rank") <= 100)
+    )
     cum = F.sum("freq").over(W.orderBy("rank"))
     return (
         ranked.crossJoin(F.broadcast(total))
