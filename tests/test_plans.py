@@ -107,6 +107,16 @@ def test_token_zipf_partial_topk(spark, sf_dir):
     assert has_take_ordered(df)
 
 
+def test_funnel_joins_on_composite_time_bucket(spark, sf_dir):
+    # the click->purchase range join must carry the (user, hour)
+    # bucket in the equi-keys so one hot user can't go quadratic;
+    # the plan's join key lists must be 2-wide
+    from wire_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, sf_dir, "events_funnel_conversion"))
+    assert "Left keys [2]" in plan and "Right keys [2]" in plan
+
+
 def test_sequence_packing_no_global_window(spark, sf_dir):
     # the prefix sum is two-pass (bucket totals + within-bucket
     # window): the plan must contain no SinglePartition exchange —

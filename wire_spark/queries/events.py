@@ -257,21 +257,38 @@ SELECT
 @register("events_funnel_conversion", oracle=_FUNNEL_ORACLE, bench=True,
           doc="funnel: users converting click -> purchase within 1 hour")
 def events_funnel_conversion(spark, sf_dir):
-    """Click->purchase conversion within an hour. The step join is an
-    event-time range join per user — shuffled on user_id (bounded per
-    key), with the interval predicate as a join filter; at 100 TB add
-    a coarse time-bucket equi-key ((user, hour) and (user, hour+1))
-    to bound the per-key candidate set. Counts are exact integers,
-    the rate a single floor-truncated division."""
+    """Click->purchase conversion within an hour. The step join is a
+    BUCKETED event-time range join: a purchase within (t, t+1h] of a
+    click lives in the click's own hour bucket or the next one, so
+    each click is emitted under equi-keys (user, hour) and
+    (user, hour+1) and joined to purchases on the composite
+    (user, hour) key, with the exact interval predicate as a residual
+    filter. The candidate set per task is bounded by per-(user, hour)
+    density — a bot user with 10^6 clicks and 10^6 purchases spread
+    over a year no longer makes one join key quadratic. Counts are
+    exact integers, the rate a single floor-truncated division."""
     e = T(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    hour = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(3600)).cast("long")  # noqa: E731
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", hour("ts").alias("hb"))
+        # a click's 1-hour window spans at most its own and the next
+        # hour bucket: emit both equi-keys (2x click rows, not df^2)
+        .select(
+            "user_id", "ts",
+            F.explode(F.array(F.col("hb"), F.col("hb") + 1)).alias("jb"),
+        )
+    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        hour("ts").alias("p_hb"),
     )
     converted = (
         clicks.join(
             purchases,
             (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_hb") == F.col("jb"))
             & (F.col("p_ts") > F.col("ts"))
             & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
         )
