@@ -155,3 +155,23 @@ def test_execute_many_non_transactional_partial(kv):
     assert res[2].rows_affected == 1
     state = {r.key: r.value for r in kv.state().collect()}
     assert state["p"] == "1" and state["q"] == "2"
+
+
+def test_resolved_state_cached_one_resolve_per_epoch(kv):
+    # repeated point reads between writes must replay the log exactly
+    # once (the resolved-state cache), not once per GET
+    kv.execute("SET ck v1")
+    kv.execute("SET ck2 v2")
+    assert kv._n_resolves == 0
+    for _ in range(5):
+        assert kv.get("ck") == "v1"
+        assert kv.query("GET ck2").values == [["ck2", "v2"]]
+    assert kv._n_resolves == 1
+    kv.execute("SET ck v9")  # new epoch -> exactly one more resolve
+    assert kv.get("ck") == "v9"
+    assert kv.get("ck2") == "v2"
+    assert kv._n_resolves == 2
+    kv.execute("DELETE ck2")
+    assert kv.get("ck2") is None
+    assert kv.query("GET ck2").values == []
+    assert kv._n_resolves == 3

@@ -110,6 +110,13 @@ class KVStore:
         self._tail: list[Row] = []           # appends since last persist
         self._seq = 0
         self._lock = threading.Lock()
+        # Resolved-state cache for point reads: built at most once per
+        # append epoch (invalidated on every write), so N consecutive
+        # GETs cost one resolve_kv pass instead of N. Driver-resident
+        # by design — this store is control-plane-sized; bulk keyed
+        # lookups belong on the relational `kv_point_lookup` path.
+        self._resolved: dict[str, str | None] | None = None
+        self._n_resolves = 0  # observability: resolves per epoch (tested)
         if persist_path:
             try:
                 self._base = spark.read.schema(KV_SCHEMA).parquet(persist_path)
@@ -180,6 +187,7 @@ class KVStore:
                 self._tail.append(
                     Row(key=key, value=value, seq=self._seq, deleted=deleted)
                 )
+            self._resolved = None
         return [ExecuteResult(1)] * len(statements)
 
     def query(self, statement: str) -> QueryRows:
@@ -193,17 +201,9 @@ class KVStore:
         if len(tokens) != 2 or tokens[0].upper() != "GET":
             raise StatementError(f"expected 'GET <key>', got: {statement!r}")
         key = tokens[1]
-        rows = (
-            self.state()
-            .filter(F.col("key") == key)
-            .select("key", "value")
-            .collect()
-        )
-        return QueryRows(
-            columns=["key", "value"],
-            types=["text", "blob"],
-            values=[[r.key, r.value] for r in rows],
-        )
+        resolved = self._resolved_state()
+        values = [[key, resolved[key]]] if key in resolved else []
+        return QueryRows(columns=["key", "value"], types=["text", "blob"], values=values)
 
     # -- queued (async) writes ---------------------------------------
     # rqlite write queue analog (internal/http/service.go:369-382,
@@ -293,15 +293,32 @@ class KVStore:
         self._append(key, value, deleted=False)
 
     def get(self, key: str) -> str | None:
-        rows = self.state().filter(F.col("key") == key).select("value").collect()
-        return rows[0].value if rows else None
+        return self._resolved_state().get(key)
 
     # -- state ------------------------------------------------------
+
+    def _resolved_state(self) -> dict[str, str | None]:
+        """Live ``{key: value}`` snapshot, resolved at most once per
+        append epoch (every write clears it). Repeated point reads
+        between writes are dict lookups, not log replays."""
+        with self._lock:
+            if self._resolved is not None:
+                return self._resolved
+            epoch = self._seq
+        resolved = {r.key: r.value for r in self.state().collect()}
+        self._n_resolves += 1
+        with self._lock:
+            # another writer may have appended while we resolved —
+            # only install the snapshot if the epoch is unchanged
+            if self._seq == epoch:
+                self._resolved = resolved
+        return resolved
 
     def _append(self, key: str, value: str | None, deleted: bool) -> None:
         with self._lock:
             self._seq += 1
             self._tail.append(Row(key=key, value=value, seq=self._seq, deleted=deleted))
+            self._resolved = None
 
     def log_df(self) -> DataFrame:
         tail = self.spark.createDataFrame(self._tail or [], schema=KV_SCHEMA)
@@ -363,3 +380,6 @@ class KVStore:
                 ]
                 self._base = None
                 self._seq = len(self._tail)
+            # logical state is unchanged by compaction, but the seq
+            # epoch moved — drop the snapshot rather than reason about it
+            self._resolved = None
