@@ -39,3 +39,74 @@ def test_components_reliable_checkpoint_path(spark, tmp_path):
     # reliable checkpoint data actually landed in the directory
     import glob, os
     assert glob.glob(os.path.join(str(tmp_path / "ckpt"), "**"), recursive=True)
+
+
+def test_star_components_matches_label_prop(spark):
+    from wire_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1), (20, 20)], ["src", "dst"]
+    )
+    got = {r.id: r.comp for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5, 20: 20}
+
+
+def test_star_components_deep_path_logarithmic_rounds(spark):
+    """A path graph of depth >> 5: label propagation needs O(depth)
+    rounds; large-star/small-star must finish the same labeling well
+    inside a logarithmic round budget (max_iter=10 for 200 hops)."""
+    from wire_spark.operators.graph import connected_components_star
+
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = {r.id: r.comp for r in connected_components_star(edges, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_components_random_graphs_property(spark):
+    """Property: on seeded random graphs, star CC == brute-force
+    union-find ground truth."""
+    import random
+
+    from wire_spark.operators.graph import connected_components_star
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        # ground truth: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        seen = {v for e in edge_list for v in e}
+        truth = {v: find(v) for v in seen}
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+        got = {r.id: r.comp for r in connected_components_star(edges).collect()}
+        assert got == truth, f"seed={seed}"
+
+
+def test_star_components_restores_checkpoint_dir(spark, tmp_path):
+    """The checkpoint_dir argument must not clobber a caller-set
+    session checkpoint dir (ADVICE: global side effect)."""
+    from wire_spark.operators.graph import connected_components_star
+
+    prior = str(tmp_path / "caller_dir")
+    spark.sparkContext.setCheckpointDir(prior)
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    connected_components_star(edges, checkpoint_dir=str(tmp_path / "op_dir")).collect()
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    # spark appends a UUID subdir per setCheckpointDir call, so assert
+    # on the tree: back under the caller's dir, not the operator's
+    assert opt.isDefined()
+    assert "caller_dir" in opt.get() and "op_dir" not in opt.get()

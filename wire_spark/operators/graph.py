@@ -1,26 +1,57 @@
 """Iterative graph operators: connected components via min-label
-propagation.
+propagation, and via alternating large-star/small-star rounds.
 
 Needed for FULL near-duplicate clustering: pairwise dup edges form
 clusters only under transitive closure (a~b, b~c => {a,b,c}), which no
-single join can compute. The algorithm is the standard distributed
-label propagation: every vertex takes the min label among itself and
-its neighbors until fixpoint — O(diameter) rounds, each one
-shuffle-on-id.
+single join can compute. Two algorithms, same shuffle primitives:
 
-Scale notes: per round: one join (edges x labels, shuffle on id) +
-one min-aggregation. Lineage is truncated per round with
-localCheckpoint (on a cluster: checkpoint to storage) or the plan
-grows exponentially. Diameter of near-dup clusters is tiny (dup
-clusters are cliques-ish), so 3-5 rounds suffice in practice;
-large-diameter graphs want the large-star/small-star variant, same
-primitive shapes.
+- ``connected_components`` — min-label propagation: every vertex
+  takes the min label among itself and its neighbors until fixpoint.
+  O(diameter) rounds, one join + one min-agg per round. The right
+  choice for near-dup clusters (cliques-ish, diameter 2-3).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): pointer-doubling-style star collapses that converge in
+  O(log n) rounds INDEPENDENT of diameter — the scale path for
+  chain-shaped graphs (e.g. near-dup edges from sliding-window crawl
+  snapshots) where label propagation would need thousands of rounds.
+
+Scale notes: per round: one or two shuffles on vertex id. Lineage is
+truncated per round with localCheckpoint (on a cluster: reliable
+checkpoint to storage) or the plan grows exponentially.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _set_checkpoint_dir(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """Point the context at ``checkpoint_dir``, returning the previous
+    dir (or None) so callers can restore it — setCheckpointDir is a
+    session-global knob and operators must not clobber it silently."""
+    jsc_opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    prev = jsc_opt.get() if jsc_opt.isDefined() else None
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return prev
+
+
+def _round_persister(
+    spark: SparkSession, checkpoint_dir: str | None
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-round lineage truncation: reliable checkpoint when a dir is
+    given (survives executor loss — required on a real cluster), else
+    executor-local localCheckpoint (single-JVM runs)."""
+
+    def persist(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    return persist
 
 
 def connected_components(
@@ -39,42 +70,138 @@ def connected_components(
     RELIABLE ``df.checkpoint()`` into that directory (survives executor
     loss — required on a real cluster); when None, ``localCheckpoint``
     (executor-local, fine for single-JVM runs, lost on executor death).
+    Setting it repoints the session-global checkpoint dir for the
+    duration of the call; any previously-configured dir is restored
+    before returning.
     """
     spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _persist_round(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    sym = _persist_round(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    prev_dir = (
+        _set_checkpoint_dir(spark, checkpoint_dir) if checkpoint_dir is not None else None
     )
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    _persist_round = _round_persister(spark, checkpoint_dir)
+    try:
+        sym = _persist_round(
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+        )
+        labels = (
+            sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+        )
+        for _ in range(max_iter):
+            neighbor_labels = (
+                sym.join(labels, sym.b == labels.id)
+                .select(F.col("a").alias("id"), F.col("comp"))
+            )
+            new_labels = _persist_round(  # truncate lineage per round
+                labels.union(neighbor_labels)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        if prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al., SoCC'14): returns (id, comp) with
+    comp = min vertex id in the component, for every vertex appearing
+    in ``edges`` (self-loop-only vertices included, comp = id).
+
+    Each round halves-or-better the tree height, so convergence is
+    O(log n) rounds regardless of graph diameter — use this over
+    ``connected_components`` when components can be long chains.
+    Round shape: large-star = one symmetrize + groupBy(min) + join;
+    small-star = one groupBy(min) + join; both shuffle on vertex id
+    only, candidate sets bounded by vertex degree.
+
+    Vertex ids must be orderable (the component id is the min);
+    ``checkpoint_dir`` semantics match ``connected_components``.
+    """
+    spark = edges.sparkSession
+    prev_dir = (
+        _set_checkpoint_dir(spark, checkpoint_dir) if checkpoint_dir is not None else None
     )
-    for _ in range(max_iter):
-        neighbor_labels = (
-            sym.join(labels, sym.b == labels.id)
-            .select(F.col("a").alias("id"), F.col("comp"))
+    persist = _round_persister(spark, checkpoint_dir)
+    try:
+        verts = persist(
+            edges.select(F.col(src).alias("id"))
+            .union(edges.select(F.col(dst).alias("id")))
+            .distinct()
         )
-        new_labels = _persist_round(  # truncate lineage per round
-            labels.union(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        # canonical undirected edge list (u > v), self-loops dropped
+        e = persist(
+            edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        for _ in range(max_iter):
+            # large-star: every neighbor w > n links to min(N(n) ∪ {n})
+            sym = e.select("u", "v").union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: every neighbor w <= n links to min(N≤(n) ∪ {n})
+            canon = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+            joined = canon.join(mins2, "u")
+            small = (
+                joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(joined.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .select(
+                    F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+                )
+                .distinct()
+            )
+            new_e = persist(small)
+            changed = (
+                new_e.exceptAll(e).limit(1).count()
+                + e.exceptAll(new_e).limit(1).count()
+            )
+            e = new_e
+            if changed == 0:
+                break
+        # fixpoint: e is a union of stars (node -> component min)
+        labels = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
+        return (
+            verts.join(labels, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    finally:
+        if prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)
