@@ -77,12 +77,22 @@ def test_kafka_source_sink_factory_accept_config():
 # --------------------------------------------------------------------
 
 def _read_requests(directory: str):
+    """RecordingTransport file layout: url line, headers-json line,
+    then NDJSON body lines."""
     reqs = []
     for fname in sorted(os.listdir(directory)):
         with open(os.path.join(directory, fname)) as f:
             lines = f.read().splitlines()
-        reqs.append((lines[0], lines[1:]))
+        reqs.append((lines[0], lines[2:]))
     return reqs
+
+
+def _read_headers(directory: str):
+    headers = []
+    for fname in sorted(os.listdir(directory)):
+        with open(os.path.join(directory, fname)) as f:
+            headers.append(json.loads(f.read().splitlines()[1]))
+    return headers
 
 
 def test_es_sink_bulk_protocol(spark, tmp_path):
@@ -135,7 +145,29 @@ def test_es_sink_bulk_chunking(spark, tmp_path):
 def test_es_sink_missing_id_column_raises(spark):
     df = spark.createDataFrame([("x",)], ["name"])
     with pytest.raises(ValueError, match="_id"):
-        ElasticsearchSink(index="i", transport=lambda u, b: {}).write_batch(df)
+        ElasticsearchSink(index="i", transport=lambda u, b, h=None: {}).write_batch(df)
+
+
+def test_es_sink_api_key_authorization_header(spark, tmp_path):
+    """A configured api_key must reach the wire as an Authorization
+    header — the reference passes APIKey into its ES client config
+    (sinks/elasticsearch.go:35,46); without the header every bulk
+    write against a secured cluster fails 401."""
+    rec_dir = str(tmp_path / "reqs_auth")
+    os.makedirs(rec_dir)
+    df = spark.createDataFrame([("d1", 1)], ["_id", "v"]).repartition(1)
+    ElasticsearchSink(
+        index="i", api_key="c2VjcmV0", transport=RecordingTransport(rec_dir)
+    ).write_batch(df)
+    (headers,) = _read_headers(rec_dir)
+    assert headers["Authorization"] == "ApiKey c2VjcmV0"
+    assert headers["Content-Type"] == "application/x-ndjson"
+    # and no api_key -> no Authorization header at all
+    rec2 = str(tmp_path / "reqs_noauth")
+    os.makedirs(rec2)
+    ElasticsearchSink(index="i", transport=RecordingTransport(rec2)).write_batch(df)
+    (h2,) = _read_headers(rec2)
+    assert "Authorization" not in h2
 
 
 def test_es_sink_streaming_foreach_batch(spark, tmp_path):
@@ -270,6 +302,77 @@ def test_redis_sink_pipelined_sets(spark, tmp_path):
     assert blobs.count(b"*3\r\n$3\r\nSET\r\n") == 3
     assert b"doc:a" in blobs and b"doc:c" in blobs
     assert b'{"_id":"a","n":1}' in blobs
+
+
+def test_resp_command_count_immune_to_lookalike_bytes():
+    """Command counting must walk RESP framing: a VALUE containing the
+    literal b'*3\\r\\n' must not inflate the expected reply count."""
+    from wire_spark.sinks.kv_sinks import count_resp_commands, encode_resp_set
+
+    payload = encode_resp_set("k1", "evil *3\r\n$3\r\nSET\r\n value") + \
+        encode_resp_set("k2", "plain")
+    assert count_resp_commands(payload) == 2
+    assert payload.count(b"*3\r\n") == 3  # the naive count would hang the recv loop
+
+
+def test_resp_reply_parser_counts_and_errors():
+    from wire_spark.sinks.kv_sinks import parse_resp_replies
+
+    done, ok, errs, rest = parse_resp_replies(
+        b"+OK\r\n-ERR wrong type\r\n:1\r\n$2\r\nhi\r\n$-1\r\n+OK"
+    )
+    assert (done, ok) == (5, 4)
+    assert errs == ["ERR wrong type"]
+    assert rest == b"+OK"  # partial reply preserved for the next recv
+
+
+def test_socket_transport_against_fake_redis():
+    """End-to-end over a real socket: a fake Redis acks each framed
+    command; error replies raise with context instead of hanging."""
+    import socket
+    import threading
+
+    from wire_spark.sinks.kv_sinks import (
+        count_resp_commands,
+        encode_resp_set,
+        socket_transport,
+    )
+
+    def serve(listener, replies):
+        conn, _ = listener.accept()
+        with conn:
+            buf = b""
+            expected = None
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    return
+                buf += chunk
+                try:
+                    expected = count_resp_commands(buf)
+                except (ValueError, IndexError):
+                    continue  # partial frame
+                conn.sendall(b"".join(replies(expected)))
+                return
+
+    def run(payload, replies):
+        listener = socket.socket()
+        listener.bind(("127.0.0.1", 0))
+        listener.listen(1)
+        port = listener.getsockname()[1]
+        t = threading.Thread(target=serve, args=(listener, replies), daemon=True)
+        t.start()
+        try:
+            return socket_transport("127.0.0.1", port, payload)
+        finally:
+            t.join(timeout=10)
+            listener.close()
+
+    payload = encode_resp_set("a", "has *3\r\n inside") + encode_resp_set("b", "v")
+    assert run(payload, lambda n: [b"+OK\r\n"] * n) == 2
+
+    with pytest.raises(RuntimeError, match="rejected 1/2.*READONLY"):
+        run(payload, lambda n: [b"+OK\r\n", b"-READONLY replica\r\n"])
 
 
 def test_s3_sink_config_mapping(spark, tmp_path):

@@ -101,6 +101,16 @@ def salted_join(
 
     Only inner/left-side joins are supported: right/full outer would
     emit every unmatched small-side row once per salt replica.
+
+    Limitation: the salt is a hash of the big side's own columns so it
+    is deterministic under task retry — but rows that are FULLY
+    identical (repeated default/null records, a common skew shape)
+    hash to the same bucket and are NOT rebalanced. Indistinguishable
+    rows cannot be split deterministically without an order-dependent
+    id (rand()/monotonically_increasing_id are retry-unsafe mid-join).
+    For identical-row skew use AQE's skew-join instead
+    (spark.sql.adaptive.skewJoin.enabled) — it splits by partition
+    byte size, not key content, so it handles that case.
     """
     if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
                    "leftsemi", "left_anti", "leftanti"):

@@ -30,18 +30,19 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: transport(url, ndjson_body_str) -> response dict (ES _bulk shape)
-Transport = Callable[[str, str], dict]
+#: transport(url, ndjson_body_str, headers) -> response dict (_bulk shape)
+Transport = Callable[[str, str, dict], dict]
 
 
-def http_transport(url: str, body: str) -> dict:
-    """Default transport: POST NDJSON to the ES bulk endpoint."""
+def http_transport(url: str, body: str, headers: dict | None = None) -> dict:
+    """Default transport: POST NDJSON to the ES bulk endpoint with the
+    sink-supplied headers (Content-Type + optional ApiKey auth)."""
     import urllib.request
 
     req = urllib.request.Request(
         url,
         data=body.encode("utf-8"),
-        headers={"Content-Type": "application/x-ndjson"},
+        headers=headers or {"Content-Type": "application/x-ndjson"},
         method="POST",
     )
     with urllib.request.urlopen(req) as resp:  # noqa: S310 (caller-supplied URL)
@@ -58,7 +59,7 @@ class RecordingTransport:
     def __init__(self, directory: str):
         self.directory = directory
 
-    def __call__(self, url: str, body: str) -> dict:
+    def __call__(self, url: str, body: str, headers: dict | None = None) -> dict:
         import os
 
         fname = os.path.join(
@@ -66,6 +67,7 @@ class RecordingTransport:
         )
         with open(fname, "w") as f:
             f.write(url + "\n")
+            f.write(json.dumps(headers or {}) + "\n")
             f.write(body)
         return {"errors": False, "items": []}
 
@@ -108,6 +110,11 @@ class ElasticsearchSink:
         index, bulk_size = self.index, self.bulk_size
         transport = self.transport or http_transport
         url = self._bulk_url()
+        # auth travels as a pre-built header set — the reference passes
+        # APIKey into its ES client config (elasticsearch.go:35,46)
+        headers = {"Content-Type": "application/x-ndjson"}
+        if self.api_key:
+            headers["Authorization"] = f"ApiKey {self.api_key}"
 
         def send(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -123,11 +130,11 @@ class ElasticsearchSink:
                     )
                     actions.append(body)
                     if len(actions) >= 2 * bulk_size:
-                        transport(url, "\n".join(actions) + "\n")
+                        transport(url, "\n".join(actions) + "\n", headers)
                         sent += len(actions) // 2
                         actions = []
             if actions:
-                transport(url, "\n".join(actions) + "\n")
+                transport(url, "\n".join(actions) + "\n", headers)
                 sent += len(actions) // 2
             yield pd.DataFrame({"sent": [sent]})
 

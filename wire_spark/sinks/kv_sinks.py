@@ -40,21 +40,96 @@ def encode_resp_set(key: str, value: str) -> bytes:
     )
 
 
+def count_resp_commands(payload: bytes) -> int:
+    """Count top-level commands by walking the RESP framing itself
+    (array headers + length-prefixed bulk strings) — immune to key or
+    value bytes that happen to contain the literal ``*3\\r\\n``."""
+    i, n, size = 0, 0, len(payload)
+    while i < size:
+        if payload[i : i + 1] != b"*":
+            raise ValueError(f"malformed RESP command frame at byte {i}")
+        j = payload.index(b"\r\n", i)
+        n_items = int(payload[i + 1 : j])
+        i = j + 2
+        for _ in range(n_items):
+            if payload[i : i + 1] != b"$":
+                raise ValueError(f"expected bulk string at byte {i}")
+            j = payload.index(b"\r\n", i)
+            i = j + 2 + int(payload[i + 1 : j]) + 2  # skip declared bytes + CRLF
+        n += 1
+    return n
+
+
+def parse_resp_replies(buf: bytes) -> tuple[int, int, list[str], bytes]:
+    """Parse complete RESP replies from ``buf``.
+
+    Returns ``(n_complete, n_ok, errors, rest)``: total complete
+    replies consumed, how many were non-error (+simple/:int/$bulk),
+    the error-reply messages, and the unconsumed tail (a partial
+    reply awaiting more bytes).
+    """
+    i, n_complete, n_ok = 0, 0, 0
+    errors: list[str] = []
+    size = len(buf)
+    while i < size:
+        t = buf[i : i + 1]
+        j = buf.find(b"\r\n", i)
+        if j < 0:
+            break  # partial reply — need more bytes
+        if t in (b"+", b":"):
+            n_ok += 1
+            i = j + 2
+        elif t == b"-":
+            errors.append(buf[i + 1 : j].decode("utf-8", "replace"))
+            i = j + 2
+        elif t == b"$":
+            blen = int(buf[i + 1 : j])
+            if blen == -1:
+                n_ok += 1
+                i = j + 2
+            else:
+                end = j + 2 + blen + 2
+                if size < end:
+                    break
+                n_ok += 1
+                i = end
+        else:
+            raise ValueError(f"unexpected RESP reply type {t!r} at byte {i}")
+        n_complete += 1
+    return n_complete, n_ok, errors, buf[i:]
+
+
 def socket_transport(host: str, port: int, payload: bytes) -> int:
-    """Default transport: one pipelined TCP round-trip; counts +OK acks."""
+    """Default transport: one pipelined TCP round-trip.
+
+    Replies are parsed as real RESP (not substring-counted), so
+    values containing protocol-lookalike bytes cannot skew the
+    expected count, and ``-ERR`` replies fail fast with context
+    instead of blocking the task until the socket timeout.
+    """
     import socket
 
-    n_cmds = payload.count(b"*3\r\n")
+    n_cmds = count_resp_commands(payload)
     with socket.create_connection((host, port), timeout=30) as s:
         s.sendall(payload)
-        acked = 0
+        replied, acked = 0, 0
+        errors: list[str] = []
         buf = b""
-        while acked < n_cmds:
+        while replied < n_cmds:
             chunk = s.recv(65536)
             if not chunk:
-                break
+                break  # server closed early; report what we got
             buf += chunk
-            acked = buf.count(b"+OK\r\n")
+            done, ok, errs, buf = parse_resp_replies(buf)
+            replied += done
+            acked += ok
+            errors.extend(errs)
+        if errors:
+            shown = "; ".join(errors[:3])
+            raise RuntimeError(
+                f"redis rejected {len(errors)}/{n_cmds} commands "
+                f"(first errors: {shown})"
+            )
         return acked
 
 
@@ -74,7 +149,7 @@ class RespRecordingTransport:
         )
         with open(fname, "wb") as f:
             f.write(payload)
-        return payload.count(b"*3\r\n")
+        return count_resp_commands(payload)
 
 
 @dataclass

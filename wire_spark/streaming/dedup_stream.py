@@ -53,26 +53,21 @@ def minhash_bands(
     as per-row ``array_min(transform(shingles, ...))`` so no groupBy
     is needed — stream-safe and window-free.
     """
-    md5c = F.md5(F.col("s"))
-    h1 = F.conv(F.substring(md5c, 1, 12), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5c, 13, 12), 16, 10).cast("long")
+    def perm_hash(s, p: int):
+        # (h1 + p*h2) mod prime over the shingle's md5 halves — the
+        # exact batch-minhash arithmetic (queries/dedup.py)
+        md5c = F.md5(s)
+        h1 = F.conv(F.substring(md5c, 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5c, 13, 12), 16, 10).cast("long")
+        return (h1 + F.lit(p) * h2) % F.lit(_PRIME)
+
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(text_col, 3).alias("__sh"),
     )
     mins = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"),
-                    lambda s: (
-                        F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
-                        + F.lit(p)
-                        * F.conv(F.substring(F.md5(s), 13, 12), 16, 10).cast("long")
-                    )
-                    % F.lit(_PRIME),
-                )
-            )
+            F.array_min(F.transform(F.col("__sh"), lambda s, p=p: perm_hash(s, p)))
             for p in range(n_perm)
         ]
     )
