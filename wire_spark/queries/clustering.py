@@ -23,7 +23,10 @@ from wire_spark.queries._util import T, t6
 _K = 8
 _DIM = 64
 
-_LLOYD_ORACLE = f"""
+#: CTE chain producing one-Lloyd-round refined centroids ``cent1``
+#: (bit-identical across engines — integer-exact dimension means).
+#: Shared with similarity.py's Lloyd-refined IVF index.
+LLOYD_CENT1_CTE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
 assign0 AS (
@@ -48,7 +51,9 @@ sums AS (
 cent1 AS (
   SELECT cid, list(s * 1.0 / (n * 1000000.0) ORDER BY d) AS cv
   FROM sums GROUP BY cid
-),
+)"""
+
+_LLOYD_ORACLE = LLOYD_CENT1_CTE + """,
 assign1 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, cent1.cid,
@@ -79,10 +84,12 @@ def _l2(a, b):
     )
 
 
-@register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE, bench=True,
-          doc="one Lloyd k-means round (8 seed centroids -> integer-exact "
-              "means -> re-assign), cluster sizes + centroid norms")
-def kmeans_lloyd_round(spark, sf_dir):
+def lloyd_cent1(spark, sf_dir):
+    """(cid, cv) refined centroids after one Lloyd round from the
+    ``vec_id < _K`` seeds — euclidean assignment, integer-exact
+    per-dimension means (bit-identical to ``LLOYD_CENT1_CTE``).
+    Reused by similarity.py's Lloyd-refined IVF index. One shuffle
+    (the dimension-sum agg); assignment is a broadcast pass."""
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -106,7 +113,7 @@ def kmeans_lloyd_round(spark, sf_dir):
         F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    cent1 = (
+    return (
         sums.select(
             "cid",
             F.struct("d", (F.col("s") * F.lit(1.0) / (F.col("n") * F.lit(1000000.0))).alias("m")).alias("dm"),
@@ -116,6 +123,16 @@ def kmeans_lloyd_round(spark, sf_dir):
             F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias("cv")
         )
     )
+
+
+@register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE, bench=True,
+          doc="one Lloyd k-means round (8 seed centroids -> integer-exact "
+              "means -> re-assign), cluster sizes + centroid norms")
+def kmeans_lloyd_round(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent1 = lloyd_cent1(spark, sf_dir)
     w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
     assign1 = (
         e.crossJoin(F.broadcast(cent1))

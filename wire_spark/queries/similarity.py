@@ -200,6 +200,121 @@ def ann_ivf_cosine(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# IVF over Lloyd-refined centroids (train the index, then search it)
+# --------------------------------------------------------------------
+
+def _ivf_lloyd_oracle() -> str:
+    from wire_spark.queries.clustering import LLOYD_CENT1_CTE
+
+    cos_cent = """floor(list_dot_product({a}.{av}, cent1.cv)
+         / (sqrt(list_dot_product({a}.{av}, {a}.{av}))
+            * sqrt(list_dot_product(cent1.cv, cent1.cv)))
+         * 1000000.0) / 1000000.0"""
+    return LLOYD_CENT1_CTE + f""",
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent1.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_cent.format(a='e', av='v')} DESC, cent1.cid) AS rn
+    FROM e CROSS JOIN cent1
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cent1.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {cos_cent.format(a='q', av='qv')} DESC, cent1.cid) AS rn
+    FROM q CROSS JOIN cent1
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.qid, q.qv, e.vec_id AS nid, e.v
+  FROM probes p
+  JOIN q ON q.qid = p.qid
+  JOIN assign a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id != q.qid
+)
+SELECT qid, nid, sim, rn FROM (
+  SELECT qid, nid,
+         floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 AS sim,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               * 1000000.0) / 1000000.0 DESC,
+             nid) AS rn
+  FROM cand
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("ann_ivf_lloyd_cosine", oracle=_ivf_lloyd_oracle(), bench=True,
+          doc="IVF top-5 over Lloyd-refined centroids: one k-means round "
+              "trains the index, probes search it")
+def ann_ivf_lloyd_cosine(spark, sf_dir):
+    """The full train-then-search ANN pipeline: seed centroids are
+    refined by one integer-exact Lloyd round (clustering.lloyd_cent1 —
+    bit-identical across engines), vectors are assigned to the
+    refined cells, and each query probes its top-2 cells. Refined
+    centroids track the data distribution, so cells are better
+    balanced than raw seed rows — at 100 TB that evens out per-cell
+    scan cost and improves recall at the same probe count. Same scale
+    shape as ann_ivf_cosine: centroids broadcast everywhere, the
+    vector table never shuffles for the index, candidates shuffle on
+    cell id only. More Lloyd rounds = repeat the refinement block."""
+    from wire_spark.queries.clustering import lloyd_cent1
+
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    cent = lloyd_cent1(spark, sf_dir).withColumn(
+        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    sim_c = t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    w_probe = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "qn",
+                t6(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
+                "cid")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "qv", "qn", "cid")
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "qn", F.col("vec_id").alias("nid"), "v", "nrm")
+    )
+    w_top = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        cand.select("qid", "nid",
+                    t6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+# --------------------------------------------------------------------
 # vector stats
 # --------------------------------------------------------------------
 
