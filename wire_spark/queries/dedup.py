@@ -795,3 +795,110 @@ def dedup_components_lsh(spark, sf_dir):
         comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
         .orderBy("doc_id")
     )
+
+_COMPONENTS_STAR_ORACLE = _COMPONENTS_LSH_ORACLE
+
+
+@register("dedup_components_star", oracle=_COMPONENTS_STAR_ORACLE,
+          doc="near-dup clustering via large-star/small-star CC over "
+              "MinHash-LSH edges (O(log n) rounds, diameter-independent)")
+def dedup_components_star(spark, sf_dir):
+    """Same LSH-edge clustering as dedup_components_lsh but closed
+    with the large-star/small-star algorithm
+    (operators/graph.py:connected_components_star) instead of label
+    propagation: O(log n) rounds independent of component diameter.
+    Use when dup clusters can be chain-shaped (rolling crawl
+    snapshots, near-identical revisions) rather than cliques — label
+    propagation's O(diameter) round count is the bottleneck there.
+    The oracle (recursive-CTE closure) is shared: both algorithms
+    must produce the identical min-id labeling."""
+    from wire_spark.operators.graph import connected_components_star
+
+    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    comps = connected_components_star(pairs, src="d1", dst="d2")
+    return (
+        comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+# --------------------------------------------------------------------
+# winnowing fingerprints (MOSS): positional k-gram hashes -> window
+# minima -> cross-doc overlap
+# --------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         [ CAST(CONCAT('0x', SUBSTRING(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15)) AS BIGINT)
+           for i in range(1, len(words) - 1) ] AS hs
+  FROM w
+), fp AS (
+  SELECT DISTINCT doc_id,
+         unnest([ list_min(hs[i:i+3]) for i in range(1, len(hs) - 2) ]) AS fp
+  FROM sh WHERE len(hs) >= 4
+), capped AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
+), fpc AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN capped USING (fp)
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_shared FROM pairs
+ORDER BY n_shared DESC, d1, d2
+LIMIT 20
+"""
+
+
+@register("dedup_winnowing_overlap", oracle=_WINNOW_ORACLE, bench=True,
+          doc="winnowing (MOSS) fingerprint overlap: window-min of "
+              "positional 3-gram hashes, top-20 overlapping doc pairs")
+def dedup_winnowing_overlap(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every POSITIONAL word 3-gram, slide a
+    4-hash window, keep each window's minimum — guaranteeing any
+    shared run of >= 6 words shares a fingerprint while storing only
+    ~2/(w+1) of the hashes. Overlap = count of shared selected
+    fingerprints per doc pair.
+
+    Scale shape: fingerprint extraction is a pure projection (HOFs,
+    no shuffle); the pair join is an equi-join on fingerprint with a
+    df cap (fps in > 100 docs are boilerplate, dropped — same
+    Σmin(df,cap)² bound as the capped-Jaccard join); top-20 is
+    TakeOrdered."""
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    # positional (NOT distinct) 3-gram hashes
+    hs = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, 3))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") >= 4)
+    )
+    m = F.size("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), m - 3), lambda i: F.array_min(F.slice("hs", i, 4))
+    )
+    fp = (
+        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+    capped = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    fpc = fp.join(capped.select("fp"), "fp")
+    a = fpc.select(F.col("doc_id").alias("d1"), "fp")
+    b = fpc.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "d1", "d2")
+        .limit(20)
+    )
