@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long, t4, word_shingles
+from wire_spark.queries._util import T, md5_long, t4, t6, word_shingles
 
 # --------------------------------------------------------------------
 # exact dedup: hash-groupBy
@@ -901,4 +901,76 @@ def dedup_winnowing_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.desc("n_shared"), "d1", "d2")
         .limit(20)
+    )
+
+# --------------------------------------------------------------------
+# cross-modal consistency: text near-dups vs their embedding cosine
+# --------------------------------------------------------------------
+
+_CROSSMODAL_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2,
+         floor(i * 1.0 / (s1.n + s2.n - i) * 10000.0) / 10000.0 AS jaccard
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT p.d1, p.d2, p.jaccard,
+       floor(list_dot_product(e1.v, e2.v)
+             / (sqrt(list_dot_product(e1.v, e1.v))
+                * sqrt(list_dot_product(e2.v, e2.v)))
+             * 1000000.0) / 1000000.0 AS cos_sim,
+       floor(list_dot_product(e1.v, e2.v)
+             / (sqrt(list_dot_product(e1.v, e1.v))
+                * sqrt(list_dot_product(e2.v, e2.v)))
+             * 1000000.0) / 1000000.0 < 0.9 AS modality_disagree
+FROM pairs p
+JOIN e e1 ON e1.vec_id = p.d1
+JOIN e e2 ON e2.vec_id = p.d2
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_crossmodal_audit", oracle=_CROSSMODAL_ORACLE,
+          doc="cross-modal dup audit: >=0.8-Jaccard text pairs joined to "
+              "their embedding cosine; flags modality disagreement")
+def dedup_crossmodal_audit(spark, sf_dir):
+    """Pipeline-quality audit joining two dup signals: pairs the text
+    layer calls near-duplicates (>=0.8 shingle Jaccard) annotated
+    with the embedding cosine of the same pair. Disagreement (text
+    says dup, embeddings say < 0.9 cosine) indicates a stale/buggy
+    embedding run or templated text with divergent semantics — the
+    audit every multimodal corpus needs before trusting either signal
+    for deletion. Scale shape: the pair list is tiny next to the
+    vector table, so both embedding lookups are broadcast-able point
+    equi-joins on vec_id; no new all-pairs work anywhere."""
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8)
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y),
+                               F.lit(0.0), lambda a, b: a + b)),
+        )
+    )
+    e1 = e.select(F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    e2 = e.select(F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    return (
+        pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .withColumn("cos_sim", t6(dot / (F.col("n1") * F.col("n2"))))
+        .select(
+            "d1", "d2", "jaccard", "cos_sim",
+            (F.col("cos_sim") < 0.9).alias("modality_disagree"),
+        )
+        .orderBy("d1", "d2")
     )
