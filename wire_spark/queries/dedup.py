@@ -887,11 +887,17 @@ def dedup_winnowing_overlap(spark, sf_dir):
     wins = F.transform(
         F.sequence(F.lit(1), m - 3), lambda i: F.array_min(F.slice("hs", i, 4))
     )
-    fp = (
+    # df cap as a window count over the same fp key the join shuffles
+    # on (exchange reuse, no extra shuffle — the _jaccard_pairs
+    # pattern); cached because the md5-per-position extraction feeds
+    # BOTH sides of the self-join and would otherwise recompute
+    fpc = (
         d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("df") <= 100)
+        .drop("df")
+        .cache()
     )
-    capped = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
-    fpc = fp.join(capped.select("fp"), "fp")
     a = fpc.select(F.col("doc_id").alias("d1"), "fp")
     b = fpc.select(F.col("doc_id").alias("d2"), "fp")
     return (

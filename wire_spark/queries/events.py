@@ -370,3 +370,73 @@ def retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_n")
     )
+
+
+# --------------------------------------------------------------------
+# anomaly detection: hourly event-count z-scores per event type
+# --------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hc AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, count(*) AS n, sum(c) AS sx, sum(c * c) AS sx2
+  FROM hc GROUP BY 1
+)
+SELECT hc.event_type, hr, c,
+       floor((c - sx * 1.0 / n)
+             / sqrt((n * sx2 - sx * sx) * 1.0 / (n * n))
+             * 10000.0) / 10000.0 AS z
+FROM hc JOIN st USING (event_type)
+WHERE n > 1 AND (n * sx2 - sx * sx) > 0
+  AND abs(floor((c - sx * 1.0 / n)
+                / sqrt((n * sx2 - sx * sx) * 1.0 / (n * n))
+                * 10000.0) / 10000.0) >= 1.0
+ORDER BY event_type, hr
+"""
+
+
+@register("events_hourly_anomaly", oracle=_ANOMALY_ORACLE, bench=True,
+          doc="hourly event-count anomalies: |z| >= 1 per event type, "
+              "exact-integer variance arithmetic")
+def events_hourly_anomaly(spark, sf_dir):
+    """Traffic anomaly detection: hours whose event count deviates
+    >= 1 sigma from that event type's hourly mean. The variance is
+    computed from exact integer moments (n, Σx, Σx²) so the z-score
+    is the identical IEEE expression on both engines (no stddev
+    builtin — those differ in summation order); output floored at
+    4 dp. Scale shape: one shuffle for hourly counts, one tiny
+    aggregate per event type broadcast back — the per-type stats
+    table has one row per event type regardless of corpus size."""
+    e = T(spark, sf_dir, "events")
+    hc = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sx2"),
+    )
+    z = (F.col("c") - F.col("sx") * F.lit(1.0) / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.lit(1.0) / (F.col("n") * F.col("n"))
+    )
+    zt = F.floor(z * F.lit(10000.0)) / F.lit(10000.0)
+    return (
+        hc.join(F.broadcast(st), "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & ((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) > 0)
+        )
+        .withColumn("z", zt)
+        .filter(F.abs(F.col("z")) >= 1.0)
+        .select("event_type", "hr", "c", "z")
+        .orderBy("event_type", "hr")
+    )
