@@ -224,3 +224,72 @@ def text_repetition_ratio(spark, sf_dir):
         .orderBy(F.asc("distinct_ratio"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------
+# unigram log-probability quality score (perplexity proxy)
+# --------------------------------------------------------------------
+
+_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
+uni AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+tot AS (SELECT count(*) AS t FROM tok2),
+scored AS (
+  SELECT tok2.doc_id,
+         CAST(floor(ln(uni.c * 1.0 / tot.t) * 1000000.0) AS BIGINT) AS lp6
+  FROM tok2 JOIN uni USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       floor(sum(lp6) * 1.0 / count(*) / 1000000.0 * 10000.0) / 10000.0
+         AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 30
+"""
+
+
+@register("text_unigram_logprob", oracle=_LOGPROB_ORACLE, bench=True,
+          doc="unigram log-probability quality score (perplexity proxy): "
+              "30 most 'surprising' documents under the corpus model")
+def text_unigram_logprob(spark, sf_dir):
+    """Language-model quality proxy: each document scored by the mean
+    log-probability of its tokens under the corpus unigram
+    distribution — the cheap stand-in for the KenLM perplexity filter
+    every pretraining pipeline runs. Low scores flag gibberish or
+    out-of-domain text.
+
+    Cross-engine determinism: each token's ln(c/T) addend is floored
+    in integer micro-units BEFORE summation (the msum pattern), so
+    the per-doc sum is an exact integer in any order; one division
+    at the end. Scale shape: unigram counts shuffle on token once,
+    the vocabulary-sized model broadcasts back, the per-doc fold
+    shuffles on doc_id once; top-30 via TakeOrdered."""
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    lp6 = F.floor(
+        F.log(F.col("c") * F.lit(1.0) / F.col("t")) * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp6.alias("lp6"))
+    )
+    avg = F.floor(
+        F.sum("lp6") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0) * F.lit(10000.0)
+    ) / F.lit(10000.0)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), avg.alias("avg_logprob"))
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(30)
+    )
