@@ -125,3 +125,30 @@ def test_sequence_packing_no_global_window(spark, sf_dir):
 
     df = _df(spark, sf_dir, "sequence_packing_plan")
     assert "Exchange SinglePartition" not in formatted_plan(df)
+
+
+def test_tfidf_broadcasts_vocabulary_model(spark, sf_dir):
+    # the df (vocabulary) side must broadcast — the doc-side tf table
+    # must not reshuffle for the scoring join
+    df = _df(spark, sf_dir, "text_tfidf_top_terms")
+    assert has_broadcast_join(df)
+
+
+def test_unigram_logprob_broadcasts_model(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_unigram_logprob")
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)  # top-30 partial, no global sort
+
+
+def test_collocations_takeordered_and_broadcast_margins(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_collocations_lift")
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_anomaly_shuffle_budget(spark, sf_dir):
+    # hourly counts (1 shuffle) + per-type stats (tiny agg) broadcast
+    # back + final sort: the event table itself shuffles once
+    df = _df(spark, sf_dir, "events_hourly_anomaly")
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 4
