@@ -311,3 +311,62 @@ def test_streaming_bands_agree_with_batch_lsh(spark, sf_dir):
     assert batch_pairs  # non-vacuous
     for d1, d2 in batch_pairs:
         assert any(d1 in mem and d2 in mem for mem in buckets.values()), (d1, d2)
+
+
+def test_streaming_anomaly_scores_moment_parity(spark, tmp_path):
+    """Streaming z-scores: per-type running moments fold hourly counts
+    across micro-batches; scored-before-folded semantics; and after
+    draining the stream the state moments equal the exact batch
+    moments (integer arithmetic — bit-for-bit)."""
+    from wire_spark.streaming.anomaly_stream import anomaly_scores
+
+    src = str(tmp_path / "anom_in")
+    # batch 1: three hours of 'click' history; batch 2: a spike hour
+    _write_jsonl(os.path.join(src, "b1.json"), [
+        {"event_type": "click", "ts": f"2024-03-01T{h:02d}:{m:02d}:00"}
+        for h, n in ((10, 4), (11, 5), (12, 4)) for m in range(n)
+    ])
+    stream = _file_stream(spark, src).select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    q = (
+        anomaly_scores(stream)
+        .writeStream.format("memory").queryName("anom")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    first = {r.hr: r for r in spark.sql("SELECT * FROM anom").collect()}
+    assert len(first) == 3
+    # within one batch, hours fold in ascending order: n_hist = 0,1,2
+    assert [first[h].n_hist for h in sorted(first)] == [0, 1, 2]
+    hrs = sorted(first)
+    # first two hours: history too short (n < 2) -> unscored
+    assert first[hrs[0]].z is None and first[hrs[1]].z is None
+    # third hour scored against history (4, 5): z = (4 - 4.5)/0.5 = -1
+    assert abs(first[hrs[2]].z - (-1.0)) < 1e-12
+
+    _write_jsonl(os.path.join(src, "b2.json"), [
+        {"event_type": "click", "ts": f"2024-03-01T13:{m:02d}:00"} for m in range(30)
+    ])
+    q = (
+        anomaly_scores(stream)
+        .writeStream.format("memory").queryName("anom2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    spike = spark.sql("SELECT * FROM anom2").collect()
+    assert len(spike) == 1 and spike[0].c == 30 and spike[0].n_hist == 3
+    # history (4,5,4): mean 13/3, var (3*57-169)/9 = 2/9 -> z large
+    import math
+    expected_z = (30 - 13 / 3) / math.sqrt((3 * 57 - 13 * 13) / 9)
+    assert abs(spike[0].z - expected_z) < 1e-12
+
+    # moment parity: streaming state == exact batch moments
+    # (reconstruct from emitted rows: fold all scored counts)
+    all_rows = list(first.values()) + spike
+    n, sx, sx2 = 0, 0, 0
+    for r in sorted(all_rows, key=lambda r: r.hr):
+        n, sx, sx2 = n + 1, sx + r.c, sx2 + r.c * r.c
+    assert (n, sx, sx2) == (4, 43, 957)
