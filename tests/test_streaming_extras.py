@@ -329,14 +329,21 @@ def test_streaming_anomaly_scores_moment_parity(spark, tmp_path):
     stream = _file_stream(spark, src).select(
         "event_type", F.col("ts").cast("timestamp").alias("ts")
     )
-    q = (
-        anomaly_scores(stream)
-        .writeStream.format("memory").queryName("anom")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    first = {r.hr: r for r in spark.sql("SELECT * FROM anom").collect()}
+    collected: list = []
+
+    def run_drain():
+        # foreachBatch (not memory sink): supports restarting from the
+        # same checkpoint, which is what carries the state between runs
+        q = (
+            anomaly_scores(stream)
+            .writeStream.foreachBatch(lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    first = {r.hr: r for r in collected}
     assert len(first) == 3
     # within one batch, hours fold in ascending order: n_hist = 0,1,2
     assert [first[h].n_hist for h in sorted(first)] == [0, 1, 2]
@@ -349,14 +356,9 @@ def test_streaming_anomaly_scores_moment_parity(spark, tmp_path):
     _write_jsonl(os.path.join(src, "b2.json"), [
         {"event_type": "click", "ts": f"2024-03-01T13:{m:02d}:00"} for m in range(30)
     ])
-    q = (
-        anomaly_scores(stream)
-        .writeStream.format("memory").queryName("anom2")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    spike = spark.sql("SELECT * FROM anom2").collect()
+    collected.clear()
+    run_drain()
+    spike = list(collected)
     assert len(spike) == 1 and spike[0].c == 30 and spike[0].n_hist == 3
     # history (4,5,4): mean 13/3, var (3*57-169)/9 = 2/9 -> z large
     import math
