@@ -372,3 +372,61 @@ def test_streaming_anomaly_scores_moment_parity(spark, tmp_path):
     for r in sorted(all_rows, key=lambda r: r.hr):
         n, sx, sx2 = n + 1, sx + r.c, sx2 + r.c * r.c
     assert (n, sx, sx2) == (4, 43, 957)
+
+
+def test_streaming_heavy_hitters_exact_at_capacity(spark, tmp_path):
+    """SpaceSaving top-k over a token stream: with capacity >= distinct
+    tokens the running counts are EXACT and match a batch groupBy;
+    across micro-batches state accumulates; with a tiny capacity the
+    overestimation bound is honored."""
+    from wire_spark.streaming.heavy_hitters import heavy_hitters
+
+    src = str(tmp_path / "hh_in")
+    b1 = ["spark"] * 5 + ["scan"] * 3 + ["join"] * 2
+    b2 = ["spark"] * 2 + ["agg"] * 4
+    _write_jsonl(os.path.join(src, "b1.json"), [{"lang": "en", "tok": t} for t in b1])
+
+    stream = _file_stream(spark, src).select("lang", "tok")
+    rows: list = []
+
+    def drain(ck):
+        q = (
+            heavy_hitters(stream, "lang", "tok", capacity=64, top_n=5)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _e: rows.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain("ck")
+    got = {r.token: (r.freq, r.err, r.rank) for r in rows}
+    assert got == {"spark": (5, 0, 1), "scan": (3, 0, 2), "join": (2, 0, 3)}
+
+    rows.clear()
+    _write_jsonl(os.path.join(src, "b2.json"), [{"lang": "en", "tok": t} for t in b2])
+    drain("ck")  # same checkpoint -> state carries over
+    got = {r.token: (r.freq, r.err, r.rank) for r in rows}
+    # running totals: spark 7, agg 4, scan 3, join 2 — all exact
+    assert got == {"spark": (7, 0, 1), "agg": (4, 0, 2), "scan": (3, 0, 3),
+                   "join": (2, 0, 4)}
+
+    # tiny capacity: the table never exceeds it and the heavy hitter
+    # survives with count >= true count (overestimate bounded by err)
+    rows.clear()
+    drain("ck_small_warmup")  # fresh state, capacity still 64 — warm path ok
+    rows.clear()
+    q = (
+        heavy_hitters(stream, "lang", "tok", capacity=2, top_n=2)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _e: rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) <= 2
+    top = {r.token: r for r in rows}
+    assert "spark" in top                      # true heavy hitter survives
+    spark_row = top["spark"]
+    assert spark_row.freq >= 7                 # never undercounts
+    assert spark_row.freq - spark_row.err <= 7  # overestimate within bound
