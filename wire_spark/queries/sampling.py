@@ -159,3 +159,103 @@ def token_zipf(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------
+# stratified (per-language) deterministic sampling
+# --------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT lang, doc_id, rnk
+FROM ranked WHERE rnk <= 20
+ORDER BY lang, rnk
+"""
+
+
+@register("sample_stratified_by_lang", oracle=_STRATIFIED_ORACLE, bench=True,
+          doc="stratified sample: 20 docs per language by hash rank — "
+              "deterministic source rebalancing")
+def sample_stratified_by_lang(spark, sf_dir):
+    """Equal-allocation stratified sampling: the top-20 documents per
+    language by md5 hash rank. Hash-ranking makes the selection (a)
+    uniform within each stratum, (b) stable across runs/engines/
+    layouts, and (c) prefix-consistent — growing the per-stratum
+    budget keeps every previously selected doc (hash order doesn't
+    reshuffle), which sampled-fraction approaches cannot guarantee.
+    Scale shape: one shuffle on lang, per-stratum rank window bounded
+    by stratum size; the text column is never read."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("lang", "rnk")
+    )
+
+
+# --------------------------------------------------------------------
+# source-mixing weights toward a target token distribution
+# --------------------------------------------------------------------
+
+_MIXING_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       floor(n_tokens * 10000.0 / t) / 10000.0 AS current_share,
+       floor(10000.0 / n_sources) / 10000.0 AS target_share,
+       floor((t * 1.0 / n_sources) * 10000.0 / n_tokens) / 10000.0
+         AS sampling_weight
+FROM per_source CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register("curation_mixing_weights", oracle=_MIXING_ORACLE,
+          doc="per-source sampling weights to reach a uniform token "
+              "budget across sources (data-mixing planning)")
+def curation_mixing_weights(spark, sf_dir):
+    """Data-mixture planning: per-source token counts, current corpus
+    share, and the sampling weight (target/current) that would equalize
+    token budgets across sources — the table a pretraining run's
+    mixing config is derived from (uniform target here; any target
+    vector is the same arithmetic). All ratios are exact-integer
+    rationals floored at 4 dp. Scale shape: one aggregation keyed on
+    source (low cardinality, partial-agg), one broadcast of the
+    one-row total."""
+    d = T(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n_sources")
+    )
+    f4 = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            f4(F.col("n_tokens") * F.lit(1.0) / F.col("t")).alias("current_share"),
+            f4(F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+            f4((F.col("t") * F.lit(1.0) / F.col("n_sources")) / F.col("n_tokens")).alias("sampling_weight"),
+        )
+        .orderBy("source")
+    )
