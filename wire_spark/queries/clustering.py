@@ -84,21 +84,16 @@ def _l2(a, b):
     )
 
 
-def lloyd_cent1(spark, sf_dir):
-    """(cid, cv) refined centroids after one Lloyd round from the
-    ``vec_id < _K`` seeds — euclidean assignment, integer-exact
-    per-dimension means (bit-identical to ``LLOYD_CENT1_CTE``).
-    Reused by similarity.py's Lloyd-refined IVF index. One shuffle
-    (the dimension-sum agg); assignment is a broadcast pass."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    cent0 = e.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+def _lloyd_refine(e, cent):
+    """One Lloyd refinement: assign every vector to its nearest
+    centroid (floor-truncated euclidean, cid tiebreak — broadcast
+    pass, no shuffle of the vector table) and return the new
+    integer-exact mean centroids (one dimension-sum shuffle).
+    Bit-identical to the matching oracle CTE block; chain calls for
+    more rounds — the cost is the same block repeated."""
     w_a = W.partitionBy("vec_id").orderBy("dist", "cid")
-    assign0 = (
-        e.crossJoin(F.broadcast(cent0))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", "v", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
         .withColumn("rn", F.row_number().over(w_a))
         .filter(F.col("rn") == 1)
@@ -106,7 +101,7 @@ def lloyd_cent1(spark, sf_dir):
     )
     # per-dimension integer-exact means (1-based d to mirror DuckDB)
     dims = (
-        assign0.select("cid", F.posexplode("v").alias("d0", "val"))
+        assign.select("cid", F.posexplode("v").alias("d0", "val"))
         .select("cid", (F.col("d0") + 1).alias("d"), "val")
     )
     sums = dims.groupBy("cid", "d").agg(
@@ -123,6 +118,24 @@ def lloyd_cent1(spark, sf_dir):
             F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias("cv")
         )
     )
+
+
+def _vectors_and_seeds(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent0 = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return e, cent0
+
+
+def lloyd_cent1(spark, sf_dir):
+    """(cid, cv) refined centroids after one Lloyd round from the
+    ``vec_id < _K`` seeds (bit-identical to ``LLOYD_CENT1_CTE``).
+    Reused by similarity.py's Lloyd-refined IVF index."""
+    e, cent0 = _vectors_and_seeds(spark, sf_dir)
+    return _lloyd_refine(e, cent0)
 
 
 @register("kmeans_lloyd_round", oracle=_LLOYD_ORACLE, bench=True,
@@ -146,6 +159,90 @@ def kmeans_lloyd_round(spark, sf_dir):
 
     return (
         assign1.join(F.broadcast(cent1), "cid")
+        .groupBy("cid", "cv")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select("cid", "n_vectors", t6(F.sqrt(dot(F.col("cv")))).alias("centroid_norm"))
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------
+# two chained Lloyd rounds — convergence is the same block repeated
+# --------------------------------------------------------------------
+
+_LLOYD2_ORACLE = LLOYD_CENT1_CTE + f""",
+assign1b AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, cent1.cid, e.v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_distance(e.v, cent1.cv) * 1000000.0) / 1000000.0,
+                      cent1.cid
+           ) AS rn
+    FROM e CROSS JOIN cent1
+  ) WHERE rn = 1
+),
+sums2 AS (
+  SELECT cid, d,
+         sum(CAST(floor(v[d] * 1000000.0) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM assign1b, dims
+  GROUP BY cid, d
+),
+cent2 AS (
+  SELECT cid, list(s * 1.0 / (n * 1000000.0) ORDER BY d) AS cv
+  FROM sums2 GROUP BY cid
+),
+assign2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent2.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_distance(e.v, cent2.cv) * 1000000.0) / 1000000.0,
+                      cent2.cid
+           ) AS rn
+    FROM e CROSS JOIN cent2
+  ) WHERE rn = 1
+)
+SELECT a.cid,
+       count(*) AS n_vectors,
+       floor(sqrt(list_dot_product(c.cv, c.cv)) * 1000000.0) / 1000000.0
+         AS centroid_norm
+FROM assign2 a JOIN cent2 c ON c.cid = a.cid
+GROUP BY a.cid, c.cv
+ORDER BY a.cid
+"""
+
+
+@register("kmeans_lloyd_two_rounds", oracle=_LLOYD2_ORACLE,
+          doc="two chained Lloyd rounds (the convergence loop made "
+              "concrete): cluster sizes + centroid norms after round 2")
+def kmeans_lloyd_two_rounds(spark, sf_dir):
+    """Two chained Lloyd refinements — proves the 'more rounds = the
+    same block repeated' claim with a real second round: cent0 (seed
+    rows) -> cent1 -> cent2, then the final assignment census. Every
+    round is one broadcast assignment pass over the vector table plus
+    one dimension-sum shuffle; at 100 TB the loop runs until the
+    assignment-change count (a one-row aggregate per round) hits
+    zero, exactly like the connected-components fixpoint loop. All
+    centroid arithmetic stays integer-exact so the two engines hold
+    bit-identical state after ANY number of rounds."""
+    e, cent0 = _vectors_and_seeds(spark, sf_dir)
+    cent2 = _lloyd_refine(e, _lloyd_refine(e, cent0))
+    w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assign2 = (
+        e.crossJoin(F.broadcast(cent2))
+        .select("vec_id", "cid", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    def dot(a):
+        return F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
+
+    return (
+        assign2.join(F.broadcast(cent2), "cid")
         .groupBy("cid", "cv")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .select("cid", "n_vectors", t6(F.sqrt(dot(F.col("cv")))).alias("centroid_norm"))
