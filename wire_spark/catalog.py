@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.cdc_queries",
     "wire_spark.queries.clustering",
     "wire_spark.queries.text2",
+    "wire_spark.queries.diagnostics",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
