@@ -736,3 +736,184 @@ def ann_pq_adc(spark, sf_dir):
                 (F.col("adist_i") / F.lit(1000000.0)).alias("adist"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ: probe IVF cells, rank candidates by PQ asymmetric distance
+# --------------------------------------------------------------------
+
+def _ivfpq_oracle() -> str:
+    cos = """floor(list_dot_product({a}.{av}, cent.cv)
+         / (sqrt(list_dot_product({a}.{av}, {a}.{av}))
+            * sqrt(list_dot_product(cent.cv, cent.cv)))
+         * 1000000.0) / 1000000.0"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+ivf_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e', av='v')} DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q0.qid, cent.cid,
+           row_number() OVER (
+             PARTITION BY q0.qid
+             ORDER BY {cos.format(a='q0', av='qv')} DESC, cent.cid) AS rn
+    FROM q0 CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probes p JOIN ivf_assign a ON a.cid = p.cid
+  WHERE a.vec_id != p.qid
+),
+subs AS (SELECT unnest(range({_PQ_M})) AS m),
+cw AS (
+  SELECT vec_id AS code, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS cv
+  FROM e, subs WHERE vec_id < {_PQ_K}
+),
+sub_v AS (
+  SELECT vec_id, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+  FROM e, subs
+),
+assigned AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sub_v.vec_id, sub_v.m, cw.code,
+           row_number() OVER (
+             PARTITION BY sub_v.vec_id, sub_v.m
+             ORDER BY floor(list_distance(sub_v.sv, cw.cv) * 1000000.0) / 1000000.0,
+                      cw.code
+           ) AS rn
+    FROM sub_v JOIN cw ON sub_v.m = cw.m
+  ) WHERE rn = 1
+),
+qsub AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub_v WHERE vec_id % 100 = 0),
+adc AS (
+  SELECT qsub.qid, pq.vec_id AS nid,
+         sum(CAST(floor(list_distance(qsub.qsv, cw.cv) * 1000000.0) AS BIGINT)) AS adist_i
+  FROM qsub
+  JOIN assigned pq ON pq.m = qsub.m
+  JOIN cand c ON c.qid = qsub.qid AND c.nid = pq.vec_id
+  JOIN cw ON cw.m = pq.m AND cw.code = pq.code
+  GROUP BY qsub.qid, pq.vec_id
+)
+SELECT qid, nid, adist_i / 1000000.0 AS adist, rn FROM (
+  SELECT qid, nid, adist_i,
+         row_number() OVER (PARTITION BY qid ORDER BY adist_i, nid) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+@register("ann_ivfpq_adc", oracle=_ivfpq_oracle(),
+          doc="IVF-PQ: probe top-2 IVF cells, rank members by PQ "
+              "asymmetric distance — the production ANN composition")
+def ann_ivfpq_adc(spark, sf_dir):
+    """The standard production ANN index composition (FAISS-style
+    IVF-PQ): coarse IVF cells bound WHICH vectors are considered
+    (probe top-2 of 8 cells); product-quantized codes bound WHAT is
+    read per candidate (8 bytes, never the stored vector). At 100 TB
+    the scan per query is (2/8 of the table) x (8 bytes/vector) — the
+    two reductions compose multiplicatively. Scale shape: centroids +
+    codebook + per-query distance tables all broadcast; candidates
+    come from an equi-join on cell id; the ADC fold shuffles on
+    (qid, vec_id) only. Integer-domain partial-distance sums keep the
+    ranking bit-identical across engines."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    # coarse quantizer: nearest cell per vector, top-2 probes per query
+    sim_c = t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ivf_assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q0 = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    w_probe = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q0.crossJoin(F.broadcast(cent))
+        .select("qid",
+                t6(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
+                "cid")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cid")
+    )
+    cand = (
+        probes.join(ivf_assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    # PQ encoding (identical to ann_pq_adc)
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub_v = (
+        e.crossJoin(F.broadcast(subs))
+        .select("vec_id", "m", F.slice("v", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sv"))
+    )
+    cw = (
+        sub_v.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
+    )
+
+    def l2(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, z: acc + z,
+            )
+        )
+
+    w_pq = W.partitionBy("vec_id", "m").orderBy("d", "code")
+    assigned = (
+        sub_v.join(F.broadcast(cw), "m")
+        .select("vec_id", "m", "code", t6(l2(F.col("sv"), F.col("cv"))).alias("d"))
+        .withColumn("rn", F.row_number().over(w_pq))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qsub = sub_v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    dist_table = (
+        qsub.join(F.broadcast(cw), "m")
+        .select("qid", "m", "code", l2(F.col("qsv"), F.col("cv")).alias("qd"))
+    )
+    scored = (
+        assigned.join(F.broadcast(dist_table), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    adc = (
+        scored.alias("s")
+        .join(
+            cand.alias("c"),
+            (F.col("s.qid") == F.col("c.qid")) & (F.col("s.vec_id") == F.col("c.nid")),
+        )
+        .groupBy(F.col("s.qid").alias("qid"), F.col("s.vec_id").alias("nid"))
+        .agg(F.sum(F.floor(F.col("s.qd") * F.lit(1000000.0)).cast("long")).alias("adist_i"))
+    )
+    w_top = W.partitionBy("qid").orderBy(F.col("adist_i"), F.asc("nid"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid",
+                (F.col("adist_i") / F.lit(1000000.0)).alias("adist"), "rn")
+        .orderBy("qid", "rn")
+    )
