@@ -177,3 +177,39 @@ def test_packing_plan_conserves_tokens(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     total = d.select(F.sum(F.size(F.split("text", " "))).alias("t")).first().t
     assert total_planned == total
+
+
+def test_winnowing_planted_run_guarantee(spark):
+    """The winnowing guarantee, exercised: any shared word run of
+    length >= w + k - 1 (= 6 for k=3, w=4) must select at least one
+    common fingerprint in both documents — for runs planted at random
+    positions inside otherwise-disjoint documents."""
+    import random
+
+    from wire_spark.queries.dedup import winnow_pair_overlap
+
+    rng = random.Random(42)
+    for trial in range(5):
+        run = [f"run{trial}w{j}" for j in range(6)]  # the shared 6-word run
+        docs = []
+        for doc_id in (1, 2):
+            filler = [f"d{doc_id}t{trial}x{j}" for j in range(30)]
+            pos = rng.randrange(len(filler) + 1)
+            words = filler[:pos] + run + filler[pos:]
+            docs.append((doc_id, " ".join(words)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        pairs = winnow_pair_overlap(df).collect()
+        assert len(pairs) == 1, f"trial {trial}: planted pair not detected"
+        assert (pairs[0].d1, pairs[0].d2) == (1, 2)
+        assert pairs[0].n_shared >= 1
+
+
+def test_winnowing_disjoint_docs_no_overlap(spark):
+    from wire_spark.queries.dedup import winnow_pair_overlap
+
+    docs = [
+        (1, " ".join(f"a{j}" for j in range(30))),
+        (2, " ".join(f"b{j}" for j in range(30))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert winnow_pair_overlap(df).collect() == []

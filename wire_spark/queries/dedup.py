@@ -853,6 +853,48 @@ LIMIT 20
 """
 
 
+def winnow_pair_overlap(docs, k: int = 3, w: int = 4, df_cap: int = 100):
+    """Winnowing fingerprint overlap over any (doc_id, text) frame:
+    (d1, d2, n_shared) for every doc pair sharing a selected
+    fingerprint. Guarantee (Schleimer/Wilkerson/Aiken): any shared
+    word run of length >= w + k - 1 selects at least one common
+    fingerprint in both documents — property-tested with planted runs
+    in tests/test_operator_properties.py."""
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    # positional (NOT distinct) k-gram hashes
+    hs = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    d = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= w)
+    m = F.size("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), m - (w - 1)), lambda i: F.array_min(F.slice("hs", i, w))
+    )
+    # df cap as a window count over the same fp key the join shuffles
+    # on (exchange reuse, no extra shuffle — the _jaccard_pairs
+    # pattern); cached because the md5-per-position extraction feeds
+    # BOTH sides of the self-join and would otherwise recompute
+    fpc = (
+        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+        .cache()
+    )
+    a = fpc.select(F.col("doc_id").alias("d1"), "fp")
+    b = fpc.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 @register("dedup_winnowing_overlap", oracle=_WINNOW_ORACLE, bench=True,
           doc="winnowing (MOSS) fingerprint overlap: window-min of "
               "positional 3-gram hashes, top-20 overlapping doc pairs")
@@ -869,45 +911,8 @@ def dedup_winnowing_overlap(spark, sf_dir):
     df cap (fps in > 100 docs are boilerplate, dropped — same
     Σmin(df,cap)² bound as the capped-Jaccard join); top-20 is
     TakeOrdered."""
-    words = F.split(F.lower(F.col("text")), " ")
-    n = F.size(words)
-    # positional (NOT distinct) 3-gram hashes
-    hs = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, 3))), 1, 15), 16, 10
-        ).cast("long"),
-    )
-    d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", hs.alias("hs"))
-        .filter(F.size("hs") >= 4)
-    )
-    m = F.size("hs")
-    wins = F.transform(
-        F.sequence(F.lit(1), m - 3), lambda i: F.array_min(F.slice("hs", i, 4))
-    )
-    # df cap as a window count over the same fp key the join shuffles
-    # on (exchange reuse, no extra shuffle — the _jaccard_pairs
-    # pattern); cached because the md5-per-position extraction feeds
-    # BOTH sides of the self-join and would otherwise recompute
-    fpc = (
-        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
-        .filter(F.col("df") <= 100)
-        .drop("df")
-        .cache()
-    )
-    a = fpc.select(F.col("doc_id").alias("d1"), "fp")
-    b = fpc.select(F.col("doc_id").alias("d2"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy(F.desc("n_shared"), "d1", "d2")
-        .limit(20)
-    )
+    pairs = winnow_pair_overlap(T(spark, sf_dir, "documents"))
+    return pairs.orderBy(F.desc("n_shared"), "d1", "d2").limit(20)
 
 # --------------------------------------------------------------------
 # cross-modal consistency: text near-dups vs their embedding cosine
