@@ -975,8 +975,10 @@ def dedup_crossmodal_audit(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
     )
+    # the dup-pair list is tiny next to the vector table: broadcast it
+    # so the two embedding lookups never shuffle the vectors
     return (
-        pairs.join(e1, "d1")
+        F.broadcast(pairs).join(e1, "d1")
         .join(e2, "d2")
         .withColumn("cos_sim", t6(dot / (F.col("n1") * F.col("n2"))))
         .select(

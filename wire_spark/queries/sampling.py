@@ -191,18 +191,31 @@ def sample_stratified_by_lang(spark, sf_dir):
     layouts, and (c) prefix-consistent — growing the per-stratum
     budget keeps every previously selected doc (hash order doesn't
     reshuffle), which sampled-fraction approaches cannot guarantee.
-    Scale shape: one shuffle on lang, per-stratum rank window bounded
-    by stratum size; the text column is never read."""
+    Scale shape: ``lang`` is a LOW-cardinality partition key — a
+    single window over it would funnel each billion-row stratum
+    through one task. The top-k is therefore two-level: per
+    (lang, hash-bucket) top-20 first (64x the parallelism, each
+    window bounded), then the per-lang merge ranks <= 64*20 survivor
+    rows. Identical output to the direct form (each bucket keeps its
+    own 20 best, and the global 20 best all lie in some bucket's
+    top-20). The text column is never read."""
     from pyspark.sql import Window as W
 
     d = T(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(
-        md5_long(F.col("doc_id").cast("string")), F.asc("doc_id")
+    h = md5_long(F.col("doc_id").cast("string"))
+    bucketed = d.select("lang", "doc_id", h.alias("h")).withColumn(
+        "b", F.pmod(F.col("h"), F.lit(64))
     )
+    w1 = W.partitionBy("lang", "b").orderBy("h", F.asc("doc_id"))
+    survivors = (
+        bucketed.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 20)
+    )
+    w2 = W.partitionBy("lang").orderBy("h", F.asc("doc_id"))
     return (
-        d.select("lang", "doc_id")
-        .withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= 20)
+        .select("lang", "doc_id", "rnk")
         .orderBy("lang", "rnk")
     )
 

@@ -71,9 +71,13 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
+    # tf holds one row per (doc, token) — df and the doc count both
+    # derive from IT (a row count per token / a distinct over its
+    # doc_id), not from re-scanning the exploded token relation with
+    # two-phase count_distincts
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = tok.agg(F.count_distinct("doc_id").alias("n"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n_docs))
