@@ -152,3 +152,18 @@ def test_anomaly_shuffle_budget(spark, sf_dir):
     df = _df(spark, sf_dir, "events_hourly_anomaly")
     assert has_broadcast_join(df)
     assert count_shuffles(df) <= 4
+
+
+def test_rank_filter_windows_get_group_limit(spark, sf_dir):
+    # Spark's InferWindowGroupLimit must recognize every rn<=k filter
+    # over a rank window: the partial WindowGroupLimit before the
+    # exchange keeps only top-k per group per map partition, which is
+    # what makes low-cardinality partition keys (brand, lang) safe at
+    # scale. A refactor that breaks the recognizable pattern (e.g.
+    # filtering on a derived column) silently loses the bound.
+    from wire_spark.plans import formatted_plan
+
+    for name in ("window_topk_per_brand", "sample_stratified_by_lang",
+                 "text_tfidf_top_terms"):
+        plan = formatted_plan(_df(spark, sf_dir, name))
+        assert "WindowGroupLimit" in plan, name
