@@ -104,6 +104,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_mixed",
     "percentile_order_value",
     "sessionized_top_users",
+    # round-3 additions: the 44 rotation targets above leave exactly
+    # 6 free slots in the 50-entry window — fill them with the most
+    # novel new operators so only 8 remain for the round-4 rotation
+    "ann_ivfpq_adc",
+    "kmeans_lloyd_two_rounds",
+    "dedup_winnowing_overlap",
+    "dedup_crossmodal_audit",
+    "events_hourly_anomaly",
+    "text_unigram_logprob",
 )
 
 
