@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.clustering",
     "wire_spark.queries.text2",
     "wire_spark.queries.diagnostics",
+    "wire_spark.queries.sketches",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

@@ -1,0 +1,371 @@
+"""Sketch-based and filter-based approximate operators, made
+cross-engine-deterministic: a HyperLogLog distinct sketch, a
+histogram quantile sketch, and a Bloom-filter-pruned join.
+
+The reference exposes no sketches, but a 100 TB pipeline leans on
+them constantly (cardinality dashboards, quantile monitors, join
+pruning).  Spark's built-ins (``approx_count_distinct``,
+``percentile_approx``) are engine-specific black boxes that no
+foreign oracle can reproduce, so these operators build the sketches
+from first principles out of deterministic primitives — the md5-based
+portable hash (`md5_long`), integer shifts, and floor-truncated
+floats — which makes the *approximate* answer itself exactly
+reproducible in DuckDB.  That is the property a data-quality gate
+wants: the estimate may deviate from the truth, but never from run
+to run or engine to engine.
+
+Reference parity: the reference's query tier has no sketch surface
+(SURVEY.md §2.6); these extend the engine the same way the dedup/ANN
+family does — standard pipeline ops re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, md5_long
+
+# --------------------------------------------------------------------
+# HyperLogLog distinct sketch (m=256 registers, deterministic)
+# --------------------------------------------------------------------
+
+# alpha_256 * m^2 * 2^53, precomputed so both engines consume one
+# exact double literal instead of re-deriving it in (possibly
+# DECIMAL-typed) SQL arithmetic: 0.7213/(1+1.079/256) * 65536 * 2^53.
+_HLL_A = 4.2399330249068963e+20
+_HLL_LINEAR_CUTOFF = 640.0  # 2.5 * m
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+parts AS (
+  SELECT event_type, hv % 256 AS reg, hv // 256 AS rest FROM h
+),
+rnk AS (
+  SELECT event_type, reg,
+         max(CASE WHEN rest = 0 THEN 53
+                  ELSE 53 - length(bin(rest)) END) AS m
+  FROM parts GROUP BY event_type, reg
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type, g.range AS reg
+  FROM types t CROSS JOIN generate_series(0, 255) AS g(range)
+),
+regs AS (
+  SELECT g.event_type, g.reg, COALESCE(r.m, 0) AS m
+  FROM grid g LEFT JOIN rnk r ON g.event_type = r.event_type AND g.reg = r.reg
+),
+agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << (53 - m)) AS s53,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN {_HLL_A!r} / s53 <= {_HLL_LINEAR_CUTOFF!r} AND v > 0
+              THEN 256.0 * ln(256.0 / v)
+              ELSE {_HLL_A!r} / s53 END AS e
+  FROM agg
+),
+exact AS (
+  SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT x.event_type, x.exact_distinct,
+       CAST(floor(e.e) AS BIGINT) AS hll_estimate,
+       floor(abs(CAST(floor(e.e) AS BIGINT) - x.exact_distinct) * 10000.0
+             / x.exact_distinct) / 10000.0 AS rel_err
+FROM exact x JOIN est e USING (event_type)
+ORDER BY x.event_type
+"""
+
+
+@register("sketch_hll_distinct", oracle=_HLL_ORACLE, bench=True,
+          doc="deterministic HyperLogLog (m=256, md5 hash): distinct "
+              "event_ids per type, estimate vs exact with relative error")
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog from first principles (Flajolet et al. 2007), made
+    portable: register = low 8 bits of the 60-bit md5 hash, rank =
+    leading-zero count of the remaining 52 bits (computed as
+    53 - length(bin(rest)) — no transcendental), indicator sum kept in
+    the *integer* domain as sum(2^(53-M_j)) which fits a BIGINT
+    (256 * 2^53 = 2^61), so summation order cannot perturb it. One
+    double division + the standard linear-counting branch at the end.
+
+    Scale shape: one shuffle on (event_type, reg) — at most
+    types x 256 groups survive the map-side partial max, so the
+    shuffle payload is tiny regardless of input size; the register
+    grid is types x 256 rows. This is the always-mergeable sketch:
+    the same per-register max runs as a combiner on every partition.
+    The exact count (for the error column) is the expensive half and
+    exists only to audit the sketch."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        md5_long(F.col("event_id").cast("string")).alias("hv"),
+    )
+    parts = h.select(
+        "event_type",
+        (F.col("hv") % 256).alias("reg"),
+        F.expr("hv div 256").alias("rest"),
+    )
+    rnk = parts.groupBy("event_type", "reg").agg(
+        F.max(
+            F.when(F.col("rest") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.bin(F.col("rest")))
+            )
+        ).alias("m")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(spark.range(256).select(F.col("id").alias("reg")))
+    regs = grid.join(rnk, ["event_type", "reg"], "left").select(
+        "event_type", "reg", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(bigint(1), 53 - m)")).alias("s53"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_HLL_A) / F.col("s53")
+    est = agg.select(
+        "event_type",
+        F.when(
+            (raw <= F.lit(_HLL_LINEAR_CUTOFF)) & (F.col("v") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")),
+        ).otherwise(raw).alias("e"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    hll = F.floor(F.col("e")).cast("long")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            hll.alias("hll_estimate"),
+            (
+                F.floor(
+                    F.abs(hll - F.col("exact_distinct")) * F.lit(10000.0)
+                    / F.col("exact_distinct")
+                ) / F.lit(10000.0)
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# histogram quantile sketch (1024 equal-width bins)
+# --------------------------------------------------------------------
+
+_QSKETCH_ORACLE = """
+WITH stats AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - s.mn) * 1024.0 / (s.mx - s.mn))
+                    AS BIGINT), 1023) AS bin
+  FROM orders, stats s
+),
+hist AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+tot AS (SELECT count(*) AS n FROM binned),
+cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+qs AS (
+  SELECT * FROM (VALUES ('p50', 0.50::DOUBLE), ('p95', 0.95::DOUBLE),
+                        ('p99', 0.99::DOUBLE)) AS t(qname, frac)
+),
+hit AS (
+  SELECT q.qname, min(c.bin) AS bin
+  FROM cum c CROSS JOIN tot t JOIN qs q ON c.cum >= q.frac * t.n
+  GROUP BY q.qname
+)
+SELECT h.qname, h.bin,
+       floor((s.mn + (h.bin + 1) * (s.mx - s.mn) / 1024.0) * 100.0) / 100.0
+         AS est_value
+FROM hit h CROSS JOIN stats s
+ORDER BY h.qname
+"""
+
+
+@register("quantile_histogram_sketch", oracle=_QSKETCH_ORACLE,
+          doc="p50/p95/p99 of o_totalprice from a 1024-bin equal-width "
+              "histogram — the single-pass, no-global-sort quantile path")
+def quantile_histogram_sketch(spark, sf_dir):
+    """Quantiles without a global sort: one scan bins every row into
+    1024 equal-width buckets, the histogram aggregates map-side (at
+    most 1024 groups reach the shuffle), and the quantile is read off
+    the cumulative histogram. The cumulative window is a
+    SinglePartition exchange over AT MOST 1024 rows — a constant
+    independent of input size, which is what makes it admissible
+    (contrast NOTES.md's ban on *data-sized* global windows). The
+    min/max pre-pass is a scalar aggregate broadcast back into the
+    binning scan.
+
+    Estimate = upper edge of the hit bin, so error is bounded by one
+    bin width (max-min)/1024; cross-engine the bin index is exact
+    integer arithmetic over identical doubles."""
+    o = T(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn")) * F.lit(1024.0)
+                / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+            F.lit(1023).cast("long"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.select(
+        "bin",
+        F.sum("c").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.50), ("p95", 0.95), ("p99", 0.99)], "qname string, frac double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qs), F.col("cum") >= F.col("frac") * F.col("n"))
+        .groupBy("qname")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.floor(
+        (
+            F.col("mn")
+            + (F.col("bin") + 1) * (F.col("mx") - F.col("mn")) / F.lit(1024.0)
+        ) * F.lit(100.0)
+    ) / F.lit(100.0)
+    return (
+        hit.crossJoin(F.broadcast(stats))
+        .select("qname", "bin", est.alias("est_value"))
+        .orderBy("qname")
+    )
+
+
+# --------------------------------------------------------------------
+# Bloom-filter-pruned join (m=65536 bits, k=3, md5-derived)
+# --------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+build_bits AS (
+  SELECT DISTINCT
+    CAST(CONCAT('0x', SUBSTRING(md5(CAST(c_custkey AS VARCHAR) || ':' ||
+         CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
+  FROM build CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15))
+         AS BIGINT) % 65536 AS p1,
+    CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15))
+         AS BIGINT) % 65536 AS p2,
+    CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':3'), 1, 15))
+         AS BIGINT) % 65536 AS p3
+  FROM orders
+),
+cand AS (
+  SELECT o_orderkey, o_custkey FROM probe
+  WHERE p1 IN (SELECT pos FROM build_bits)
+    AND p2 IN (SELECT pos FROM build_bits)
+    AND p3 IN (SELECT pos FROM build_bits)
+)
+SELECT count(*) AS n_candidates,
+       sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+                THEN 1 ELSE 0 END) AS n_matched,
+       floor((count(*) - sum(CASE WHEN o_custkey IN
+                (SELECT c_custkey FROM build) THEN 1 ELSE 0 END)) * 10000.0
+             / count(*)) / 10000.0 AS fp_ratio
+FROM cand
+"""
+
+
+@register("bloom_join_prune", oracle=_BLOOM_ORACLE, bench=True,
+          doc="Bloom-filter pre-pruned semi-join (64 KiB bitmap, k=3 md5 "
+              "hashes): orders of BUILDING-segment customers, with the "
+              "filter's own false-positive rate measured")
+def bloom_join_prune(spark, sf_dir):
+    """Join pruning with an explicit Bloom filter: the build side's
+    keys set k=3 md5-derived bits in a 65536-bit bitmap; the probe
+    side tests its bits with pure column ops BEFORE any join, so at
+    scale the shuffle (or even the broadcast-hash probe) only sees
+    the candidate subset. The final exact join both removes false
+    positives and measures them — the output's fp_ratio is the
+    filter's realized FPR, itself deterministic because every hash is.
+
+    The bitmap is collected to the driver as 1024 longs (8 KiB — the
+    same order as a broadcast-join hash table's keys) and re-enters
+    the plan as an array literal; bit tests are element_at + bitwise
+    AND against a 64-entry mask array, no Python. This is the manual
+    twin of AQE's runtime bloom pruning (spark.sql.optimizer.runtime.
+    bloomFilter), which cannot be oracle-checked; this one can."""
+    cust = T(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def _pos(key_col, i):
+        return md5_long(F.concat(key_col.cast("string"), F.lit(f":{i}"))) % 65536
+
+    pos = build.select(
+        F.explode(F.array(*[_pos(F.col("c_custkey"), i) for i in (1, 2, 3)])).alias(
+            "pos"
+        )
+    )
+    words = (
+        pos.select(
+            F.expr("pos div 64").alias("w"), (F.col("pos") % 64).alias("b")
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(bigint(1), b))").alias("word"))
+    )
+    wm = {r["w"]: r["word"] for r in words.collect()}
+    bitmap = F.array(*[F.lit(wm.get(i, 0)).cast("long") for i in range(1024)])
+    masks = F.array(*[F.lit((1 << b) - (1 << 64 if b == 63 else 0)).cast("long")
+                      for b in range(64)])
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        *[_pos(F.col("o_custkey"), i).alias(f"p{i}") for i in (1, 2, 3)],
+    )
+    hit = None
+    for i in (1, 2, 3):
+        p = F.col(f"p{i}")
+        word = F.element_at(bitmap, (F.expr(f"p{i} div 64") + 1).cast("int"))
+        mask = F.element_at(masks, ((p % 64) + 1).cast("int"))
+        test = word.bitwiseAND(mask) != 0
+        hit = test if hit is None else (hit & test)
+    cand = probe.filter(hit).select("o_orderkey", "o_custkey")
+    matched = cand.join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "bk")),
+        cand.o_custkey == F.col("bk"),
+        "left",
+    )
+    n_matched = F.sum(F.when(F.col("bk").isNotNull(), 1).otherwise(0))
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        n_matched.alias("n_matched"),
+        (
+            F.floor((F.count(F.lit(1)) - n_matched) * F.lit(10000.0)
+                    / F.count(F.lit(1))) / F.lit(10000.0)
+        ).alias("fp_ratio"),
+    )
