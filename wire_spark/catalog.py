@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.text2",
     "wire_spark.queries.diagnostics",
     "wire_spark.queries.sketches",
+    "wire_spark.queries.features",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

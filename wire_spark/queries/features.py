@@ -1,0 +1,312 @@
+"""Feature-engineering operators over the event stream and the corpus:
+exponential time-decay scoring, time-series resampling with forward
+fill, deterministic negative sampling for contrastive training, and a
+per-source duplication audit.
+
+These extend the engine's training-data-pipeline surface (the same
+category as dedup/similarity/curation): each is a standard feature
+op a 100 TB pipeline runs daily, re-expressed as declarative Spark
+with an exact DuckDB oracle.
+
+Cross-engine notes (NOTES.md rules applied):
+- decay weights are 0.5^h with integer h — exact powers of two, so
+  value*weight is the same double in both engines; each addend is
+  floor-truncated to the integer domain before summation (msum).
+- epoch seconds: DuckDB ``epoch()`` is a DOUBLE with fractional
+  micros and its BIGINT cast rounds-to-nearest, so both sides floor
+  explicitly before the cast (Spark ``unix_timestamp`` already
+  truncates).
+- all sampling hashes are md5-derived (`md5_long`) — portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T, md5_long
+
+# --------------------------------------------------------------------
+# exponential time-decay engagement score
+# --------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH mx AS (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id),
+d AS (
+  SELECT e.user_id,
+         floor(e.value * pow(0.5,
+             (CAST(floor(epoch(m.mts)) AS BIGINT)
+              - CAST(floor(epoch(e.ts)) AS BIGINT)) // 3600) * 10000.0)
+           AS add4
+  FROM events e JOIN mx m USING (user_id)
+)
+SELECT user_id, count(*) AS n_events,
+       COALESCE(sum(add4), 0) / 10000.0 AS decay_score
+FROM d GROUP BY user_id
+ORDER BY decay_score DESC, user_id
+LIMIT 30
+"""
+
+
+@register("events_time_decay", oracle=_DECAY_ORACLE, bench=True,
+          doc="per-user engagement score with 1-hour half-life decay "
+              "anchored at each user's last event — top 30 users")
+def events_time_decay(spark, sf_dir):
+    """Exponential time-decay scoring (half-life = 1 hour): each
+    event's value is weighted by 0.5^(hours before the user's latest
+    event) and summed — the standard recency-weighted engagement /
+    freshness feature. The half-life of 1/2 per integer hour makes
+    every weight an exact power of two, so the weighted addend is the
+    same double in both engines; addends are floored into integer
+    micro-units before the (order-free) sum.
+
+    Scale shape: the per-user anchor is a window max over user_id and
+    the fold is a groupBy on the same key — one shuffle total, the
+    aggregation reuses the window's partitioning (exchange reuse).
+    Top-30 via TakeOrderedAndProject."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    d = ev.withColumn("mts", F.max("ts").over(w)).select(
+        "user_id",
+        F.floor(
+            F.col("value")
+            * F.pow(
+                F.lit(0.5),
+                F.expr("(unix_timestamp(mts) - unix_timestamp(ts)) div 3600"),
+            )
+            * F.lit(10000.0)
+        ).alias("add4"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.coalesce(F.sum("add4"), F.lit(0)) / F.lit(10000.0)).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(F.desc("decay_score"), F.asc("user_id"))
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------
+# time-series resample to an hourly grid + forward fill
+# --------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         sum(floor(value * 10000.0)) / 10000.0 AS hv
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR)) AS hr
+  FROM span s
+),
+j AS (
+  SELECT g.event_type, g.hr, h.hv
+  FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+),
+f AS (
+  SELECT event_type, hr,
+         last_value(hv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+         CASE WHEN hv IS NULL THEN 1 ELSE 0 END AS was_gap
+  FROM j
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       filled, was_gap
+FROM f WHERE hr < TIMESTAMP '2024-01-08 00:00:00'
+ORDER BY event_type, hour_ts
+"""
+
+
+@register("events_resample_ffill", oracle=_RESAMPLE_ORACLE,
+          doc="resample per-type event values to a gapless hourly grid "
+              "with forward fill (first week shown)")
+def events_resample_ffill(spark, sf_dir):
+    """Time-series resampling: aggregate to hourly buckets, densify to
+    a gapless grid (sequence + explode — the Spark idiom for DuckDB's
+    generate_series), and forward-fill gaps with the last observed
+    value (`last(ignorenulls=True)` over an ordered per-key window).
+
+    Scale shape: the hourly pre-aggregation is the data-sized step
+    (one shuffle, map-side combine); everything after operates on the
+    GRID, whose size is types x hours — bounded by wall-clock time,
+    not data volume, so the per-key ffill window holds at any scale.
+    The first hour of every key is observed by construction (the grid
+    starts at min(hr)), so `filled` is never null."""
+    ev = T(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            F.floor(F.col("value") * F.lit(10000.0)).alias("v4"),
+        )
+        .groupBy("event_type", "hr")
+        .agg((F.sum("v4") / F.lit(10000.0)).alias("hv"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+    )
+    j = grid.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("hv", ignorenulls=True).over(w).alias("filled"),
+            F.when(F.col("hv").isNull(), 1).otherwise(0).alias("was_gap"),
+            F.col("hr"),
+        )
+        .filter(F.col("hr") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_type", "hour_ts", "filled", "was_gap")
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+# --------------------------------------------------------------------
+# deterministic negative sampling (contrastive training pairs)
+# --------------------------------------------------------------------
+
+_NEGSAMPLE_ORACLE = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id, i.i,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+              CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % n.n AS neg_id
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) i
+  WHERE d.doc_id < 40
+)
+SELECT c.doc_id, c.i, c.neg_id,
+       CASE WHEN d2.lang = d1.lang THEN 1 ELSE 0 END AS same_lang
+FROM cand c
+JOIN documents d1 ON c.doc_id = d1.doc_id
+JOIN documents d2 ON c.neg_id = d2.doc_id
+WHERE c.neg_id != c.doc_id
+ORDER BY c.doc_id, c.i
+"""
+
+
+@register("negative_sampling_pairs", oracle=_NEGSAMPLE_ORACLE,
+          doc="deterministic contrastive negatives: 4 hash-drawn negative "
+              "docs per anchor, with a same-language collision flag")
+def negative_sampling_pairs(spark, sf_dir):
+    """Negative sampling for contrastive training: each anchor doc
+    draws k=4 pseudo-random partners via md5(doc_id#i) mod N —
+    deterministic (reproducible batches, resumable jobs) yet
+    uniform. Self-pairs are dropped; the same_lang flag marks
+    in-language negatives (the hard-negative/false-negative signal a
+    curriculum builder wants).
+
+    Scale shape: the draw is a projection (no shuffle); resolving
+    negatives is a self equi-join on doc_id — co-partitioned, one
+    shuffle each side. The doc_id < 40 cut bounds driver output; the
+    plan is identical without it. Assumes doc_ids are dense 0..N-1
+    (guaranteed by TESTDATA.md); with sparse ids you'd draw against a
+    zipWithIndex-style dense rank instead."""
+    docs = T(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    anchors = docs.filter(F.col("doc_id") < 40).select("doc_id", "lang")
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("lang").alias("a_lang"),
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("i"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            "a_lang",
+            "i",
+            (
+                md5_long(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("i").cast("string"),
+                    )
+                ) % F.col("n")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    d2 = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("n_lang"))
+    return (
+        cand.join(d2, "neg_id")
+        .select(
+            "doc_id",
+            "i",
+            "neg_id",
+            F.when(F.col("n_lang") == F.col("a_lang"), 1).otherwise(0).alias(
+                "same_lang"
+            ),
+        )
+        .orderBy("doc_id", "i")
+    )
+
+
+# --------------------------------------------------------------------
+# duplication-rate audit per source
+# --------------------------------------------------------------------
+
+_DUPRATE_ORACLE = """
+WITH h AS (SELECT source, md5(text) AS h FROM documents)
+SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+       floor((count(*) - count(DISTINCT h)) * 10000.0 / count(*)) / 10000.0
+         AS dup_ratio
+FROM h GROUP BY source ORDER BY source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DUPRATE_ORACLE,
+          doc="exact duplication rate per source (md5 content hash) — "
+              "the provenance-level dedup dashboard")
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-provenance duplication audit: content-hash each document
+    and report the exact dup ratio by source — the first chart on any
+    crawl-quality dashboard (which feeds decide-before-dedup: a
+    source at 40% dup gets a cheaper pipeline than one at 1%).
+
+    Scale shape: one shuffle on (source, hash) for the distinct, then
+    a map-side-combinable rollup to source; text never moves — only
+    its 128-bit hash does."""
+    h = T(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("h")
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (
+                F.floor(
+                    (F.col("n_docs") - F.col("n_unique")) * F.lit(10000.0)
+                    / F.col("n_docs")
+                ) / F.lit(10000.0)
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
