@@ -164,6 +164,56 @@ def test_rank_filter_windows_get_group_limit(spark, sf_dir):
     from wire_spark.plans import formatted_plan
 
     for name in ("window_topk_per_brand", "sample_stratified_by_lang",
-                 "text_tfidf_top_terms"):
+                 "text_tfidf_top_terms", "text_langid_trigram_trained"):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "WindowGroupLimit" in plan, name
+
+
+def test_hll_sketch_shuffle_budget(spark, sf_dir):
+    # register partial-max combines map-side: (type, reg) groups cap
+    # the shuffle at types x 256 rows no matter the input size; the
+    # exact-count audit column adds its own distinct shuffle
+    df = _df(spark, sf_dir, "sketch_hll_distinct")
+    assert count_shuffles(df) <= 6
+
+
+def test_quantile_sketch_no_global_sort(spark, sf_dir):
+    # the whole point of the histogram path: the only sorts run over
+    # the <=1024-row histogram (keyed on `bin`) — a sort keyed on the
+    # raw measure would mean the plan regressed to a data-sized
+    # global sort
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "quantile_histogram_sketch")
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "o_totalprice" not in line, line
+    assert has_broadcast_join(df)
+
+
+def test_bloom_prune_filters_before_join(spark, sf_dir):
+    # the bitmap test must be a plain Filter over the orders scan —
+    # no join shape of any kind upstream of it — and the exact
+    # verification join must be broadcast
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "bloom_join_prune")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_decay_single_user_shuffle(spark, sf_dir):
+    # window max(ts) and the score fold share the user_id
+    # partitioning; top-30 is partial
+    df = _df(spark, sf_dir, "events_time_decay")
+    assert has_take_ordered(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_langid_broadcasts_trained_profile(spark, sf_dir):
+    # the languages x 50 trained model must broadcast into the
+    # scoring join — the document side never reshuffles on trigram
+    df = _df(spark, sf_dir, "text_langid_trigram_trained")
+    assert has_broadcast_join(df)

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.diagnostics",
     "wire_spark.queries.sketches",
     "wire_spark.queries.features",
+    "wire_spark.queries.langid",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

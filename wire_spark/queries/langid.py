@@ -1,0 +1,116 @@
+"""Trainable language identification: character-trigram profiles
+learned from the corpus itself, then used to classify every document,
+with the resulting confusion matrix as the output.
+
+This upgrades text.py's fixed-heuristic `text_lang_id` (stopword
+lists) to the classic trained n-gram profile method (Cavnar & Trenkle
+1994): the model IS a DataFrame, training is an aggregation, and
+classification is a broadcast join — no Python in the loop, and the
+whole train-then-classify cycle stays declarative, which is exactly
+how a model-light classifier should look on Spark.
+
+Cross-engine: profiles and overlap scores are pure integer counts
+with total-order tiebreaks (count desc, trigram asc / lang asc), so
+the trained model and every prediction are bit-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T
+
+_LANGID_ORACLE = """
+WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+tri AS (
+  SELECT doc_id, lang,
+         unnest([substring(t, i, 3) for i in range(1, length(t) - 1)]) AS tri
+  FROM d WHERE length(t) >= 3
+),
+cnt AS (SELECT lang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+prof AS (
+  SELECT lang AS plang, tri FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS r
+    FROM cnt
+  ) WHERE r <= 50
+),
+dtri AS (SELECT DISTINCT doc_id, tri FROM tri),
+ov AS (
+  SELECT dt.doc_id, p.plang, count(*) AS ov
+  FROM dtri dt JOIN prof p USING (tri) GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, plang) AS r
+    FROM ov
+  ) WHERE r = 1
+)
+SELECT d.lang AS true_lang, COALESCE(p.plang, 'unk') AS pred_lang,
+       count(*) AS n
+FROM d LEFT JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("text_langid_trigram_trained", oracle=_LANGID_ORACLE, bench=True,
+          doc="trainable char-trigram lang-ID (Cavnar-Trenkle profiles, "
+              "top-50 per language) — confusion matrix of self-"
+              "classification")
+def text_langid_trigram_trained(spark, sf_dir):
+    """Train: count character trigrams per labeled language, keep each
+    language's top-50 as its profile. Classify: score every document
+    by profile-overlap of its distinct trigrams, predict the argmax
+    (ties break to the alphabetically-first language; profile-less
+    docs fall back to 'unk'). Output: the confusion matrix.
+
+    Scale shape: trigram counts shuffle on (lang, tri) with map-side
+    combine; the top-50-per-lang window is WindowGroupLimit-bounded
+    (rank filter, bounded key set); the trained profile is
+    languages x 50 rows — broadcast into the scoring join so the
+    document side never reshuffles on the trigram; the per-doc argmax
+    partitions by doc_id. Training data = classification data here
+    (self-classification), which is the deterministic-oracle form;
+    train/test splitting composes with `train_val_test_split`."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    )
+    tri = d.filter(F.length("t") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("tri"),
+    )
+    cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    wl = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    prof = (
+        cnt.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 50)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    dtri = tri.select("doc_id", "tri").distinct()
+    ov = (
+        dtri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("ov"), F.asc("plang"))
+    pred = (
+        ov.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "plang")
+    )
+    return (
+        d.join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce(F.col("plang"), F.lit("unk")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
