@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.sketches",
     "wire_spark.queries.features",
     "wire_spark.queries.langid",
+    "wire_spark.queries.text3",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

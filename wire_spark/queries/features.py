@@ -267,6 +267,161 @@ def negative_sampling_pairs(spark, sf_dir):
 # duplication-rate audit per source
 # --------------------------------------------------------------------
 
+# --------------------------------------------------------------------
+# pairwise Pearson correlation between event-type hourly series
+# --------------------------------------------------------------------
+
+_TYPECORR_ORACLE = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(hr) AS mn, max(hr) AS mx FROM hc),
+grid_h AS (
+  SELECT unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR)) AS hr FROM span s
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, g.hr FROM types t CROSS JOIN grid_h g),
+dense AS (
+  SELECT g.event_type, g.hr, COALESCE(h.c, 0) AS c
+  FROM grid g LEFT JOIN hc h USING (event_type, hr)
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sx2, sum(b.c * b.c) AS sy2
+  FROM dense a JOIN dense b ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_hours,
+       floor((n * sxy - sx * sy) * 10000.0 /
+             sqrt((n * sx2 - sx * sx) * 1.0 * (n * sy2 - sy * sy))) / 10000.0
+         AS pearson_r
+FROM pairs
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_type_correlation", oracle=_TYPECORR_ORACLE,
+          doc="pairwise Pearson correlation between per-type hourly "
+              "activity series (gap hours count as zero)")
+def events_type_correlation(spark, sf_dir):
+    """Cross-signal analysis: Pearson r between every pair of event
+    types' hourly activity series, densified so silent hours count
+    as zero (otherwise correlation is computed on a biased support).
+    All five moment sums are exact integers; the only float math is
+    one sqrt + division at the end, floor-truncated at 4dp.
+
+    Scale shape: the data-sized step is the hourly count (one
+    shuffle, map-side combine); the series align on the hour grid —
+    bounded by wall-clock span, not data volume — and the pair join
+    fans each grid row out by the (small) type count. Constant-series
+    pairs (zero variance) are excluded rather than divided by zero.
+    At extreme scale the BIGINT moments would overflow around 3e9
+    events/hour-pair; promote the sums to DECIMAL(38,0) there."""
+    ev = T(spark, sf_dir, "events")
+    hc = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = hc.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid_h = span.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(grid_h)
+    dense = grid.join(hc, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "hr", F.col("c").alias("ca")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "hr", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, ["hr"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sx2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("sy2"),
+        )
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    r = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(10000.0)
+        / F.sqrt(vx * F.lit(1.0) * vy)
+    ) / F.lit(10000.0)
+    return (
+        pairs.filter((vx > 0) & (vy > 0))
+        .select("type_a", "type_b", F.col("n").alias("n_hours"),
+                r.alias("pearson_r"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':w'),
+                          1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+           / n_chars AS key
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       floor(key * 100000000.0) / 100000000.0 AS sample_key
+FROM k
+ORDER BY sample_key, doc_id
+LIMIT 40
+"""
+
+
+@register("sample_weighted_by_length", oracle=_WSAMPLE_ORACLE,
+          doc="weighted sample without replacement (Efraimidis-Spirakis "
+              "A-ES, md5-seeded): 40 docs drawn proportional to length")
+def sample_weighted_by_length(spark, sf_dir):
+    """Weighted sampling without replacement via the A-ES one-pass
+    reduction (Efraimidis & Spirakis 2006): each row draws a uniform
+    u from its md5 hash and keys itself by -ln(u)/weight; the k
+    smallest keys ARE a weight-proportional sample. That turns
+    weighted WOR sampling — normally a sequential process — into a
+    stateless projection + top-k, the shape that scales: no global
+    sort (TakeOrdered), no driver-side pass, reproducible across
+    runs and engines because u is md5-derived, not a RNG.
+
+    Weights here are n_chars (longer docs proportionally likelier —
+    the token-budget-aware sampling a corpus builder wants); any
+    positive column works."""
+    docs = T(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":w"))) + 1
+    ) / F.lit(1152921504606846976.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.floor(key * F.lit(100000000.0)) / F.lit(100000000.0)).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(40)
+    )
+
+
 _DUPRATE_ORACLE = """
 WITH h AS (SELECT source, md5(text) AS h FROM documents)
 SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
