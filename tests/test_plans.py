@@ -217,3 +217,25 @@ def test_langid_broadcasts_trained_profile(spark, sf_dir):
     # scoring join — the document side never reshuffles on trigram
     df = _df(spark, sf_dir, "text_langid_trigram_trained")
     assert has_broadcast_join(df)
+
+
+def test_trigram_paths_single_window(spark, sf_dir):
+    # both lag() calls share one window spec — Spark must collapse
+    # them into a single WindowExec (one shuffle + one sort over the
+    # event stream, not two)
+    import re
+
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "events_trigram_paths")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    assert has_take_ordered(df)
+
+
+def test_markov_one_data_sized_shuffle(spark, sf_dir):
+    # the user_id lag window is the only exchange over the event
+    # stream; everything after operates on the <=|types|^2
+    # transition table (count agg, per-prev total, final sort)
+    df = _df(spark, sf_dir, "events_markov_transitions")
+    assert count_shuffles(df) <= 4

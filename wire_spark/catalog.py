@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.features",
     "wire_spark.queries.langid",
     "wire_spark.queries.text3",
+    "wire_spark.queries.paths",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

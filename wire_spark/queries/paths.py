@@ -1,0 +1,141 @@
+"""Sequential-pattern mining over the event stream: first-order
+Markov transition matrix between event types and the most frequent
+3-step paths per user timeline.
+
+These are the session-modeling ops a behavioral/training-data
+pipeline runs to featurize user journeys (next-event prediction
+labels, funnel priors). Reference parity: the reference's stream
+processor exposes only map/filter transforms (internal/pipeline,
+SURVEY §2.3); sequence mining is part of this repo's
+beyond-reference training-data surface.
+
+Cross-engine notes (NOTES.md rules):
+- ordering inside a user timeline uses the full tiebreak chain
+  (ts, event_id) — event_id is unique, so lag() is deterministic.
+- transition probability = count/total: exact BIGINT numerator and
+  denominator, one floor-truncated division at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from wire_spark.catalog import register
+from wire_spark.queries._util import T
+
+# --------------------------------------------------------------------
+# first-order Markov transition matrix between event types
+# --------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, sum(n_trans) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.prev_type, t.next_type, t.n_trans, o.n_from,
+       floor(t.n_trans * 1000000.0 / o.n_from) / 1000000.0 AS p_trans
+FROM trans t JOIN tot o USING (prev_type)
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE,
+          doc="first-order Markov transition matrix over per-user "
+              "event-type sequences (counts + 6dp probabilities)")
+def events_markov_transitions(spark, sf_dir):
+    """P(next event type | current event type), estimated from every
+    adjacent pair in each user's (ts, event_id)-ordered timeline.
+
+    Scale shape: ONE data-sized shuffle — the lag() window on
+    user_id; the transition table that leaves it is |types|² rows,
+    so the count agg and the per-prev total join are metadata-sized.
+    The per-prev total reuses the transition agg output (no second
+    pass over events). Probability math is exact-integer
+    numerator/denominator with one 6dp floor division."""
+    ev = T(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot_w = W.partitionBy("prev_type")
+    return (
+        trans.withColumn("n_from", F.sum("n_trans").over(tot_w))
+        .withColumn(
+            "p_trans",
+            F.floor(F.col("n_trans") * F.lit(1000000.0) / F.col("n_from"))
+            / F.lit(1000000.0),
+        )
+        .select("prev_type", "next_type", "n_trans", "n_from", "p_trans")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------
+# most frequent 3-step event-type paths
+# --------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t2
+  FROM events
+)
+SELECT t2 AS step1, t1 AS step2, event_type AS step3, count(*) AS n_paths
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 25
+"""
+
+
+@register("events_trigram_paths", oracle=_TRIGRAM_ORACLE,
+          doc="25 most frequent 3-step event-type paths across user "
+              "timelines")
+def events_trigram_paths(spark, sf_dir):
+    """Top 3-step paths (A then B then C by the same user), the raw
+    material for journey featurization and next-step labels.
+
+    Scale shape: the two lag() windows share ONE user_id window
+    (single shuffle, single sort — Spark collapses same-spec window
+    functions into one WindowExec); the path agg output is at most
+    |types|³ rows and the top-25 is a TakeOrderedAndProject with a
+    full tiebreak chain."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull())
+        .groupBy(
+            F.col("t2").alias("step1"),
+            F.col("t1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(25)
+    )
