@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.langid",
     "wire_spark.queries.text3",
     "wire_spark.queries.paths",
+    "wire_spark.queries.graphq",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
