@@ -465,3 +465,62 @@ def dedup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# stratified weighted sample: top-k A-ES draw per source
+# --------------------------------------------------------------------
+
+_STRATWS_ORACLE = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':w'),
+                          1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+           / n_chars AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         floor(key * 100000000.0) / 100000000.0 AS sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key, doc_id) AS rk
+  FROM k
+)
+SELECT source, doc_id, n_chars, sample_key
+FROM r WHERE rk <= 10
+ORDER BY source, sample_key, doc_id
+"""
+
+
+@register("sample_weighted_per_source", oracle=_STRATWS_ORACLE,
+          doc="stratified weighted sample: 10 docs per source drawn "
+              "proportional to length (A-ES per stratum)")
+def sample_weighted_per_source(spark, sf_dir):
+    """Per-stratum Efraimidis-Spirakis draw: the k smallest
+    -ln(u)/weight keys WITHIN each source are a weight-proportional
+    sample of that source — the balanced-mixture sampler a corpus
+    builder uses when sources must keep fixed representation.
+
+    Scale shape: one shuffle on ``source``; the rank-<=10 filter
+    compiles to WindowGroupLimit, so each partition retains only its
+    top 10 candidates map-side before the shuffle — per-stratum
+    top-k, never a global sort. Same md5-seeded key as
+    ``sample_weighted_by_length`` (reproducible, engine-portable)."""
+    docs = T(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":w"))) + 1
+    ) / F.lit(1152921504606846976.0)
+    key = -F.log(u) / F.col("n_chars")
+    w = W.partitionBy("source").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            (F.floor(F.col("key") * F.lit(100000000.0))
+             / F.lit(100000000.0)).alias("sample_key"),
+        )
+        .orderBy("source", "sample_key", "doc_id")
+    )

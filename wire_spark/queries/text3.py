@@ -74,3 +74,113 @@ def text_token_entropy(spark, sf_dir):
         .orderBy(F.asc("entropy"), F.asc("doc_id"))
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------
+# bigram conditional log-probability (second-order LM quality score)
+# --------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+  FROM documents
+), w2 AS (SELECT doc_id, words FROM w WHERE len(words) >= 2),
+occ AS (
+  SELECT doc_id,
+         unnest([ words[i] || ' ' || words[i+1]
+                  for i in range(1, len(words)) ]) AS bg
+  FROM w2
+),
+bgc AS (SELECT bg, count(*) AS cb FROM occ GROUP BY bg),
+lc AS (
+  SELECT split_part(bg, ' ', 1) AS lw, sum(cb) AS cl FROM bgc GROUP BY 1
+),
+model AS (
+  SELECT bg, CAST(floor(ln(cb * 1.0 / cl) * 1000000.0) AS BIGINT) AS lp6
+  FROM bgc JOIN lc ON split_part(bgc.bg, ' ', 1) = lc.lw
+),
+scored AS (SELECT occ.doc_id, model.lp6 FROM occ JOIN model USING (bg))
+SELECT doc_id, count(*) AS n_bigrams,
+       floor(sum(lp6) * 1.0 / count(*) / 1000000.0 * 10000.0) / 10000.0
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 30
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE,
+          doc="bigram conditional log-probability (2nd-order LM "
+              "perplexity proxy): 30 most surprising documents")
+def text_bigram_logprob(spark, sf_dir):
+    """Average log P(w_i | w_{i-1}) per document under the corpus
+    MLE bigram model — the second-order refinement of
+    ``text_unigram_logprob``: word-salad that sails past a unigram
+    model (common words, nonsense order) scores poorly here.
+
+    Cross-engine: each distinct bigram's log-prob is floored into
+    integer micro-units once, in the model table, so the per-doc
+    fold is an exact-integer sum; one floor-truncated division chain
+    at the end (NOTES.md rule 1).
+
+    Scale shape: bigram extraction is a pure array op inside the
+    scan projection (transform over sequence — NO shuffle, text
+    never leaves the task); the bigram count shuffles once on ``bg``
+    with map-side combine; the left-margin table derives from the
+    already-aggregated counts (vocab-sized, not corpus-sized); the
+    model (distinct-bigram-sized) joins back to occurrences on the
+    same ``bg`` key. Per-doc rollup is one more shuffle + TakeOrdered
+    top-30."""
+    docs = T(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x != '')").alias(
+                "words"
+            ),
+        )
+        .filter(F.expr("size(words) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> concat(element_at(words, i), ' ', "
+                    "element_at(words, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bgc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    lc = (
+        bgc.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("lw"))
+        .agg(F.sum("cb").alias("cl"))
+    )
+    model = (
+        bgc.join(lc, F.split(bgc.bg, " ").getItem(0) == lc.lw)
+        .select(
+            "bg",
+            F.floor(
+                F.log(F.col("cb") * F.lit(1.0) / F.col("cl")) * F.lit(1000000.0)
+            ).cast("long").alias("lp6"),
+        )
+    )
+    scored = occ.join(model, "bg")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(
+                F.sum("lp6") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0)
+                * F.lit(10000.0)
+            ).alias("_a"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_a") / F.lit(10000.0)).alias("avg_logprob"),
+        )
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(30)
+    )
