@@ -213,3 +213,97 @@ def test_winnowing_disjoint_docs_no_overlap(spark):
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     assert winnow_pair_overlap(df).collect() == []
+
+
+# --------------------------------------------------------------------
+# PageRank invariants (pagerank_fixed on synthetic graphs)
+# --------------------------------------------------------------------
+
+
+def _pr(spark, pair_list, iterations=3):
+    from wire_spark.operators.graph import pagerank_fixed
+
+    pairs = spark.createDataFrame(pair_list, "src long, dst long")
+    edges = pairs.union(pairs.selectExpr("dst as src", "src as dst"))
+    return {
+        r["node"]: (r["d"], r["r"])
+        for r in pagerank_fixed(edges, iterations=iterations).collect()
+    }
+
+
+def test_pagerank_complete_graph_uniform(spark):
+    # K4: perfect symmetry => every node must hold exactly the same
+    # fixed-point rank after any number of iterations
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    ranks = _pr(spark, k4)
+    assert len(ranks) == 4
+    assert len({r for _, r in ranks.values()}) == 1
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star(1 center, 5 leaves): the center absorbs every leaf's full
+    # contribution each round => strictly larger rank than any leaf,
+    # and all leaves identical by symmetry
+    star = [(0, i) for i in range(1, 6)]
+    ranks = _pr(spark, star)
+    center = ranks[0][1]
+    leaves = {r for n, (_, r) in ranks.items() if n != 0}
+    assert len(leaves) == 1
+    assert center > next(iter(leaves))
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # integer flooring only ever LOSES mass: total rank stays within
+    # N * (per-node floor loss bound) below SCALE and never exceeds it
+    from wire_spark.operators.graph import _PR_SCALE
+
+    path = [(i, i + 1) for i in range(6)]  # path graph, 7 nodes
+    ranks = _pr(spark, path)
+    total = sum(r for _, r in ranks.values())
+    n = len(ranks)
+    assert total <= _PR_SCALE
+    # each node floors at most 3 divisions per iteration; loss per
+    # floor < 1 unit x contributing edges — a loose linear bound
+    assert total >= _PR_SCALE - 1000 * n
+
+
+# --------------------------------------------------------------------
+# Markov transition matrix invariants
+# --------------------------------------------------------------------
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    reg = load_registry()
+    rows = reg["events_markov_transitions"].fn(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        n_from = grp[0]["n_from"]
+        assert sum(g["n_trans"] for g in grp) == n_from
+        p_sum = sum(g["p_trans"] for g in grp)
+        # floored 6dp probabilities: sum in (1 - k*1e-6, 1]
+        assert 1.0 - len(grp) * 1e-6 <= p_sum <= 1.0 + 1e-9
+
+
+# --------------------------------------------------------------------
+# weighted-sample (A-ES) stratification invariant
+# --------------------------------------------------------------------
+
+
+def test_weighted_sample_strata_sizes(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    from wire_spark.queries._util import T
+
+    reg = load_registry()
+    rows = reg["sample_weighted_per_source"].fn(spark, sf_dir).collect()
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    n_sources = T(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(per_src) == n_sources  # every stratum represented
+    assert all(c <= 10 for c in per_src.values())

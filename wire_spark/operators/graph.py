@@ -205,3 +205,57 @@ def connected_components_star(
     finally:
         if prev_dir is not None:
             spark.sparkContext.setCheckpointDir(prev_dir)
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
+_PR_TELEPORT = _PR_SCALE * 15 // 100
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank with damping 0.85 over a directed
+    edge list, ranks in 1e12 fixed-point BIGINTs.
+
+    Every step is integer arithmetic (contribution ``rank div
+    out_degree``, damping ``(85*sum) div 100``, teleport
+    ``(0.15*SCALE) div N``), so results are bit-reproducible across
+    runs, partitionings, and engines — no float summation order
+    anywhere. Assumes every node has out-degree >= 1 (true for
+    undirected graphs fed as both directions); dangling-node mass is
+    not redistributed.
+
+    Scale shape: per iteration, one shuffle of the node-sized rank
+    table on the join key + one sum-agg on ``dst`` — the classic
+    Pregel step as DataFrames. The edge list's partitioning on
+    ``src`` is reused across iterations. Returns
+    ``(node, d, r)`` — out-degree and final fixed-point rank.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "d", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"), F.expr("r div d").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            sums.crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({_PR_TELEPORT} AS BIGINT) div n + (85 * s) div 100"
+                ).alias("r"),
+            )
+            .join(deg, "node")
+            .select("node", "d", "r")
+        )
+    return ranks

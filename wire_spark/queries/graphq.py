@@ -97,33 +97,13 @@ def graph_pagerank_neardup(spark, sf_dir):
     never a corpus-sized pass. Every node of the undirected graph
     has degree >= 1, so there are no dangling-mass corrections to
     fold in."""
+    from wire_spark.operators.graph import pagerank_fixed
+
     pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "d", F.expr(f"CAST({_SCALE} AS BIGINT) div n").alias("r")
-    )
-    for _ in range(3):
-        contrib = edges.join(ranks, edges.src == ranks.node).select(
-            F.col("dst").alias("node"), F.expr("r div d").alias("c")
-        )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            sums.crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({_TELEPORT} AS BIGINT) div n + (85 * s) div 100"
-                ).alias("r"),
-            )
-            .join(deg, "node")
-            .select("node", "d", "r")
-        )
+    ranks = pagerank_fixed(edges, iterations=3)
     return (
         ranks.select(
             F.col("node").alias("doc_id"),
