@@ -68,3 +68,149 @@ def skew_audit_events_user(spark, sf_dir):
             F.floor(F.col("n_rows") * F.lit(1.0) / F.col("n_keys")).cast("long").alias("avg_per_key"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# robust outlier audit: median / MAD per event type
+# --------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), mpos AS (
+  SELECT DISTINCT event_type, n,
+         CAST(floor((n - 1) * 0.5::DOUBLE) AS BIGINT) + 1 AS lo_rn,
+         CAST(ceil((n - 1) * 0.5::DOUBLE)  AS BIGINT) + 1 AS hi_rn,
+         (n - 1) * 0.5::DOUBLE - floor((n - 1) * 0.5::DOUBLE) AS frac
+  FROM ranked
+), med AS (
+  SELECT m.event_type, m.n,
+         lo.value + (hi.value - lo.value) * m.frac AS med
+  FROM mpos m
+  JOIN ranked lo ON lo.event_type = m.event_type AND lo.rn = m.lo_rn
+  JOIN ranked hi ON hi.event_type = m.event_type AND hi.rn = m.hi_rn
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - med.med) AS d
+  FROM events e JOIN med ON e.event_type = med.event_type
+), dranked AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), dpos AS (
+  SELECT DISTINCT event_type, n,
+         CAST(floor((n - 1) * 0.5::DOUBLE) AS BIGINT) + 1 AS lo_rn,
+         CAST(ceil((n - 1) * 0.5::DOUBLE)  AS BIGINT) + 1 AS hi_rn,
+         (n - 1) * 0.5::DOUBLE - floor((n - 1) * 0.5::DOUBLE) AS frac
+  FROM dranked
+), mad AS (
+  SELECT p.event_type, lo.d + (hi.d - lo.d) * p.frac AS mad
+  FROM dpos p
+  JOIN dranked lo ON lo.event_type = p.event_type AND lo.rn = p.lo_rn
+  JOIN dranked hi ON hi.event_type = p.event_type AND hi.rn = p.hi_rn
+), outl AS (
+  SELECT e.event_type, count(*) AS n_outliers
+  FROM events e
+  JOIN med ON e.event_type = med.event_type
+  JOIN mad ON e.event_type = mad.event_type
+  WHERE abs(e.value - med.med) > 3 * mad.mad
+  GROUP BY e.event_type
+)
+SELECT med.event_type, med.n AS n_events,
+       floor(med.med * 10000.0) / 10000.0 AS med,
+       floor(mad.mad * 10000.0) / 10000.0 AS mad,
+       COALESCE(outl.n_outliers, 0) AS n_outliers
+FROM med
+JOIN mad ON med.event_type = mad.event_type
+LEFT JOIN outl ON med.event_type = outl.event_type
+ORDER BY med.event_type
+"""
+
+
+@register("robust_outliers_mad", oracle=_MAD_ORACLE,
+          doc="robust per-type outlier audit: exact median, MAD, and "
+              ">3-MAD outlier counts over event values")
+def robust_outliers_mad(spark, sf_dir):
+    """Median/MAD outlier detection per event type — the robust
+    (contamination-proof) alternative to mean/stddev z-scores a data
+    auditor runs before trusting a value column. Medians are the
+    hand-rolled exact interpolation (same formulation as
+    ``percentile_order_value`` — the engines' percentile_cont
+    builtins differ in float path), so med and mad are bit-identical
+    in both engines and the >3*MAD comparison can use FULL-precision
+    values on both sides; output is floor-truncated for display only.
+
+    Scale shape: two windowed rank passes partitioned by event_type
+    (each one shuffle; the deviation pass re-keys the same column)
+    plus one outlier-count scan with the |types|-row med/mad tables
+    broadcast. No global windows, no driver loops. Skewed types cost
+    what any per-key sort costs; salting applies if one type
+    dominates."""
+    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def _exact_median(df, val_col, key="event_type", tie="event_id"):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(key).orderBy(val_col, tie)
+        ranked = df.select(
+            key, val_col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy(key)).alias("n"),
+        )
+        h = (F.col("n") - 1) * F.lit(0.5)
+        pos = ranked.select(key, "n").distinct().select(
+            key, "n",
+            (F.floor(h) + 1).alias("lo_rn"),
+            (F.ceil(h) + 1).alias("hi_rn"),
+            (h - F.floor(h)).alias("frac"),
+        )
+        lo = ranked.select(
+            F.col(key).alias("k_l"), F.col("rn").alias("lo_rn"),
+            F.col(val_col).alias("v_lo"),
+        )
+        hi = ranked.select(
+            F.col(key).alias("k_h"), F.col("rn").alias("hi_rn"),
+            F.col(val_col).alias("v_hi"),
+        )
+        return (
+            pos.join(lo, (pos[key] == lo.k_l) & (pos.lo_rn == lo.lo_rn))
+            .join(hi, (pos[key] == hi.k_h) & (pos.hi_rn == hi.hi_rn))
+            .select(
+                key, "n",
+                (F.col("v_lo")
+                 + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("m"),
+            )
+        )
+
+    med = _exact_median(ev, "value").select(
+        "event_type", F.col("n").alias("n_events"), F.col("m").alias("med")
+    )
+    dev = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = _exact_median(dev, "d").select(
+        "event_type", F.col("m").alias("mad")
+    )
+    mm = med.join(mad, "event_type")
+    outl = (
+        ev.join(F.broadcast(mm.select("event_type", "med", "mad")), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > F.lit(3) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mm.join(outl, "event_type", "left")
+        .select(
+            "event_type", "n_events",
+            (F.floor(F.col("med") * F.lit(10000.0)) / F.lit(10000.0)).alias("med"),
+            (F.floor(F.col("mad") * F.lit(10000.0)) / F.lit(10000.0)).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
