@@ -230,3 +230,110 @@ def sequence_packing_plan(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------
+# composed corpus-cleaning pipeline: exact dedup -> near-dup removal
+# -> quality filter -> train/val/test split
+# --------------------------------------------------------------------
+
+from wire_spark.queries.dedup import _SHINGLES_CTE, _jaccard_pairs  # noqa: E402
+
+_CLEAN_ORACLE = _SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), ex AS (
+  SELECT min(doc_id) AS keep FROM documents GROUP BY md5(text)
+), clean AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS b
+  FROM documents d
+  WHERE d.doc_id IN (SELECT keep FROM ex)
+    AND d.doc_id NOT IN (SELECT d2 FROM dup_pairs)
+    AND (0.4 * least(1.0, d.n_chars / 500.0)
+       + 0.3 * (length(list_distinct(regexp_extract_all(d.text, '\S+'))) * 1.0
+                / length(regexp_extract_all(d.text, '\S+')))
+       + 0.3 * (length(regexp_extract_all(d.text, '\b(?:the|a|of|and|in)\b')) * 1.0
+                / length(regexp_extract_all(d.text, '\S+')))) >= 0.4
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM clean
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("corpus_clean_split", oracle=_CLEAN_ORACLE,
+          doc="composed cleaning pipeline: exact dedup -> near-dup "
+              "removal -> quality filter -> 80/10/10 split summary")
+def corpus_clean_split(spark, sf_dir):
+    """The end-to-end corpus-curation flagship: compose four
+    already-verified stages into ONE declarative plan — exact
+    dedup (keep min doc_id per md5), near-dup removal (drop the
+    higher id of every >=0.8-Jaccard pair), heuristic quality
+    filter (same weighted score as ``text_quality_score``,
+    full-precision threshold 0.4), then the deterministic
+    80/10/10 hash split — and emit per-split doc/char totals.
+
+    The point of composing INSIDE one DataFrame plan (vs running
+    four jobs and materializing between them): no intermediate
+    parquet round-trips — the keep-set (id-only) and the near-dup
+    pair set (tiny, broadcast anti-join) flow straight into the main
+    pass, whose scan evaluates the quality predicate in place. The
+    corpus is scanned three times (md5 agg, shingle join, main
+    pass), each scan pruned to just the columns that stage needs —
+    at 100 TB the shingle scan is the one to replace with the LSH
+    banding pass, which also reads text exactly once. Each stage is
+    the already-audited scale shape (hash agg; capped shingle join
+    — swap LSH edges per ``dedup_components_lsh`` at full scale;
+    scan-local quality expression; hash-bucket split)."""
+    from wire_spark.functions.text import stopword_tokens, ws_tokens
+    from wire_spark.queries._util import md5_long
+
+    docs = T(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dup_d2 = _jaccard_pairs(spark, sf_dir, 0.8).select(
+        F.col("d2").alias("doc_id")
+    ).distinct()
+    toks = ws_tokens("text")
+    n_tokens = F.size(toks)
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+        + F.lit(0.3) * (F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens)
+        + F.lit(0.3) * (F.size(stopword_tokens("text")) * F.lit(1.0) / n_tokens)
+    )
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    clean = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(F.broadcast(dup_d2), "doc_id", "left_anti")
+        .filter(quality >= F.lit(0.4))
+        .select(
+            "doc_id", "n_chars",
+            F.when(b < 80, "train").when(b < 90, "val")
+            .otherwise("test").alias("split"),
+        )
+    )
+    return (
+        clean.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
