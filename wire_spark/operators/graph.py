@@ -216,6 +216,7 @@ def pagerank_fixed(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with damping 0.85 over a directed
     edge list, ranks in 1e12 fixed-point BIGINTs.
@@ -230,32 +231,51 @@ def pagerank_fixed(
 
     Scale shape: per iteration, one shuffle of the node-sized rank
     table on the join key + one sum-agg on ``dst`` — the classic
-    Pregel step as DataFrames. The edge list's partitioning on
-    ``src`` is reused across iterations. Returns
+    Pregel step as DataFrames. The edge list is referenced by every
+    iteration, so its lineage is truncated ONCE up front (otherwise
+    an expensive upstream edge derivation — e.g. a shingle join —
+    re-executes per reference); rank lineage is truncated per
+    iteration exactly like ``connected_components`` rounds, with the
+    same reliable-vs-local checkpoint choice. Returns
     ``(node, d, r)`` — out-degree and final fixed-point rank.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    spark = edges.sparkSession
+    prev_dir = (
+        _set_checkpoint_dir(spark, checkpoint_dir) if checkpoint_dir is not None else None
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "d", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r")
-    )
-    for _ in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.node).select(
-            F.col("dst").alias("node"), F.expr("r div d").alias("c")
+    _persist = _round_persister(spark, checkpoint_dir)
+    try:
+        e = _persist(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            sums.crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({_PR_TELEPORT} AS BIGINT) div n + (85 * s) div 100"
-                ).alias("r"),
+        deg = _persist(
+            e.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
             )
-            .join(deg, "node")
-            .select("node", "d", "r")
         )
-    return ranks
+        nn = deg.agg(F.count(F.lit(1)).alias("n"))
+        ranks = deg.crossJoin(F.broadcast(nn)).select(
+            "node", "d", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r")
+        )
+        for i in range(iterations):
+            contrib = e.join(ranks, e.src == ranks.node).select(
+                F.col("dst").alias("node"), F.expr("r div d").alias("c")
+            )
+            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                sums.crossJoin(F.broadcast(nn))
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST({_PR_TELEPORT} AS BIGINT) div n + (85 * s) div 100"
+                    ).alias("r"),
+                )
+                .join(deg, "node")
+                .select("node", "d", "r")
+            )
+            if i < iterations - 1:
+                ranks = _persist(ranks)
+        return ranks
+    finally:
+        if prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)

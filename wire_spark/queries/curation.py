@@ -273,7 +273,7 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@register("corpus_clean_split", oracle=_CLEAN_ORACLE,
+@register("corpus_clean_split", oracle=_CLEAN_ORACLE, bench=True,
           doc="composed cleaning pipeline: exact dedup -> near-dup "
               "removal -> quality filter -> 80/10/10 split summary")
 def corpus_clean_split(spark, sf_dir):

@@ -132,7 +132,7 @@ ORDER BY med.event_type
 """
 
 
-@register("robust_outliers_mad", oracle=_MAD_ORACLE,
+@register("robust_outliers_mad", oracle=_MAD_ORACLE, bench=True,
           doc="robust per-type outlier audit: exact median, MAD, and "
               ">3-MAD outlier counts over event values")
 def robust_outliers_mad(spark, sf_dir):

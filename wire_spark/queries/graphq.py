@@ -79,7 +79,7 @@ LIMIT 50
 """
 
 
-@register("graph_pagerank_neardup", oracle=_PAGERANK_ORACLE,
+@register("graph_pagerank_neardup", oracle=_PAGERANK_ORACLE, bench=True,
           doc="3-iteration integer-exact PageRank over the >=0.8 "
               "Jaccard near-dup graph: 50 most central documents")
 def graph_pagerank_neardup(spark, sf_dir):

@@ -50,7 +50,7 @@ ORDER BY t.prev_type, t.next_type
 """
 
 
-@register("events_markov_transitions", oracle=_MARKOV_ORACLE,
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE, bench=True,
           doc="first-order Markov transition matrix over per-user "
               "event-type sequences (counts + 6dp probabilities)")
 def events_markov_transitions(spark, sf_dir):

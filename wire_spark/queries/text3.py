@@ -35,7 +35,7 @@ FROM pd ORDER BY entropy ASC, doc_id LIMIT 30
 """
 
 
-@register("text_token_entropy", oracle=_ENTROPY_ORACLE,
+@register("text_token_entropy", oracle=_ENTROPY_ORACLE, bench=True,
           doc="Shannon entropy of each document's token distribution — "
               "30 lowest-entropy (most boilerplate) documents")
 def text_token_entropy(spark, sf_dir):
@@ -110,7 +110,7 @@ LIMIT 30
 """
 
 
-@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE,
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE, bench=True,
           doc="bigram conditional log-probability (2nd-order LM "
               "perplexity proxy): 30 most surprising documents")
 def text_bigram_logprob(spark, sf_dir):
