@@ -524,3 +524,97 @@ def sample_weighted_per_source(spark, sf_dir):
         )
         .orderBy("source", "sample_key", "doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# cross-source contamination matrix (shared near-dup content)
+# --------------------------------------------------------------------
+
+_XSOURCE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1) ]) AS shingle
+  FROM w
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dpairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), spairs AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         count(*) AS n_pairs
+  FROM dpairs p
+  JOIN documents da ON p.d1 = da.doc_id
+  JOIN documents db ON p.d2 = db.doc_id
+  GROUP BY 1, 2
+),
+per_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT s.source_a, s.source_b, s.n_pairs,
+       sa.n_docs AS n_a, sb.n_docs AS n_b
+FROM spairs s
+JOIN per_src sa ON s.source_a = sa.source
+JOIN per_src sb ON s.source_b = sb.source
+ORDER BY s.source_a, s.source_b
+"""
+
+
+@register("source_contamination_matrix", oracle=_XSOURCE_ORACLE,
+          doc="cross-source contamination: near-dup pairs shared "
+              "between source pairs (includes within-source diagonal)")
+def source_contamination_matrix(spark, sf_dir):
+    """Which sources republish (near-copies of) each other's
+    documents: every >=0.8-Jaccard pair is mapped to its unordered
+    source pair and counted, with per-source doc counts as margins.
+    Off-diagonal entries are the provenance audit a corpus builder
+    runs before per-source mixing weights — content double-counted
+    across sources silently doubles its effective weight; the
+    diagonal is within-source duplication.
+
+    Scale shape: pair building is the capped-Jaccard join (bounded;
+    LSH edges at full scale, as elsewhere); the two provenance
+    lookups join the TINY pair list against the (doc_id, source)
+    projection — broadcast the pair side, never the corpus; the
+    matrix is |sources|^2. Text never shuffles."""
+    from wire_spark.queries.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        F.broadcast(pairs)
+        .join(src.select(F.col("doc_id").alias("d1"),
+                         F.col("source").alias("sa")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"),
+                         F.col("source").alias("sb")), "d2")
+    )
+    spairs = (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    per_src = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        spairs.join(
+            F.broadcast(per_src.select(F.col("source").alias("source_a"),
+                                       F.col("n_docs").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("source_b"),
+                                       F.col("n_docs").alias("n_b"))),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_pairs", "n_a", "n_b")
+        .orderBy("source_a", "source_b")
+    )
