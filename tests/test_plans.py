@@ -239,3 +239,22 @@ def test_markov_one_data_sized_shuffle(spark, sf_dir):
     # transition table (count agg, per-prev total, final sort)
     df = _df(spark, sf_dir, "events_markov_transitions")
     assert count_shuffles(df) <= 4
+
+
+def test_corpus_clean_broadcasts_tiny_sides(spark, sf_dir):
+    # the near-dup drop-list must broadcast into an anti-join and the
+    # md5 keep-set into a semi-join — the corpus-sized side never
+    # shuffles for either
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "corpus_clean_split")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_contamination_matrix_broadcasts_pairs(spark, sf_dir):
+    # provenance lookups join the tiny pair list to the corpus —
+    # pair side broadcast, corpus side never reshuffled
+    df = _df(spark, sf_dir, "source_contamination_matrix")
+    assert has_broadcast_join(df)

@@ -337,3 +337,77 @@ def corpus_clean_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------
+# sliding-window context chunking (size 128, stride 96)
+# --------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), starts AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(1, n_tokens, 96)) AS start
+  FROM lens
+), chunks AS (
+  SELECT doc_id, n_tokens, start,
+         least(128, n_tokens - start + 1) AS chunk_len
+  FROM starts
+)
+SELECT doc_id, n_tokens,
+       count(*) AS n_chunks,
+       sum(chunk_len) AS emitted_tokens,
+       sum(chunk_len) - n_tokens AS overlap_tokens
+FROM chunks
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+LIMIT 50
+"""
+
+
+@register("context_chunking_plan", oracle=_CHUNK_ORACLE,
+          doc="sliding-window context chunking (size 128, stride 96): "
+              "per-doc chunk counts and overlap cost")
+def context_chunking_plan(spark, sf_dir):
+    """Split each document into overlapping context windows (chunk
+    size 128 tokens, stride 96 => 32-token overlap) — the chunking
+    every long-document pretraining pipeline runs before packing —
+    and audit per-doc chunk counts and the token cost of the
+    overlap. With ``sequence_packing_plan`` (bin packing) and
+    ``train_val_test_split`` this completes the chunk -> pack ->
+    split prep chain.
+
+    The chunk windows are REAL (built with transform over
+    sequence(start, stride) inside the scan projection — the same
+    zero-shuffle array path as bigram extraction; a downstream
+    consumer would explode these structs into training rows); this
+    audit then aggregates them per doc. One shuffle for the per-doc
+    rollup, TakeOrdered for the preview rows. Token arithmetic is
+    all-integer, so the oracle (closed-form via generate_series)
+    matches exactly."""
+    d = T(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')), 96), "
+                "s -> struct(s AS start, "
+                "least(128, size(split(text, ' ')) - s + 1) AS chunk_len))"
+            )
+        ).alias("ch"),
+    )
+    return (
+        chunks.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("ch.chunk_len").alias("emitted_tokens"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_chunks", "emitted_tokens",
+            (F.col("emitted_tokens") - F.col("n_tokens")).alias("overlap_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
