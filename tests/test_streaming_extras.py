@@ -430,3 +430,60 @@ def test_streaming_heavy_hitters_exact_at_capacity(spark, tmp_path):
     spark_row = top["spark"]
     assert spark_row.freq >= 7                 # never undercounts
     assert spark_row.freq - spark_row.err <= 7  # overestimate within bound
+
+
+def test_streaming_markov_transitions_batch_parity(spark, tmp_path):
+    """Streaming per-user transition emission: state carries the last
+    event across micro-batches; after draining two time-ordered
+    batches, the transition counts equal the batch Markov query's
+    n_trans exactly (same (ts, event_id) ordering)."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.markov_stream import transition_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cutoff = ev.agg(
+        F.date_format(
+            F.to_timestamp(F.expr("percentile(unix_timestamp(ts), 0.5)")),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+    ).first()[0]
+    src = str(tmp_path / "mk_in")
+    for name, pred in (("b1", F.col("ts") <= cutoff), ("b2", F.col("ts") > cutoff)):
+        rows = ev.filter(pred).select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_id", "event_type",
+        ).collect()
+        _write_jsonl(
+            os.path.join(src, f"{name}.json"),
+            [r.asDict() for r in rows],
+        )
+    collected: list = []
+    stream = _file_stream(spark, src).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_timestamp("ts").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    q = (
+        transition_stream(stream)
+        .writeStream.foreachBatch(lambda bdf, _e: collected.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stream_counts: dict[tuple, int] = {}
+    for r in collected:
+        k = (r.prev_type, r.next_type)
+        stream_counts[k] = stream_counts.get(k, 0) + 1
+    batch = load_registry()["events_markov_transitions"].fn(spark, sf_dir).collect()
+    batch_counts = {(r.prev_type, r.next_type): r.n_trans for r in batch}
+    assert batch_counts  # non-vacuous
+    assert stream_counts == batch_counts
