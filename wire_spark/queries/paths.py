@@ -139,3 +139,70 @@ def events_trigram_paths(spark, sf_dir):
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------
+# daily activity / adoption growth
+# --------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
+  GROUP BY user_id
+),
+daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_active
+  FROM events GROUP BY 1
+),
+news AS (
+  SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events, d.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       sum(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS cum_users
+FROM daily d LEFT JOIN news n ON d.day = n.day
+ORDER BY d.day
+"""
+
+
+@register("events_user_growth", oracle=_GROWTH_ORACLE,
+          doc="daily events, active users, new users, and cumulative "
+              "adoption curve")
+def events_user_growth(spark, sf_dir):
+    """Daily activity and adoption: events/day, distinct active
+    users/day, first-seen (new) users/day, and the cumulative
+    adoption curve.
+
+    Scale shape: two data-sized aggregations — first-seen day per
+    user (one shuffle on user_id, min-combine) and the daily
+    activity rollup (one shuffle on day; count-distinct expands to
+    (day, user) partial dedup) — then everything else operates on
+    the DAY table, whose size is bounded by wall-clock span, not
+    data volume; the running sum's unpartitioned window is over
+    those few hundred rows (same bounded-grid argument as
+    ``events_type_correlation``), never over events."""
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_active"),
+    )
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = W.orderBy("day")
+    return (
+        daily.join(news, "day", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events", "n_active", "n_new", "cum_users",
+        )
+        .orderBy("day")
+    )
