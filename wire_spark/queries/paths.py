@@ -206,3 +206,91 @@ def events_user_growth(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------
+# seasonal (hour-of-day) anomaly: residuals vs the diurnal profile
+# --------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+prof AS (
+  SELECT event_type, extract(hour FROM hr) AS hod,
+         count(*) AS n, sum(c) AS sx, sum(c * c) AS sx2
+  FROM hc GROUP BY 1, 2
+)
+SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hr, h.c,
+       p.n AS n_same_hod,
+       floor((h.c * p.n - p.sx) * 10000.0
+             / sqrt(p.n * p.sx2 - p.sx * p.sx)) / 10000.0 AS z_seasonal
+FROM hc h
+JOIN prof p ON h.event_type = p.event_type
+           AND extract(hour FROM h.hr) = p.hod
+WHERE p.n >= 3 AND (p.n * p.sx2 - p.sx * p.sx) > 0
+ORDER BY abs(floor((h.c * p.n - p.sx) * 10000.0
+             / sqrt(p.n * p.sx2 - p.sx * p.sx)) / 10000.0) DESC,
+         h.event_type, hr
+LIMIT 25
+"""
+
+
+@register("events_seasonal_anomaly", oracle=_SEASONAL_ORACLE,
+          doc="seasonality-aware anomaly: hourly counts z-scored "
+              "against their hour-of-day profile, top 25 deviations")
+def events_seasonal_anomaly(spark, sf_dir):
+    """Hourly counts scored against the DIURNAL profile — each
+    (type, hour) compares only to the same hour-of-day across days,
+    so a quiet 3am hour is never called anomalous for being below
+    the all-day mean (the mistake a global z-score makes on any
+    diurnal workload). ``events_hourly_anomaly`` is the global
+    variant; this is the seasonal one.
+
+    Cross-engine: the z-score is computed from exact integer moments
+    (n, sum x, sum x^2) — z = (c*n - sx) / sqrt(n*sx2 - sx^2), the
+    numerator-scaled form that avoids any intermediate float mean —
+    with one floor-truncated division at 4dp.
+
+    Scale shape: one shuffle for the hourly count (map-side
+    combine); the profile aggregates the hour table (bounded by
+    span x types x 24) and joins back to it on (type, hod) — both
+    sides metadata-sized; top-25 is TakeOrdered. Events shuffle
+    exactly once."""
+    ev = T(spark, sf_dir, "events")
+    hc = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prof = (
+        hc.groupBy("event_type", F.hour("hr").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).alias("sx2"),
+        )
+    )
+    var_num = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    z = F.floor(
+        (F.col("c") * F.col("n") - F.col("sx")) * F.lit(10000.0)
+        / F.sqrt(var_num)
+    ) / F.lit(10000.0)
+    return (
+        hc.join(
+            prof,
+            (hc.event_type == prof.event_type) & (F.hour(hc.hr) == prof.hod),
+        )
+        .drop(prof.event_type)
+        .filter((F.col("n") >= 3) & (var_num > 0))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "c",
+            F.col("n").alias("n_same_hod"),
+            z.alias("z_seasonal"),
+        )
+        .orderBy(F.abs(F.col("z_seasonal")).desc(), "event_type", "hr")
+        .limit(25)
+    )
