@@ -148,9 +148,13 @@ def robust_outliers_mad(spark, sf_dir):
     Scale shape: two windowed rank passes partitioned by event_type
     (each one shuffle; the deviation pass re-keys the same column)
     plus one outlier-count scan with the |types|-row med/mad tables
-    broadcast. No global windows, no driver loops. Skewed types cost
-    what any per-key sort costs; salting applies if one type
-    dominates."""
+    broadcast. No global windows, no driver loops — but NOTE the
+    partition key is low-cardinality (|types| tasks do the sorting),
+    so this exact form is for modest per-key volumes; at 100 TB use
+    the bucketed-histogram median (``quantile_histogram_sketch`` in
+    sketches.py is exactly that machinery: per-(type, bin) counts,
+    then locate the median bin — fully parallel, no per-key sort)
+    and reserve this exact form for the verification pass."""
     ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
 
     def _exact_median(df, val_col, key="event_type", tie="event_id"):
