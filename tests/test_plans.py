@@ -258,3 +258,19 @@ def test_contamination_matrix_broadcasts_pairs(spark, sf_dir):
     # pair side broadcast, corpus side never reshuffled
     df = _df(spark, sf_dir, "source_contamination_matrix")
     assert has_broadcast_join(df)
+
+
+def test_bucketed_percentile_never_sorts_per_key(spark, sf_dir):
+    # the whole point: the only row_number window runs over
+    # (event_type, bkt) — selected buckets only — never a per-type
+    # total sort of the data; the needed-bucket filter broadcasts
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "percentile_bucketed_exact")
+    plan = formatted_plan(df)
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number" in line
+    ]
+    assert rn_windows and all("bkt" in line for line in rn_windows)
+    assert has_broadcast_join(df)

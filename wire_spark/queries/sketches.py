@@ -369,3 +369,132 @@ def bloom_join_prune(spark, sf_dir):
                     / F.count(F.lit(1))) / F.lit(10000.0)
         ).alias("fp_ratio"),
     )
+
+
+# --------------------------------------------------------------------
+# EXACT percentiles without a per-key sort: two-pass bucketed median
+# --------------------------------------------------------------------
+
+_BUCKETED_PCT_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), pos AS (
+  SELECT r.event_type, p.p, r.n,
+         CAST(floor((r.n - 1) * p.p) AS BIGINT) + 1 AS lo_rn,
+         CAST(ceil((r.n - 1) * p.p)  AS BIGINT) + 1 AS hi_rn,
+         (r.n - 1) * p.p - floor((r.n - 1) * p.p)   AS frac
+  FROM (SELECT DISTINCT event_type, n FROM ranked) r,
+       (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
+), interp AS (
+  SELECT pos.event_type, pos.p, pos.n,
+         lo.value + (hi.value - lo.value) * pos.frac AS v
+  FROM pos
+  JOIN ranked lo ON lo.event_type = pos.event_type AND lo.rn = pos.lo_rn
+  JOIN ranked hi ON hi.event_type = pos.event_type AND hi.rn = pos.hi_rn
+)
+SELECT event_type, max(n) AS n_events,
+       floor(max(CASE WHEN p = 0.5  THEN v END) * 10000.0) / 10000.0 AS p50,
+       floor(max(CASE WHEN p = 0.9  THEN v END) * 10000.0) / 10000.0 AS p90,
+       floor(max(CASE WHEN p = 0.99 THEN v END) * 10000.0) / 10000.0 AS p99
+FROM interp GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("percentile_bucketed_exact", oracle=_BUCKETED_PCT_ORACLE,
+          doc="EXACT per-type percentiles via two-pass histogram "
+              "navigation — no per-key sort of the data, ever")
+def percentile_bucketed_exact(spark, sf_dir):
+    """Exact interpolated p50/p90/p99 per event type WITHOUT sorting
+    the data: the scale-correct form of the exact-percentile family
+    (``percentile_order_value`` and ``robust_outliers_mad`` sort
+    each key group — fine until one key holds a terabyte; this
+    never sorts more than one histogram bucket).
+
+    Pass 1: count per (type, floor(value)) bucket — one map-combined
+    shuffle; the histogram (types x <=~1k buckets) is tiny. Its
+    cumulative counts locate, for each target global rank, WHICH
+    bucket holds it and the residual rank within that bucket.
+    Pass 2: semi-join the data to the few needed buckets (broadcast
+    — typically 6 buckets/type), rank only inside them (each bucket
+    is a small fraction of a key's data; the window key (type,
+    bucket) is fine because only selected-bucket rows survive the
+    filter), and pick the lo/hi values; interpolate exactly as the
+    rank-based oracle defines. Bucketing by floor(value) is
+    order-compatible with (value, event_id), so global rank =
+    cumulative-before(bucket) + within-bucket rank, and the result
+    is bit-identical to the sort-everything form at any scale."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.floor("value").cast("long").alias("bkt"),
+    )
+    hist = ev.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("bkt")
+    cum = hist.select(
+        "event_type", "bkt", "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    ps = ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], ["p"])
+    h = (F.col("n") - 1) * F.col("p")
+    targets = (
+        cum.select("event_type", "n").distinct()
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "event_type", "p", "n",
+            (F.floor(h) + 1).alias("lo_rn"),
+            (F.ceil(h) + 1).alias("hi_rn"),
+            (h - F.floor(h)).alias("frac"),
+        )
+    )
+    ranks = targets.select(
+        "event_type", "p", "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("side"), F.col("lo_rn").alias("rk")),
+                F.struct(F.lit("hi").alias("side"), F.col("hi_rn").alias("rk")),
+            )
+        ).alias("t"),
+    ).select("event_type", "p", "frac", "t.side", "t.rk")
+    # histogram navigation: the bucket holding each target rank
+    located = ranks.join(cum, "event_type").filter(
+        (F.col("rk") > F.col("cum_before"))
+        & (F.col("rk") <= F.col("cum_before") + F.col("c"))
+    ).select("event_type", "p", "frac", "side", "rk", "bkt", "cum_before", "n")
+    needed = located.select("event_type", "bkt").distinct()
+    wbin = W.partitionBy("event_type", "bkt").orderBy("value", "event_id")
+    in_bkt = (
+        ev.join(F.broadcast(needed), ["event_type", "bkt"])
+        .withColumn("wrk", F.row_number().over(wbin))
+    )
+    picked = located.join(
+        in_bkt,
+        (located.event_type == in_bkt.event_type)
+        & (located.bkt == in_bkt.bkt)
+        & (located.rk - located.cum_before == in_bkt.wrk),
+    ).select(located.event_type, "p", "frac", "side", "n", "value")
+    interp = (
+        picked.groupBy("event_type", "p", "frac", "n")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("value"))).alias("v_hi"),
+        )
+        .select(
+            "event_type", "p", "n",
+            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("v"),
+        )
+    )
+    t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
+    return (
+        interp.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            t4v(F.max(F.when(F.col("p") == 0.5, F.col("v")))).alias("p50"),
+            t4v(F.max(F.when(F.col("p") == 0.9, F.col("v")))).alias("p90"),
+            t4v(F.max(F.when(F.col("p") == 0.99, F.col("v")))).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
