@@ -404,7 +404,7 @@ FROM interp GROUP BY event_type ORDER BY event_type
 """
 
 
-@register("percentile_bucketed_exact", oracle=_BUCKETED_PCT_ORACLE,
+@register("percentile_bucketed_exact", oracle=_BUCKETED_PCT_ORACLE, bench=True,
           doc="EXACT per-type percentiles via two-pass histogram "
               "navigation — no per-key sort of the data, ever")
 def percentile_bucketed_exact(spark, sf_dir):
