@@ -150,11 +150,11 @@ def robust_outliers_mad(spark, sf_dir):
     plus one outlier-count scan with the |types|-row med/mad tables
     broadcast. No global windows, no driver loops — but NOTE the
     partition key is low-cardinality (|types| tasks do the sorting),
-    so this exact form is for modest per-key volumes; at 100 TB use
-    the bucketed-histogram median (``quantile_histogram_sketch`` in
-    sketches.py is exactly that machinery: per-(type, bin) counts,
-    then locate the median bin — fully parallel, no per-key sort)
-    and reserve this exact form for the verification pass."""
+    so this exact form is for modest per-key volumes; at 100 TB run
+    ``robust_outliers_mad_bucketed`` below — the drop-in sibling that
+    computes the SAME output (same oracle) via histogram-navigated
+    quantiles with no per-key sort — and reserve this form for the
+    verification pass."""
     ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
 
     def _exact_median(df, val_col, key="event_type", tie="event_id"):
@@ -200,6 +200,56 @@ def robust_outliers_mad(spark, sf_dir):
     )
     mad = _exact_median(dev, "d").select(
         "event_type", F.col("m").alias("mad")
+    )
+    mm = med.join(mad, "event_type")
+    outl = (
+        ev.join(F.broadcast(mm.select("event_type", "med", "mad")), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > F.lit(3) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mm.join(outl, "event_type", "left")
+        .select(
+            "event_type", "n_events",
+            (F.floor(F.col("med") * F.lit(10000.0)) / F.lit(10000.0)).alias("med"),
+            (F.floor(F.col("mad") * F.lit(10000.0)) / F.lit(10000.0)).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("robust_outliers_mad_bucketed", oracle=_MAD_ORACLE,
+          doc="same median/MAD outlier audit, computed via two-pass "
+              "histogram navigation — no per-key sort, scale-safe")
+def robust_outliers_mad_bucketed(spark, sf_dir):
+    """Bit-identical output to ``robust_outliers_mad`` (same oracle)
+    but BOTH medians come from ``bucketed_quantiles`` (sketches.py):
+    histogram-navigated exact quantiles that sort only the one
+    bucket holding each target rank. This is the form that survives
+    a terabyte-per-key distribution — the sort-based sibling keeps
+    the pedagogically-simple plan and doubles as the verification
+    pass, exactly like exact-vs-LSH in the dedup family.
+
+    Shape: pass structure is 2x (histogram shuffle + located-bucket
+    rank) + the broadcast outlier count scan; every window is keyed
+    (type, bucket) with only selected-bucket rows surviving."""
+    from wire_spark.queries.sketches import bucketed_quantiles
+
+    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = (
+        bucketed_quantiles(ev, (0.5,))
+        .select("event_type", F.col("n").alias("n_events"),
+                F.col("v").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("value"),
+    )
+    mad = (
+        bucketed_quantiles(dev, (0.5,))
+        .select("event_type", F.col("v").alias("mad"))
     )
     mm = med.join(mad, "event_type")
     outl = (

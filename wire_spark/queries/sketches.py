@@ -371,6 +371,76 @@ def bloom_join_prune(spark, sf_dir):
     )
 
 
+
+
+def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id"):
+    """Exact interpolated quantiles per ``key`` WITHOUT a per-key
+    sort: two-pass histogram navigation (see
+    ``percentile_bucketed_exact`` for the full story). ``df`` must
+    have columns (key, tie, val); returns (key, p, n, v) with v the
+    exact rank-interpolated quantile — bit-identical to sorting the
+    whole key group. Buckets are ``floor(val)``; any
+    order-compatible, finite-width bucketing works."""
+    k, t, v = F.col(key), F.col(tie), F.col(val)
+    ev = df.select(k.alias("__k"), t.alias("__t"), v.alias("__v"),
+                   F.floor(v).cast("long").alias("bkt"))
+    hist = ev.groupBy("__k", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("__k").orderBy("bkt")
+    cum = hist.select(
+        "__k", "bkt", "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(W.partitionBy("__k")).alias("n"),
+    )
+    ps_df = df.sparkSession.createDataFrame([(float(p),) for p in ps], ["p"])
+    h = (F.col("n") - 1) * F.col("p")
+    targets = (
+        cum.select("__k", "n").distinct()
+        .crossJoin(F.broadcast(ps_df))
+        .select(
+            "__k", "p", "n",
+            (F.floor(h) + 1).alias("lo_rn"),
+            (F.ceil(h) + 1).alias("hi_rn"),
+            (h - F.floor(h)).alias("frac"),
+        )
+    )
+    ranks = targets.select(
+        "__k", "p", "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("side"), F.col("lo_rn").alias("rk")),
+                F.struct(F.lit("hi").alias("side"), F.col("hi_rn").alias("rk")),
+            )
+        ).alias("tg"),
+    ).select("__k", "p", "frac", "tg.side", "tg.rk")
+    located = ranks.join(cum, "__k").filter(
+        (F.col("rk") > F.col("cum_before"))
+        & (F.col("rk") <= F.col("cum_before") + F.col("c"))
+    ).select("__k", "p", "frac", "side", "rk", "bkt", "cum_before", "n")
+    needed = located.select("__k", "bkt").distinct()
+    wbin = W.partitionBy("__k", "bkt").orderBy("__v", "__t")
+    in_bkt = (
+        ev.join(F.broadcast(needed), ["__k", "bkt"])
+        .withColumn("wrk", F.row_number().over(wbin))
+    )
+    picked = located.join(
+        in_bkt,
+        (located.__k == in_bkt.__k)
+        & (located.bkt == in_bkt.bkt)
+        & (located.rk - located.cum_before == in_bkt.wrk),
+    ).select(located.__k, "p", "frac", "n", "side", "__v")
+    return (
+        picked.groupBy("__k", "p", "frac", "n")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("__v"))).alias("v_lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("__v"))).alias("v_hi"),
+        )
+        .select(
+            F.col("__k").alias(key), "p", "n",
+            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("v"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # EXACT percentiles without a per-key sort: two-pass bucketed median
 # --------------------------------------------------------------------
@@ -427,66 +497,8 @@ def percentile_bucketed_exact(spark, sf_dir):
     order-compatible with (value, event_id), so global rank =
     cumulative-before(bucket) + within-bucket rank, and the result
     is bit-identical to the sort-everything form at any scale."""
-    ev = T(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value",
-        F.floor("value").cast("long").alias("bkt"),
-    )
-    hist = ev.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    wcum = W.partitionBy("event_type").orderBy("bkt")
-    cum = hist.select(
-        "event_type", "bkt", "c",
-        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
-        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
-    )
-    ps = ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], ["p"])
-    h = (F.col("n") - 1) * F.col("p")
-    targets = (
-        cum.select("event_type", "n").distinct()
-        .crossJoin(F.broadcast(ps))
-        .select(
-            "event_type", "p", "n",
-            (F.floor(h) + 1).alias("lo_rn"),
-            (F.ceil(h) + 1).alias("hi_rn"),
-            (h - F.floor(h)).alias("frac"),
-        )
-    )
-    ranks = targets.select(
-        "event_type", "p", "frac",
-        F.explode(
-            F.array(
-                F.struct(F.lit("lo").alias("side"), F.col("lo_rn").alias("rk")),
-                F.struct(F.lit("hi").alias("side"), F.col("hi_rn").alias("rk")),
-            )
-        ).alias("t"),
-    ).select("event_type", "p", "frac", "t.side", "t.rk")
-    # histogram navigation: the bucket holding each target rank
-    located = ranks.join(cum, "event_type").filter(
-        (F.col("rk") > F.col("cum_before"))
-        & (F.col("rk") <= F.col("cum_before") + F.col("c"))
-    ).select("event_type", "p", "frac", "side", "rk", "bkt", "cum_before", "n")
-    needed = located.select("event_type", "bkt").distinct()
-    wbin = W.partitionBy("event_type", "bkt").orderBy("value", "event_id")
-    in_bkt = (
-        ev.join(F.broadcast(needed), ["event_type", "bkt"])
-        .withColumn("wrk", F.row_number().over(wbin))
-    )
-    picked = located.join(
-        in_bkt,
-        (located.event_type == in_bkt.event_type)
-        & (located.bkt == in_bkt.bkt)
-        & (located.rk - located.cum_before == in_bkt.wrk),
-    ).select(located.event_type, "p", "frac", "side", "n", "value")
-    interp = (
-        picked.groupBy("event_type", "p", "frac", "n")
-        .agg(
-            F.max(F.when(F.col("side") == "lo", F.col("value"))).alias("v_lo"),
-            F.max(F.when(F.col("side") == "hi", F.col("value"))).alias("v_hi"),
-        )
-        .select(
-            "event_type", "p", "n",
-            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("v"),
-        )
-    )
+    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    interp = bucketed_quantiles(ev, (0.5, 0.9, 0.99))
     t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
     return (
         interp.groupBy("event_type")
