@@ -294,3 +294,122 @@ def events_seasonal_anomaly(spark, sf_dir):
         .orderBy(F.abs(F.col("z_seasonal")).desc(), "event_type", "hr")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------
+# session dwell-time percentiles per day (sessionize -> bucketed
+# exact quantiles)
+# --------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                   >= 600000000
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS snum
+  FROM seq
+), sessions AS (
+  SELECT user_id, snum,
+         min(event_id) AS sid,
+         strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS day,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur
+  FROM numbered GROUP BY user_id, snum
+), ranked AS (
+  SELECT day, dur,
+         row_number() OVER (PARTITION BY day ORDER BY dur, sid) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM sessions
+), pos AS (
+  SELECT r.day, p.p, r.n,
+         CAST(floor((r.n - 1) * p.p) AS BIGINT) + 1 AS lo_rn,
+         CAST(ceil((r.n - 1) * p.p)  AS BIGINT) + 1 AS hi_rn,
+         (r.n - 1) * p.p - floor((r.n - 1) * p.p)   AS frac
+  FROM (SELECT DISTINCT day, n FROM ranked) r,
+       (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
+), interp AS (
+  SELECT pos.day, pos.p, pos.n,
+         lo.dur + (hi.dur - lo.dur) * pos.frac AS v
+  FROM pos
+  JOIN ranked lo ON lo.day = pos.day AND lo.rn = pos.lo_rn
+  JOIN ranked hi ON hi.day = pos.day AND hi.rn = pos.hi_rn
+)
+SELECT day, max(n) AS n_sessions,
+       floor(max(CASE WHEN p = 0.5  THEN v END) * 10000.0) / 10000.0 AS p50_s,
+       floor(max(CASE WHEN p = 0.9  THEN v END) * 10000.0) / 10000.0 AS p90_s,
+       floor(max(CASE WHEN p = 0.99 THEN v END) * 10000.0) / 10000.0 AS p99_s
+FROM interp GROUP BY day ORDER BY day
+"""
+
+
+@register("session_dwell_percentiles", oracle=_DWELL_ORACLE,
+          doc="per-day session dwell-time percentiles: 10-min-gap "
+              "sessionization composed with bucketed exact quantiles")
+def session_dwell_percentiles(spark, sf_dir):
+    """How long do sessions last, day by day: 10-minute-gap
+    sessionization (same semantics as ``window_session_10m``), then
+    EXACT p50/p90/p99 of session duration per start day — composed
+    from two already-proven pieces, with the quantiles computed by
+    ``bucketed_quantiles`` (histogram navigation, no per-day sort of
+    the session table).
+
+    Cross-engine: the 10-min gap test and the durations both use
+    exact integer MICROSECONDS (unix_micros/epoch_us — the proven
+    pair; second-truncated unix_timestamp would disagree with the
+    oracle's interval arithmetic at gap boundaries); duration
+    converts to seconds by one deterministic /1e6 on both sides.
+    Session identity ties on min(event_id) (unique — sessions
+    partition events); interpolation is the proven rank-based form.
+
+    Scale shape: sessionization is one user_id window (the same
+    shuffle the funnel/session family shares) + one (user, snum)
+    agg; the session table (orders of magnitude smaller than events)
+    then pays only histogram passes. Each stage is a shape already
+    plan-audited elsewhere."""
+    from pyspark.sql import Window as PW
+
+    from wire_spark.queries.sketches import bucketed_quantiles
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    seq = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+               >= 600000000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = seq.withColumn("snum", F.sum("new_s").over(w))
+    sessions = (
+        numbered.groupBy("user_id", "snum")
+        .agg(
+            F.min("event_id").alias("sid"),
+            F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias("day"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             / F.lit(1000000.0)).alias("dur"),
+        )
+        .select("day", "sid", "dur")
+    )
+    interp = bucketed_quantiles(sessions, (0.5, 0.9, 0.99),
+                                key="day", val="dur", tie="sid")
+    t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
+    return (
+        interp.groupBy("day")
+        .agg(
+            F.max("n").alias("n_sessions"),
+            t4v(F.max(F.when(F.col("p") == 0.5, F.col("v")))).alias("p50_s"),
+            t4v(F.max(F.when(F.col("p") == 0.9, F.col("v")))).alias("p90_s"),
+            t4v(F.max(F.when(F.col("p") == 0.99, F.col("v")))).alias("p99_s"),
+        )
+        .orderBy("day")
+    )
