@@ -217,6 +217,7 @@ def pagerank_fixed(
     dst: str = "dst",
     iterations: int = 3,
     checkpoint_dir: str | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with damping 0.85 over a directed
     edge list, ranks in 1e12 fixed-point BIGINTs.
@@ -245,12 +246,20 @@ def pagerank_fixed(
     )
     _persist = _round_persister(spark, checkpoint_dir)
     try:
-        e = _persist(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # ``weight``: optional INTEGER edge-weight column; a node then
+        # splits its rank proportionally — contribution is
+        # (rank * w) div strength(u), still pure integer arithmetic
+        # (uniform weights reduce exactly to the unweighted form:
+        # floor(r*w / (k*w)) == floor(r/k)).
+        cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+        cols.append(
+            F.col(weight).cast("long").alias("w") if weight is not None
+            else F.lit(1).cast("long").alias("w")
         )
+        e = _persist(edges.select(*cols))
         deg = _persist(
             e.groupBy(F.col("src").alias("node")).agg(
-                F.count(F.lit(1)).alias("d")
+                F.sum("w").alias("d")
             )
         )
         nn = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -259,7 +268,7 @@ def pagerank_fixed(
         )
         for i in range(iterations):
             contrib = e.join(ranks, e.src == ranks.node).select(
-                F.col("dst").alias("node"), F.expr("r div d").alias("c")
+                F.col("dst").alias("node"), F.expr("(r * w) div d").alias("c")
             )
             sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
             ranks = (
