@@ -29,6 +29,21 @@ def test_registry_nonempty():
     assert len(REGISTRY) >= 25
 
 
+def test_no_hugeint_oracle_outputs(con):
+    """DuckDB sum() over integers yields HUGEINT (int128), which the
+    driver's value-hash renders differently from Spark's bigint even
+    when the values are equal — the round-3/4 hash-mismatch family.
+    Every integer aggregate in an oracle must be CAST(... AS BIGINT).
+    """
+    offenders = {}
+    for name in _WITH_ORACLE:
+        rel = con.sql(REGISTRY[name].oracle)
+        hug = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"oracles with HUGEINT output columns: {offenders}"
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entry_mod
 

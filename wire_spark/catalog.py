@@ -59,66 +59,64 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 3: the 37 never-driver-checked queries + the 7 that
-# were green in r01 but displaced from r02's window.
+# order.  Round 5 window: the 33 queries with no driver row in any
+# of CORRECTNESS_r01..r04 + the 7 repaired this round (3 NTZ errors,
+# 4 HUGEINT-oracle hash mismatches) + 10 re-checks of the
+# oldest-evidence / ts-dependent greens.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H shapes added late in round 2 (never driver-checked)
-    "q2_min_cost_per_type",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_heavy_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_rich_inactive",
-    # extras2-4 additions (never driver-checked)
-    "range_join_price_bands",
-    "window_distribution_funcs",
-    "agg_collect_sorted",
-    "orders_by_month",
-    "string_functions_part",
-    "fuzzy_match_part_names",
-    "window_range_frame_30m",
-    "null_semantics_audit",
-    # sampling / curation / cdc / clustering (never driver-checked)
-    "sample_hash_documents",
-    "train_val_test_split",
-    "token_zipf",
-    "decontamination_overlap",
-    "length_bucket_histogram",
-    "sequence_packing_plan",
-    "cdc_apply_state",
-    "cdc_op_stats",
-    "kmeans_lloyd_round",
-    "dedup_components_lsh",
-    # green in r01 but displaced from r02's 50-entry window
-    "transform_uppercase",
-    "multimodal_decode_meta",
-    "asof_join_click_purchase",
-    "dedup_connected_components",
-    "grouping_sets_mixed",
-    "percentile_order_value",
-    "sessionized_top_users",
-    # round-3 additions: the 44 rotation targets above leave exactly
-    # 6 free slots in the 50-entry window — fill them with the most
-    # novel new operators so only 8 remain for the round-4 rotation
-    "ann_ivfpq_adc",
-    "kmeans_lloyd_two_rounds",
-    "dedup_winnowing_overlap",
-    "dedup_crossmodal_audit",
-    "events_hourly_anomaly",
-    "text_unigram_logprob",
+    # -- 33 never driver-checked (registry order) --
+    "ann_ivf_lloyd_cosine",
+    "dedup_components_star",
+    "sample_stratified_by_lang",
+    "curation_mixing_weights",
+    "corpus_clean_split",
+    "context_chunking_plan",
+    "text_tfidf_top_terms",
+    "text_collocations_lift",
+    "text_repetition_ratio",
+    "skew_audit_events_user",
+    "robust_outliers_mad",
+    "robust_outliers_mad_bucketed",
+    "sketch_hll_distinct",
+    "quantile_histogram_sketch",
+    "bloom_join_prune",
+    "percentile_bucketed_exact",
+    "events_time_decay",
+    "events_resample_ffill",
+    "negative_sampling_pairs",
+    "events_type_correlation",
+    "sample_weighted_by_length",
+    "dedup_rate_by_source",
+    "sample_weighted_per_source",
+    "source_contamination_matrix",
+    "text_langid_trigram_trained",
+    "text_token_entropy",
+    "text_bigram_logprob",
+    "events_markov_transitions",
+    "events_trigram_paths",
+    "events_user_growth",
+    "events_seasonal_anomaly",
+    "session_dwell_percentiles",
+    "graph_pagerank_neardup",
+    # -- 7 repaired in round 5 (must re-earn a green row) --
+    "window_range_frame_30m",   # TIMESTAMP_NTZ error in r04
+    "cdc_apply_state",          # TIMESTAMP_NTZ error in r04
+    "cdc_op_stats",             # TIMESTAMP_NTZ error in r04
+    "q12_priority_classes",     # HUGEINT oracle hash mismatch r03/r04
+    "null_semantics_audit",     # HUGEINT oracle hash mismatch r03/r04
+    "length_bucket_histogram",  # HUGEINT oracle hash mismatch r03/r04
+    "sequence_packing_plan",    # HUGEINT oracle hash mismatch r03/r04
+    # -- 10 re-checks: oldest-evidence (r01/r02) + ts-dependent --
+    "q1_pricing_summary",
+    "events_funnel_conversion",
+    "retention_cohorts",
+    "window_session_10m",
+    "window_tumbling_hourly",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "ann_lsh_multiprobe_cosine",
+    "embedding_quantize_int8",
+    "dedup_jaccard_capped",
 )
 
 

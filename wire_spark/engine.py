@@ -76,6 +76,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ field to TIMESTAMP.
+
+    The test-data generator has shipped ``events.ts`` as parquet
+    TIMESTAMP(NANOS), tz-aware micros, and tz-naive ``timestamp[us]``
+    (which PySpark reads as TIMESTAMP_NTZ) across regenerations.
+    Functions like ``unix_micros`` accept only TIMESTAMP, so the engine
+    normalizes at load.  Under the UTC session timezone forced below
+    the NTZ->TIMESTAMP cast is value-identical (same wall-clock micros)
+    and matches how the tz-naive DuckDB oracle reads the same file.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.
 
@@ -83,10 +104,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and column pruning — callers should filter/select on the returned
     DataFrame and let the scan prune.
 
-    ``events.parquet`` stores its ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark rejects by default: read nanos as long and truncate to
-    microseconds — the same truncation DuckDB applies, keeping oracle
-    parity.
+    Timestamp columns are normalized to TIMESTAMP regardless of how the
+    generator encoded them (nanos-as-long legacy path, tz-aware micros,
+    or tz-naive micros read as TIMESTAMP_NTZ) — see
+    ``_normalize_timestamps``.
     """
     # The caller may hand us a foreign SparkSession (the driver does);
     # force the runtime confs correctness depends on: UTC rendering for
@@ -100,8 +121,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div: nanos ~1.7e18 would lose precision through a double
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def load_tables(

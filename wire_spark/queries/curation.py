@@ -108,7 +108,7 @@ SELECT
        WHEN n_tokens <= 512 THEN '<=512'
        ELSE '>512' END AS bucket,
   count(*) AS n_docs,
-  sum(n_tokens) AS total_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   min(n_tokens) AS min_tokens,
   max(n_tokens) AS max_tokens
 FROM lens
@@ -158,7 +158,7 @@ WITH lens AS (
 )
 SELECT bin,
        count(*) AS n_docs,
-       sum(n_tokens) AS bin_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        floor(sum(n_tokens) * 1.0 / 2048 * 10000.0) / 10000.0 AS fill_ratio
 FROM planned
 GROUP BY bin
@@ -266,7 +266,7 @@ _CLEAN_ORACLE = _SHINGLES_CTE + r"""
 )
 SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM clean
 GROUP BY 1 ORDER BY 1
@@ -357,8 +357,8 @@ WITH lens AS (
 )
 SELECT doc_id, n_tokens,
        count(*) AS n_chunks,
-       sum(chunk_len) AS emitted_tokens,
-       sum(chunk_len) - n_tokens AS overlap_tokens
+       CAST(sum(chunk_len) AS BIGINT) AS emitted_tokens,
+       CAST(sum(chunk_len) - n_tokens AS BIGINT) AS overlap_tokens
 FROM chunks
 GROUP BY doc_id, n_tokens
 ORDER BY doc_id

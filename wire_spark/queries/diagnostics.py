@@ -25,7 +25,7 @@ WITH per_key AS (
   )
 )
 SELECT count(*) AS n_keys,
-       sum(c) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS n_rows,
        max(c) AS max_count,
        floor(max(c) * 10000.0 / sum(c)) / 10000.0 AS max_share,
        floor(any_value(t10) * 10000.0 / sum(c)) / 10000.0 AS top10_share,

@@ -77,7 +77,7 @@ SELECT
   count(*)                                     AS n_rows,
   count(o_orderkey)                            AS n_urgent_orders,
   count(DISTINCT o_orderkey)                   AS n_distinct_orders,
-  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_rows,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
   count(*) FILTER (o_orderpriority IS NOT DISTINCT FROM '1-URGENT') AS n_nullsafe_eq,
   min(coalesce(o_orderpriority, 'NONE'))       AS min_priority_or_none
 FROM joined

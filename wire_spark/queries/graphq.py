@@ -72,7 +72,7 @@ i3 AS (
   FROM ed e JOIN i2d p ON e.a = p.node, nn
   GROUP BY e.b, nn.n
 )
-SELECT i3.node AS doc_id, deg.d AS degree, i3.r AS pr_fixed
+SELECT i3.node AS doc_id, deg.d AS degree, CAST(i3.r AS BIGINT) AS pr_fixed
 FROM i3 JOIN deg ON i3.node = deg.node
 ORDER BY pr_fixed DESC, doc_id
 LIMIT 50

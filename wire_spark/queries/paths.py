@@ -41,7 +41,7 @@ trans AS (
   GROUP BY 1, 2
 ),
 tot AS (
-  SELECT prev_type, sum(n_trans) AS n_from FROM trans GROUP BY 1
+  SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from FROM trans GROUP BY 1
 )
 SELECT t.prev_type, t.next_type, t.n_trans, o.n_from,
        floor(t.n_trans * 1000000.0 / o.n_from) / 1000000.0 AS p_trans
@@ -161,7 +161,7 @@ news AS (
 )
 SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events, d.n_active,
        COALESCE(n.n_new, 0) AS n_new,
-       sum(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS cum_users
+       CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
 FROM daily d LEFT JOIN news n ON d.day = n.day
 ORDER BY d.day
 """

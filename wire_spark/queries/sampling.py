@@ -228,7 +228,7 @@ _MIXING_ORACLE = """
 WITH per_source AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_sources FROM per_source)
 SELECT source, n_docs, n_tokens,

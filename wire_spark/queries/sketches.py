@@ -290,8 +290,8 @@ cand AS (
     AND p3 IN (SELECT pos FROM build_bits)
 )
 SELECT count(*) AS n_candidates,
-       sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
-                THEN 1 ELSE 0 END) AS n_matched,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
        floor((count(*) - sum(CASE WHEN o_custkey IN
                 (SELECT c_custkey FROM build) THEN 1 ELSE 0 END)) * 10000.0
              / count(*)) / 10000.0 AS fp_ratio

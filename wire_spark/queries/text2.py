@@ -183,7 +183,7 @@ per_tok AS (
 ),
 per_doc AS (
   SELECT doc_id,
-         sum(c) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
          count(*) AS n_distinct,
          max(c) AS top_c
   FROM per_tok GROUP BY doc_id

@@ -25,7 +25,7 @@ WITH tok AS (
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 pt AS (SELECT doc_id, token, count(*) AS c FROM tok2 GROUP BY 1, 2),
 pd AS (
-  SELECT doc_id, sum(c) AS n,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
          sum(CAST(floor(c * ln(c) * 1000000.0) AS BIGINT)) AS clnc6
   FROM pt GROUP BY doc_id
 )
