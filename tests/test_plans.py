@@ -274,3 +274,20 @@ def test_bucketed_percentile_never_sorts_per_key(spark, sf_dir):
     ]
     assert rn_windows and all("bkt" in line for line in rn_windows)
     assert has_broadcast_join(df)
+
+
+def test_gopher_rules_single_rollup_shuffle(spark, sf_dir):
+    # all per-doc metrics are array HOFs inside the scan projection;
+    # only the per-source count rollup (+ final tiny sort) may shuffle
+    df = _df(spark, sf_dir, "text_gopher_quality_rules")
+    assert count_shuffles(df) <= 2
+    rs = " ".join(scan_columns(df))
+    assert "doc_id" not in rs  # untouched columns pruned from the scan
+    assert "lang" not in rs
+
+
+def test_ann_recall_audit_broadcasts_tiny_topk(spark, sf_dir):
+    # both inputs are |Q| x 5 top-k tables; their recall join must be
+    # broadcast, never a shuffled sort-merge join
+    df = _df(spark, sf_dir, "ann_recall_audit")
+    assert has_broadcast_join(df)

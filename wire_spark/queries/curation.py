@@ -411,3 +411,112 @@ def context_chunking_plan(spark, sf_dir):
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# token-budget selection plan (quality-ranked greedy data selection)
+# --------------------------------------------------------------------
+
+_BUDGET_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS n_tokens,
+         CAST(floor(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                    x -> x != ''))) * 10000.0
+              / len(list_filter(string_split(lower(text), ' '), x -> x != '')))
+           AS BIGINT) AS q4
+  FROM documents
+), per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(q4) AS BIGINT) AS qsum
+  FROM per_doc GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per_source),
+ranked AS (
+  SELECT source, n_docs, n_tokens, qsum,
+         floor(qsum * 1.0 / n_docs / 10000.0 * 10000.0) / 10000.0
+           AS mean_quality,
+         row_number() OVER (ORDER BY qsum * 1.0 / n_docs DESC, source) AS rnk,
+         CAST(sum(n_tokens) OVER (ORDER BY qsum * 1.0 / n_docs DESC, source)
+           AS BIGINT) AS cum_tokens
+  FROM per_source
+)
+SELECT source, rnk, n_docs, n_tokens, mean_quality, cum_tokens,
+       CASE WHEN 2 * cum_tokens <= (SELECT t FROM tot)
+            THEN 1 ELSE 0 END AS selected
+FROM ranked
+ORDER BY rnk
+"""
+
+
+@register("curation_token_budget_plan", oracle=_BUDGET_ORACLE, bench=True,
+          doc="greedy data selection under a token budget: sources "
+              "ranked by mean quality, cumulative tokens, selected "
+              "while within 50% of the corpus token budget")
+def curation_token_budget_plan(spark, sf_dir):
+    """Data selection under a token budget: rank sources by mean
+    document quality (type-token ratio, floored to integer basis
+    points per doc so the per-source mean is a ratio of exact
+    integers), take sources greedily until the cumulative token count
+    exceeds half the corpus — the decision table behind "train on the
+    best X tokens" curation.
+
+    Cross-engine: per-doc quality is floor(distinct*1e4/n) — exact
+    integers; the ranking key qsum/n_docs is one deterministic double
+    division (identical in both engines per NOTES.md rule 6); the
+    budget predicate ``2*cum_tokens <= total`` is exact-integer.
+
+    Scale shape: per-doc metrics are scan-projection HOFs; one
+    shuffle to the per-source rollup (source-cardinality rows); the
+    ranking window runs over the aggregated frame (sources, not
+    docs — single tiny partition by design, like all plan tables).
+    """
+    from pyspark.sql import Window as W
+
+    words = "filter(split(lower(text), ' '), x -> x != '')"
+    per_doc = T(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"size({words})").alias("n_tokens"),
+        F.expr(
+            f"cast(floor(size(array_distinct({words})) * 10000.0 "
+            f"/ size({words})) as long)"
+        ).alias("q4"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("q4").alias("qsum"),
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("t"))
+    order = [
+        (F.col("qsum") * F.lit(1.0) / F.col("n_docs")).desc(),
+        F.col("source").asc(),
+    ]
+    w = W.orderBy(*order)
+    ranked = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "qsum",
+        (
+            F.floor(F.col("qsum") * F.lit(1.0) / F.col("n_docs") / F.lit(10000.0) * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("mean_quality"),
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "rnk",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            "cum_tokens",
+            F.when(2 * F.col("cum_tokens") <= F.col("t"), 1).otherwise(0).alias("selected"),
+        )
+        .orderBy("rnk")
+    )

@@ -917,3 +917,65 @@ def ann_ivfpq_adc(spark, sf_dir):
                 (F.col("adist_i") / F.lit(1000000.0)).alias("adist"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# --------------------------------------------------------------------
+# ANN recall audit: IVF-probe top-k vs brute-force ground truth
+# --------------------------------------------------------------------
+
+_RECALL_ORACLE = (
+    "WITH truth AS (" + _KNN_ORACLE + "),\napprox AS (" + _IVF_ORACLE + ")\n"
+    + """
+SELECT t.qid,
+       count(*) AS n_truth,
+       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       floor(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0
+             / count(*)) / 10000.0 AS recall_at_5
+FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.nid = a.nid
+GROUP BY t.qid
+ORDER BY t.qid
+"""
+)
+
+
+@register("ann_recall_audit", oracle=_RECALL_ORACLE, bench=True,
+          doc="recall@5 of the IVF-probe index vs brute-force ground "
+              "truth, per query vector")
+def ann_recall_audit(spark, sf_dir):
+    """Index-quality evaluation: joins the IVF-probe top-5
+    (``ann_ivf_cosine``) against the brute-force top-5
+    (``knn_bruteforce_cosine``) and reports per-query recall@5 — the
+    number any ANN deployment must monitor before trading scan cost
+    for approximation.
+
+    Cross-engine: composes the two already-parity-verified operators
+    verbatim (same floors, same tiebreaks); the recall ratio is an
+    exact-integer count pair floored at 4dp.
+
+    Scale shape: both sides reduce the vector table to |Q| x 5 rows
+    before this audit runs; the audit itself is an equi-join of two
+    tiny result sets — evaluation cost is dominated by the index
+    scans it reuses, which are the operators under test.
+    """
+    truth = knn_bruteforce_cosine(spark, sf_dir).select("qid", "nid")
+    approx = ann_ivf_cosine(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+    )
+    joined = truth.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+        "left",
+    )
+    hit = F.sum(F.when(F.col("anid").isNotNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            hit.alias("n_hit"),
+            (F.floor(hit * F.lit(10000.0) / F.count(F.lit(1))) / F.lit(10000.0)).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("qid")
+    )

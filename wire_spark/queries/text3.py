@@ -184,3 +184,116 @@ def text_bigram_logprob(spark, sf_dir):
         .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------
+# Gopher-style quality-rule audit (rule-based curation filters)
+# --------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+  FROM documents
+), m AS (
+  SELECT source,
+         len(words) AS nw,
+         list_sum(list_transform(words, x -> length(x))) AS sumlen,
+         len(list_filter(words,
+             x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS nstop,
+         len(list_distinct(words)) AS ndis,
+         list_max(list_transform(list_distinct(words),
+             w -> len(list_filter(words, x -> x = w)))) AS maxc
+  FROM w
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_fail_wordcount,
+  CAST(sum(CASE WHEN 3 * nw <= sumlen AND sumlen <= 10 * nw THEN 0 ELSE 1 END)
+    AS BIGINT) AS n_fail_meanlen,
+  CAST(sum(CASE WHEN 50 * nstop >= nw THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_fail_stopword,
+  CAST(sum(CASE WHEN 5 * maxc <= nw THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_fail_repetition,
+  CAST(sum(CASE WHEN 10 * ndis >= 3 * nw THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_fail_ttr,
+  CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000
+                 AND 3 * nw <= sumlen AND sumlen <= 10 * nw
+                 AND 50 * nstop >= nw
+                 AND 5 * maxc <= nw
+                 AND 10 * ndis >= 3 * nw THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_all
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_gopher_quality_rules", oracle=_GOPHER_ORACLE, bench=True,
+          doc="Gopher-style rule-based quality filter audit: per-source "
+              "failure counts for word-count / mean-word-length / "
+              "stopword / repetition / type-token-ratio rules")
+def text_gopher_quality_rules(spark, sf_dir):
+    """Rule-based curation audit in the style of the Gopher paper's
+    quality heuristics (word-count bounds, mean word length 3-10,
+    stopword presence, max-token repetition share, type-token ratio),
+    reported as per-source failure counts plus the pass-all count.
+
+    Complements the scoring family (``text_quality_score``,
+    ``text_repetition_ratio``, entropy/logprob): production pipelines
+    run hard rule gates FIRST, and this is the audit table a curation
+    run reviews before committing thresholds.
+
+    Cross-engine parity: every rule is an EXACT-INTEGER comparison
+    (e.g. mean length in [3,10] as ``3*nw <= sumlen <= 10*nw``) — no
+    float ratio ever crosses an engine boundary (NOTES.md rule 1).
+
+    Scale shape: all per-doc metrics are array HOFs inside the scan
+    projection (split/filter/aggregate/transform — text never
+    shuffles); the only shuffle is the tiny per-source count rollup
+    with map-side combine. The nested-lambda max-count is
+    O(distinct * words) per row, bounded by document length — at
+    100 TB this is embarrassingly parallel scan work.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("words"),
+    )
+    m = d.select(
+        "source",
+        F.size("words").alias("nw"),
+        F.expr("aggregate(words, 0, (acc, x) -> acc + length(x))").alias("sumlen"),
+        F.expr(
+            "size(filter(words, x -> x IN ('the', 'a', 'of', 'and', 'in')))"
+        ).alias("nstop"),
+        F.size(F.array_distinct("words")).alias("ndis"),
+        F.expr(
+            "array_max(transform(array_distinct(words), "
+            "w -> size(filter(words, x -> x = w))))"
+        ).alias("maxc"),
+    )
+    ok_wc = (F.col("nw") >= 50) & (F.col("nw") <= 100000)
+    ok_ml = (3 * F.col("nw") <= F.col("sumlen")) & (F.col("sumlen") <= 10 * F.col("nw"))
+    ok_sw = 50 * F.col("nstop") >= F.col("nw")
+    ok_rep = 5 * F.col("maxc") <= F.col("nw")
+    ok_ttr = 10 * F.col("ndis") >= 3 * F.col("nw")
+
+    def n_fail(ok):
+        return F.sum(F.when(ok, 0).otherwise(1))
+
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_fail(ok_wc).alias("n_fail_wordcount"),
+            n_fail(ok_ml).alias("n_fail_meanlen"),
+            n_fail(ok_sw).alias("n_fail_stopword"),
+            n_fail(ok_rep).alias("n_fail_repetition"),
+            n_fail(ok_ttr).alias("n_fail_ttr"),
+            F.sum(
+                F.when(ok_wc & ok_ml & ok_sw & ok_rep & ok_ttr, 1).otherwise(0)
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
