@@ -225,10 +225,11 @@ ORDER BY i.d1, i.d2
 """
 
 
-def _minhash_pairs(spark, sf_dir):
-    """Verified near-dup pairs (>= 0.8 Jaccard) from MinHash-LSH band
-    candidates — the scale-path edge generator shared by
-    dedup_minhash_lsh and dedup_components_lsh."""
+def _minhash_bands(spark, sf_dir):
+    """(shingles, band-signature) relations — the MinHash-LSH index
+    builder shared by the in-corpus pair generator and the
+    incremental new-batch probe. Returns ``band`` uncached; callers
+    decide persistence (both sides of a self-join vs probe-only)."""
     sh = _shingle_df(spark, sf_dir)
     perms = spark.range(24).select(F.col("id").cast("long").alias("p"))
     # One md5 per shingle; 24 permutations via Carter-Wegman-style
@@ -258,6 +259,14 @@ def _minhash_pairs(spark, sf_dir):
             ).alias("bsig")
         )
     )
+    return sh, band
+
+
+def _minhash_pairs(spark, sf_dir):
+    """Verified near-dup pairs (>= 0.8 Jaccard) from MinHash-LSH band
+    candidates — the scale-path edge generator shared by
+    dedup_minhash_lsh and dedup_components_lsh."""
+    sh, band = _minhash_bands(spark, sf_dir)
     band = band.cache()  # reused on both sides of the LSH bucket join
     a, b = band.alias("a"), band.alias("b")
     cand = (
@@ -986,4 +995,105 @@ def dedup_crossmodal_audit(spark, sf_dir):
             (F.col("cos_sim") < 0.9).alias("modality_disagree"),
         )
         .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------
+# incremental dedup: probe a NEW batch against the existing corpus
+# --------------------------------------------------------------------
+
+_INCR_ORACLE = _MINHASH_ORACLE[: _MINHASH_ORACLE.index(", cand AS")] + """
+, newb AS (SELECT * FROM band WHERE doc_id % 10 = 0),
+oldb AS (SELECT * FROM band WHERE doc_id % 10 != 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS dn, o.doc_id AS dc
+  FROM newb n JOIN oldb o ON n.band = o.band AND n.bsig = o.bsig
+), inter AS (
+  SELECT c.dn, c.dc, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.dn
+  JOIN sh b ON b.doc_id = c.dc AND b.shingle = a.shingle
+  GROUP BY c.dn, c.dc
+), verified AS (
+  SELECT i.dn, i.dc,
+         i.i * 1.0 / (s1.n + s2.n - i.i) AS jraw
+  FROM inter i
+  JOIN sizes s1 ON i.dn = s1.doc_id
+  JOIN sizes s2 ON i.dc = s2.doc_id
+  WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8
+)
+SELECT new_doc_id, n_matches, best_match, best_jaccard FROM (
+  SELECT dn AS new_doc_id,
+         count(*) OVER (PARTITION BY dn) AS n_matches,
+         dc AS best_match,
+         floor(jraw * 10000.0) / 10000.0 AS best_jaccard,
+         row_number() OVER (PARTITION BY dn ORDER BY jraw DESC, dc) AS rn
+  FROM verified
+) WHERE rn = 1
+ORDER BY new_doc_id
+"""
+
+
+@register("dedup_incremental_lsh", oracle=_INCR_ORACLE, bench=True,
+          doc="incremental dedup: MinHash-LSH probe of a new batch "
+              "(doc_id % 10 = 0) against the standing corpus, "
+              "rejected docs with their best corpus match")
+def dedup_incremental_lsh(spark, sf_dir):
+    """The production ingestion pattern: the standing corpus keeps its
+    band-signature index at rest; only the NEW batch (here the
+    deterministic doc_id % 10 = 0 slice standing in for today's crawl)
+    computes signatures and probes it. Emits each new doc that
+    near-duplicates the corpus (verified Jaccard >= 0.8) with its
+    match count and best-matching corpus doc — the reject/link table
+    an incremental pipeline writes before admitting the batch.
+
+    Scale shape vs in-corpus dedup: the candidate join is new-batch x
+    corpus on (band, bsig) — cost scales with BATCH size, not corpus
+    size; the corpus index is read, never rebuilt (here both sides
+    derive from one relation only because the sandbox has a single
+    table). Verification touches candidates only, same as the
+    in-corpus path.
+    """
+    sh, band = _minhash_bands(spark, sf_dir)
+    band = band.cache()  # corpus side + batch side read it once each
+    is_new = F.col("doc_id") % 10 == 0
+    newb = band.filter(is_new).select(
+        F.col("doc_id").alias("dn"), "band", "bsig"
+    )
+    oldb = band.filter(~is_new).select(
+        F.col("doc_id").alias("dc"), "band", "bsig"
+    )
+    cand = newb.join(oldb, ["band", "bsig"]).select("dn", "dc").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("dn"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("dc"), "shingle")
+    inter = (
+        cand.join(sa, "dn").join(sb, ["dc", "shingle"])
+        .groupBy("dn", "dc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jraw = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("dn"), F.col("n").alias("n1")), "dn")
+        .join(sizes.select(F.col("doc_id").alias("dc"), F.col("n").alias("n2")), "dc")
+        .filter(jraw >= 0.8)
+        .select("dn", "dc", jraw.alias("jraw"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dn")
+    wr = w.orderBy(F.desc("jraw"), F.asc("dc"))
+    return (
+        verified.select(
+            F.col("dn").alias("new_doc_id"),
+            F.count(F.lit(1)).over(w).alias("n_matches"),
+            F.col("dc").alias("best_match"),
+            (F.floor(F.col("jraw") * F.lit(10000.0)) / F.lit(10000.0)).alias(
+                "best_jaccard"
+            ),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("new_doc_id")
     )
