@@ -29,6 +29,21 @@ def test_registry_nonempty():
     assert len(REGISTRY) >= 25
 
 
+def test_driver_priority_window():
+    """The driver records rows only for the first 50 names in
+    ``queries()`` iteration order; ``_DRIVER_PRIORITY`` controls that
+    window. It must hold exactly 50 distinct, registered names, and
+    the registry must yield them first.
+    """
+    from wire_spark.catalog import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    assert list(REGISTRY)[:50] == list(_DRIVER_PRIORITY)
+
+
 def test_no_hugeint_oracle_outputs(con):
     """DuckDB sum() over integers yields HUGEINT (int128), which the
     driver's value-hash renders differently from Spark's bigint even

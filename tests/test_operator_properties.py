@@ -307,3 +307,65 @@ def test_weighted_sample_strata_sizes(spark, sf_dir):
     n_sources = T(spark, sf_dir, "documents").select("source").distinct().count()
     assert len(per_src) == n_sources  # every stratum represented
     assert all(c <= 10 for c in per_src.values())
+
+
+# --------------------------------------------------------------------
+# round-5 operators: invariants independent of the oracle comparison
+# --------------------------------------------------------------------
+
+
+def test_gopher_rules_counts_consistent(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    rows = load_registry()["text_gopher_quality_rules"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in ("n_fail_wordcount", "n_fail_meanlen", "n_fail_stopword",
+                  "n_fail_repetition", "n_fail_ttr"):
+            assert 0 <= r[c] <= r.n_docs, (r.source, c)
+        # pass-all can't exceed docs passing the WORST single rule
+        worst = max(r.n_fail_wordcount, r.n_fail_meanlen, r.n_fail_stopword,
+                    r.n_fail_repetition, r.n_fail_ttr)
+        assert r.n_pass_all <= r.n_docs - worst, r.source
+
+
+def test_ann_recall_bounds_and_self_hit(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    rows = load_registry()["ann_recall_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_truth == 5
+        assert 0 <= r.n_hit <= r.n_truth
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        # floor(10000*h/5)/10000 reconstructs exactly from the counts
+        assert abs(r.recall_at_5 - (r.n_hit * 2000) // 1 / 10000.0) < 1e-9
+
+
+def test_token_budget_plan_monotone_and_budget(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    rows = load_registry()["curation_token_budget_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    cum = 0
+    prev_q = None
+    for r in sorted(rows, key=lambda r: r.rnk):
+        cum += r.n_tokens
+        assert r.cum_tokens == cum, r.source
+        assert r.selected == (1 if 2 * cum <= total else 0), r.source
+        if prev_q is not None:
+            assert r.mean_quality <= prev_q + 1e-9, "quality ranking not monotone"
+        prev_q = r.mean_quality
+
+
+def test_incremental_dedup_batch_only_and_verified(spark, sf_dir):
+    from wire_spark.catalog import load_registry
+
+    rows = load_registry()["dedup_incremental_lsh"].fn(spark, sf_dir).collect()
+    assert rows  # non-vacuous at sf0.001 (verified: 8 rejects)
+    for r in rows:
+        assert r.new_doc_id % 10 == 0          # rejects come from the batch
+        assert r.best_match % 10 != 0          # matches come from the corpus
+        assert r.n_matches >= 1
+        assert r.best_jaccard >= 0.8
