@@ -55,6 +55,30 @@ def _norm(v):
     return v
 
 
+def _unsafe_types(sdf, con, oracle: str) -> list[str]:
+    """Declared result types whose value-hash diverges between engines
+    even when Python-level values are equal — the round-3/4 failure
+    class. DuckDB ``sum()`` over integers yields HUGEINT (int128) and
+    bare decimal literals yield DECIMAL; Spark DecimalType renders
+    differently from double. Both must be cast away in the query/
+    oracle, so the local gate flags them instead of silently passing
+    the coerced Python values.
+    """
+    issues = []
+    hug = [
+        f"{c}:{t}"
+        for c, t in zip(con.sql(oracle).columns, con.sql(oracle).types)
+        if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+    ]
+    if hug:
+        issues.append(f"oracle driver-unsafe output types (CAST them): {hug}")
+    dec = [f"{f.name}:{f.dataType}" for f in sdf.schema.fields
+           if type(f.dataType).__name__ == "DecimalType"]
+    if dec:
+        issues.append(f"spark driver-unsafe output types (cast to double/long): {dec}")
+    return issues
+
+
 def compare_query(
     spark: SparkSession,
     con: duckdb.DuckDBPyConnection,
@@ -67,6 +91,7 @@ def compare_query(
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()]
 
+    type_issues = _unsafe_types(sdf, con, oracle)
     ores = con.execute(oracle)
     o_cols = [d[0] for d in ores.description]
     o_raw = ores.fetchall()
@@ -74,7 +99,7 @@ def compare_query(
     oracle_cols = sorted(o_cols)
     oracle_rows = [tuple(_norm(row[i]) for i in o_sorted_idx) for row in o_raw]
 
-    issues: list[str] = []
+    issues: list[str] = list(type_issues)
     if spark_cols != oracle_cols:
         issues.append(f"schema: spark={spark_cols} oracle={oracle_cols}")
     if len(spark_rows) != len(oracle_rows):
