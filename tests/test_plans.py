@@ -291,3 +291,19 @@ def test_ann_recall_audit_broadcasts_tiny_topk(spark, sf_dir):
     # broadcast, never a shuffled sort-merge join
     df = _df(spark, sf_dir, "ann_recall_audit")
     assert has_broadcast_join(df)
+
+
+def test_interleave_schedule_partial_topk(spark, sf_dir):
+    # the global schedule position must come from TakeOrdered top-60,
+    # never a whole-corpus single-partition sort window
+    df = _df(spark, sf_dir, "curation_interleave_schedule")
+    assert has_take_ordered(df)
+
+
+def test_profile_branches_prune_to_single_columns(spark, sf_dir):
+    # each union branch's scan must read only the column it profiles
+    df = _df(spark, sf_dir, "profile_documents_columns")
+    scans = scan_columns(df)
+    assert scans, "no parquet scans found"
+    for rs in scans:
+        assert "text" not in rs  # the wide column is never read

@@ -268,3 +268,71 @@ def robust_outliers_mad_bucketed(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# per-column data-quality profile (schema audit before ingestion)
+# --------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang), min(lang), max(lang)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source), min(source), max(source)
+FROM documents
+ORDER BY col_name
+"""
+
+
+@register("profile_documents_columns", oracle=_PROFILE_ORACLE, bench=True,
+          doc="per-column data-quality profile of the documents table: "
+              "row/null/distinct counts and min/max per column")
+def profile_documents_columns(spark, sf_dir):
+    """The pre-ingestion schema audit every pipeline runs on a new
+    drop: per-column null counts, exact distinct cardinality, and
+    min/max rendered as strings (type-stable output schema no matter
+    the column type). The long text column is profiled indirectly via
+    ``n_chars``; min/max are cast to VARCHAR identically in both
+    engines.
+
+    Scale shape: one pruned scan branch per column — column pruning
+    means each branch reads ONLY its column (asserted in
+    tests/test_plans.py), so total I/O equals one full-width scan and
+    the branches run concurrently. Each branch partial-aggregates
+    map-side; the exact ``countDistinct`` shuffles that column's
+    values once. At 100 TB swap exact distincts for
+    approx_count_distinct if ~2% error is acceptable; the exact form
+    is the audit default.
+    """
+    d = T(spark, sf_dir, "documents")
+
+    def branch(c):
+        return d.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        ).select(F.lit(c).alias("col_name"), "n_rows", "n_null", "n_distinct",
+                 "min_v", "max_v")
+
+    out = branch("doc_id")
+    for c in ("lang", "n_chars", "source"):
+        out = out.unionAll(branch(c))
+    return out.orderBy("col_name")

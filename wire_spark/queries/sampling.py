@@ -272,3 +272,90 @@ def curation_mixing_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# weighted interleave schedule (stride scheduling of the data loader)
+# --------------------------------------------------------------------
+
+_INTERLEAVE_ORACLE = """
+WITH per_doc AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hk
+  FROM documents
+), per_source AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  FROM per_doc GROUP BY source
+), ranked AS (
+  SELECT d.source, d.doc_id, s.src_tokens,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.hk, d.doc_id)
+           AS rank_in_source
+  FROM per_doc d JOIN per_source s USING (source)
+), strided AS (
+  SELECT source, doc_id, rank_in_source,
+         CAST(rank_in_source AS BIGINT) * src_tokens AS stride_key
+  FROM ranked
+)
+SELECT row_number() OVER (ORDER BY stride_key, source, doc_id) AS schedule_pos,
+       source, doc_id, rank_in_source, stride_key
+FROM strided
+ORDER BY schedule_pos
+LIMIT 60
+"""
+
+
+@register("curation_interleave_schedule", oracle=_INTERLEAVE_ORACLE, bench=True,
+          doc="weighted interleave schedule: stride scheduling of docs "
+              "so low-token sources surface proportionally more often "
+              "(token-equalizing loader order), first 60 positions")
+def curation_interleave_schedule(spark, sf_dir):
+    """The deterministic data-loader order behind
+    ``curation_mixing_weights``: each source's docs are shuffled by a
+    stable hash, then stride-scheduled at virtual time
+    ``rank_in_source * src_tokens`` — a source holding 1/10th the
+    tokens emits docs 10x as densely, so cumulative token share stays
+    equalized at every prefix (classic stride scheduling, all
+    exact-integer keys so both engines agree on the total order).
+
+    Scale shape: per-source rank is a window on the source key (the
+    same partitioning the rollup uses); the global order materializes
+    only the top-60 via TakeOrdered — the full schedule is never
+    sorted globally, a consumer writes it bucketed by stride_key
+    range instead.
+    """
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("n_tokens"),
+        md5_long(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    per_source = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w_rank = W.partitionBy("source").orderBy(F.asc("hk"), F.asc("doc_id"))
+    ranked = (
+        d.join(F.broadcast(per_source), "source")
+        .withColumn("rank_in_source", F.row_number().over(w_rank))
+        .select(
+            "source", "doc_id", "rank_in_source",
+            (F.col("rank_in_source").cast("long") * F.col("src_tokens")).alias(
+                "stride_key"
+            ),
+        )
+    )
+    # Partial top-k FIRST (same fix as token_zipf): orderBy+limit
+    # compiles to TakeOrderedAndProject, so each partition forwards
+    # only its own top-60 — the global schedule_pos window then runs
+    # over <=60 survivor rows instead of sorting the whole corpus
+    # through one task.
+    top = ranked.orderBy(
+        F.asc("stride_key"), F.asc("source"), F.asc("doc_id")
+    ).limit(60)
+    w_sched = W.orderBy(F.asc("stride_key"), F.asc("source"), F.asc("doc_id"))
+    return (
+        top.withColumn("schedule_pos", F.row_number().over(w_sched))
+        .select("schedule_pos", "source", "doc_id", "rank_in_source", "stride_key")
+        .orderBy("schedule_pos")
+    )
