@@ -487,3 +487,49 @@ def test_streaming_markov_transitions_batch_parity(spark, tmp_path):
     batch_counts = {(r.prev_type, r.next_type): r.n_trans for r in batch}
     assert batch_counts  # non-vacuous
     assert stream_counts == batch_counts
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path, sf_dir):
+    """The stateless streaming quality gate (gopher_pass_all inside a
+    readStream filter) must admit exactly the documents the batch
+    audit counts as pass-all — batch/stream parity of the curation
+    gate, the property that lets one pipeline definition serve both
+    backfill and live ingestion."""
+    from wire_spark.engine import load_table
+    from wire_spark.queries.text3 import gopher_pass_all
+    from wire_spark.catalog import load_registry
+
+    docs = load_table(spark, sf_dir, "documents")
+    spool = str(tmp_path / "docs_in")
+    docs.select(F.to_json(F.struct("doc_id", "text", "source")).alias("value")) \
+        .coalesce(2).write.mode("overwrite").text(spool)
+
+    stream = (
+        spark.readStream.schema("value STRING").text(spool)
+        .select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+            F.get_json_object("value", "$.source").alias("source"),
+        )
+        .filter(gopher_pass_all("text"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("gopher_gate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM gopher_gate").collect()
+    }
+
+    batch = load_registry()["text_gopher_quality_rules"].fn(spark, sf_dir).collect()
+    n_pass_batch = sum(r.n_pass_all for r in batch)
+    assert admitted, "gate admitted nothing — vacuous"
+    assert len(admitted) == n_pass_batch
+    # and the admitted set is exactly the batch pass-all set
+    batch_pass = {
+        r.doc_id for r in docs.filter(gopher_pass_all("text")).collect()
+    }
+    assert admitted == batch_pass

@@ -297,3 +297,29 @@ def text_gopher_quality_rules(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def gopher_pass_all(text_col: str = "text"):
+    """Single boolean Column applying every Gopher-style rule gate —
+    the streaming/ingest form of ``text_gopher_quality_rules`` (same
+    exact-integer predicates, computable inside any projection, so the
+    identical gate runs in a ``readStream.filter`` with no state).
+    Parity with the batch audit is pinned by
+    tests/test_streaming_extras.py::test_streaming_gopher_gate_matches_batch.
+    """
+    words = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    nw = f"size({words})"
+    sumlen = f"aggregate({words}, 0, (acc, x) -> acc + length(x))"
+    nstop = f"size(filter({words}, x -> x IN ('the', 'a', 'of', 'and', 'in')))"
+    ndis = f"size(array_distinct({words}))"
+    maxc = (
+        f"array_max(transform(array_distinct({words}), "
+        f"w -> size(filter({words}, x -> x = w))))"
+    )
+    return F.expr(
+        f"({nw}) >= 50 AND ({nw}) <= 100000"
+        f" AND 3 * ({nw}) <= ({sumlen}) AND ({sumlen}) <= 10 * ({nw})"
+        f" AND 50 * ({nstop}) >= ({nw})"
+        f" AND 5 * ({maxc}) <= ({nw})"
+        f" AND 10 * ({ndis}) >= 3 * ({nw})"
+    )
