@@ -290,20 +290,32 @@ def test_streaming_minhash_near_dup_detection(spark, tmp_path):
 
 
 def test_streaming_bands_agree_with_batch_lsh(spark, sf_dir):
-    """The stream-safe signature (array_min/transform, no groupBy)
-    must reproduce the batch banding: every pair the batch
-    dedup_minhash_lsh emits shares at least one streaming band
-    bucket (same Carter-Wegman arithmetic => same buckets)."""
+    """The stream-safe signature must reproduce the batch banding
+    EXACTLY — same (doc_id, band, bsig) rows, not merely compatible
+    buckets. (The original weaker shares-a-bucket assertion let a
+    nested-lambda mis-binding ship signatures whose four band slots
+    all held the p=0 minhash — near-identical docs still collided, so
+    the bug was invisible until the incremental gate diverged from
+    the batch probe.)"""
     from wire_spark.catalog import load_registry
     from wire_spark.engine import load_table
+    from wire_spark.queries.dedup import _minhash_bands
     from wire_spark.streaming.dedup_stream import minhash_bands
 
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs).collect()
-    buckets: dict[tuple, set] = {}
-    for r in bands:
-        buckets.setdefault((r.band, r.bsig), set()).add(r.doc_id)
+    streamed = {
+        (r.doc_id, r.band, r.bsig)
+        for r in minhash_bands(docs).collect()
+    }
+    _, band = _minhash_bands(spark, sf_dir)
+    batch = {(r.doc_id, r.band, r.bsig) for r in band.collect()}
+    assert streamed == batch
+    assert streamed  # non-vacuous
 
+    # and therefore every batch near-dup pair shares a streaming bucket
+    buckets: dict[tuple, set] = {}
+    for d, b, s in streamed:
+        buckets.setdefault((b, s), set()).add(d)
     batch_pairs = [
         (r.d1, r.d2)
         for r in load_registry()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
@@ -533,3 +545,56 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path, sf_dir):
         r.doc_id for r in docs.filter(gopher_pass_all("text")).collect()
     }
     assert admitted == batch_pass
+
+
+def test_streaming_incremental_dedup_gate_matches_batch(spark, tmp_path, sf_dir):
+    """Ingestion-time dedup gate: new documents stream in, their
+    stream-safe band signatures join the STATIC corpus band index
+    (stream-static join, stateless), and every flagged doc must be
+    exactly a batch incremental-probe candidate
+    (dedup_incremental_lsh's pre-verification candidate set) — the
+    same index serves backfill and live ingestion."""
+    from wire_spark.engine import load_table
+    from wire_spark.queries.dedup import _minhash_bands
+    from wire_spark.streaming.dedup_stream import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, band = _minhash_bands(spark, sf_dir)
+    corpus_idx = (
+        band.filter(F.col("doc_id") % 10 != 0)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "bsig")
+        .cache()
+    )
+
+    # batch candidate truth: new-batch bands joined to the corpus index
+    batch_cand = {
+        r.doc_id
+        for r in band.filter(F.col("doc_id") % 10 == 0)
+        .join(corpus_idx, ["band", "bsig"])
+        .select("doc_id").distinct().collect()
+    }
+    assert batch_cand  # non-vacuous at sf0.001
+
+    spool = str(tmp_path / "new_docs")
+    docs.filter(F.col("doc_id") % 10 == 0) \
+        .select(F.to_json(F.struct("doc_id", "text")).alias("value")) \
+        .coalesce(2).write.mode("overwrite").text(spool)
+    stream = (
+        spark.readStream.schema("value STRING").text(spool)
+        .select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        )
+    )
+    flagged = minhash_bands(stream).join(corpus_idx, ["band", "bsig"])
+    q = (
+        flagged.writeStream.format("memory").queryName("incr_gate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_incr"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM incr_gate").collect()
+    }
+    assert streamed == batch_cand

@@ -34,8 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from wire_spark.queries._util import word_shingles
-
 _PRIME = 1073741789
 
 
@@ -51,44 +49,40 @@ def minhash_bands(
     Signature arithmetic is identical to queries/dedup.py's batch
     minhash (md5-derived h1/h2, (h1 + p*h2) mod prime), but expressed
     as per-row ``array_min(transform(shingles, ...))`` so no groupBy
-    is needed — stream-safe and window-free.
-    """
-    def perm_hash(s, p: int):
-        # (h1 + p*h2) mod prime over the shingle's md5 halves — the
-        # exact batch-minhash arithmetic (queries/dedup.py)
-        md5c = F.md5(s)
-        h1 = F.conv(F.substring(md5c, 1, 12), 16, 10).cast("long")
-        h2 = F.conv(F.substring(md5c, 13, 12), 16, 10).cast("long")
-        return (h1 + F.lit(p) * h2) % F.lit(_PRIME)
+    is needed — stream-safe and window-free. Exact equality with the
+    batch band table is asserted in
+    tests/test_streaming_extras.py::test_streaming_bands_agree_with_batch_lsh.
 
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, 3).alias("__sh"),
-    )
-    mins = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, p=p: perm_hash(s, p)))
-            for p in range(n_perm)
-        ]
-    )
+    Implementation note: every nested lambda level is built as ONE
+    parser-side SQL expression with DISTINCT lambda variable names
+    (i/s/p/k/m). Composing Python-built ``F.transform`` lambdas across
+    aliased HOF columns mis-binds the inner variable after projection
+    collapse (NOTES.md rule 8) — the original form of this function
+    silently produced per-band signatures whose four slots all held
+    the p=0 minhash value.
+    """
     n_bands = n_perm // band_rows
-    sigs = shingled.select("doc_id", mins.alias("__mins"))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice("__mins", k * band_rows + 1, band_rows),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ).alias("bsig"),
-            )
-            for k in range(n_bands)
-        ]
+    words = f"split({text_col}, ' ')"
+    sh = (
+        f"array_distinct(CASE WHEN size({words}) >= 3 THEN "
+        f"transform(sequence(1, size({words}) - 2), "
+        f"i -> concat_ws(' ', slice({words}, i, 3))) "
+        f"ELSE array() END)"
     )
-    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+    mins = (
+        f"transform(sequence(0, {n_perm - 1}), p -> array_min(transform({sh}, "
+        f"s -> (cast(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT) "
+        f"+ p * cast(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)) "
+        f"% {_PRIME})))"
+    )
+    sigs = df.select(F.col(id_col).alias("doc_id"), F.expr(mins).alias("__mins"))
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), k -> struct("
+        f"cast(k AS INT) AS band, "
+        f"array_join(transform(slice(__mins, k * {band_rows} + 1, {band_rows}), "
+        f"m -> cast(m AS STRING)), ',') AS bsig))"
+    )
+    return sigs.select("doc_id", F.explode(F.expr(bands)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
 
