@@ -307,3 +307,12 @@ def test_profile_branches_prune_to_single_columns(spark, sf_dir):
     assert scans, "no parquet scans found"
     for rs in scans:
         assert "text" not in rs  # the wide column is never read
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    # batch-vs-corpus candidates must come from the (band, bsig)
+    # equi-join — never a nested-loop/cartesian product
+    df = _df(spark, sf_dir, "dedup_incremental_lsh")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
