@@ -321,5 +321,11 @@ def test_incremental_dedup_candidates_are_equi_join(spark, sf_dir):
 
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band",
                      plan), "candidate join is not a keyed join on band"
-    # every nested-loop join must be a broadcast of the tiny perms dim
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # every nested-loop join must be the broadcast perms expansion
+    # (Cross with the 24-row build side) — no unkeyed join of data
+    # relations. NOTE: don't count occurrences — a warm cache embeds
+    # the InMemoryRelation's build plan in the string, duplicating
+    # the perms BNLJ lines.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, f"non-broadcast-dim nested loop: {line.strip()}"
