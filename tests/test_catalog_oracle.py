@@ -44,19 +44,27 @@ def test_driver_priority_window():
     assert list(REGISTRY)[:50] == list(_DRIVER_PRIORITY)
 
 
-def test_no_hugeint_oracle_outputs(con):
-    """DuckDB sum() over integers yields HUGEINT (int128), which the
-    driver's value-hash renders differently from Spark's bigint even
-    when the values are equal — the round-3/4 hash-mismatch family.
-    Every integer aggregate in an oracle must be CAST(... AS BIGINT).
+def test_no_hugeint_or_decimal_oracle_outputs(con):
+    """DuckDB sum() over integers yields HUGEINT (int128) and bare
+    decimal literals yield DECIMAL — both render differently from
+    Spark's bigint/double in the driver's value-hash even when the
+    values are equal (the round-3/4 hash-mismatch family). Every
+    integer aggregate in an oracle must be CAST(... AS BIGINT) and
+    every decimal expression CAST to DOUBLE. This mirrors the
+    runtime gate (wire_spark.oracle._unsafe_types) so a new offender
+    fails statically, not per-compare.
     """
     offenders = {}
     for name in _WITH_ORACLE:
         rel = con.sql(REGISTRY[name].oracle)
-        hug = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
-        if hug:
-            offenders[name] = hug
-    assert not offenders, f"oracles with HUGEINT output columns: {offenders}"
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles with driver-unsafe output types: {offenders}"
 
 
 def test_entry_contract(spark):

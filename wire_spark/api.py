@@ -13,6 +13,16 @@ Mirrors internal/http/service.go routes (:484-580):
 - ``POST /db/query``             GET statements -> QueryRows JSON
   (plain or ``?associative`` — encoding/json.go:27-160 shapes).
 - ``GET /status`` ``GET /readyz`` diagnostics (service.go:508-511).
+- ``GET /nodes``                 node roster (service.go:975-1022,
+  handleNodes). Single-node analog: exactly one entry, keyed by the
+  Spark application id, always reachable and leader — there is no
+  Raft roster to test, but the *shape* (id -> {api_addr, reachable,
+  leader, time}) matches so dashboards built on the reference work
+  unchanged.
+- ``GET /debug/vars``            expvar metrics (service.go:1416-1436,
+  handleExpvar): per-route request counters plus engine gauges
+  (active streaming queries, live KV keys), with the same ``?key=``
+  single-variable filter.
 
 No auth/TLS/cluster-redirect tier: there is no leader to redirect to
 (SURVEY.md §7.3) — any API node can serve any request because state

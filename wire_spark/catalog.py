@@ -59,64 +59,65 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 5 window: the 33 queries with no driver row in any
-# of CORRECTNESS_r01..r04 + the 7 repaired this round (3 NTZ errors,
-# 4 HUGEINT-oracle hash mismatches) + 10 re-checks of the
-# oldest-evidence / ts-dependent greens.
+# order.  Round 6 window: the 6 round-5 additions that have never
+# been in the driver's 50-window, then the 40 queries whose newest
+# driver-green row is CORRECTNESS_r02 (4 rounds stale), then 4
+# re-checks from the r04 cohort (ts-dependent / iterative shapes).
+# After this round every registry query's driver evidence is r04+.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 33 never driver-checked (registry order) --
-    "ann_ivf_lloyd_cosine",
-    "dedup_components_star",
-    "sample_stratified_by_lang",
-    "curation_mixing_weights",
-    "corpus_clean_split",
-    "context_chunking_plan",
-    "text_tfidf_top_terms",
-    "text_collocations_lift",
-    "text_repetition_ratio",
-    "skew_audit_events_user",
-    "robust_outliers_mad",
-    "robust_outliers_mad_bucketed",
-    "sketch_hll_distinct",
-    "quantile_histogram_sketch",
-    "bloom_join_prune",
-    "percentile_bucketed_exact",
-    "events_time_decay",
-    "events_resample_ffill",
-    "negative_sampling_pairs",
-    "events_type_correlation",
-    "sample_weighted_by_length",
-    "dedup_rate_by_source",
-    "sample_weighted_per_source",
-    "source_contamination_matrix",
-    "text_langid_trigram_trained",
-    "text_token_entropy",
-    "text_bigram_logprob",
-    "events_markov_transitions",
-    "events_trigram_paths",
-    "events_user_growth",
-    "events_seasonal_anomaly",
-    "session_dwell_percentiles",
-    "graph_pagerank_neardup",
-    # -- 7 repaired in round 5 (must re-earn a green row) --
-    "window_range_frame_30m",   # TIMESTAMP_NTZ error in r04
-    "cdc_apply_state",          # TIMESTAMP_NTZ error in r04
-    "cdc_op_stats",             # TIMESTAMP_NTZ error in r04
-    "q12_priority_classes",     # HUGEINT oracle hash mismatch r03/r04
-    "null_semantics_audit",     # HUGEINT oracle hash mismatch r03/r04
-    "length_bucket_histogram",  # HUGEINT oracle hash mismatch r03/r04
-    "sequence_packing_plan",    # HUGEINT oracle hash mismatch r03/r04
-    # -- 10 re-checks: oldest-evidence (r01/r02) + ts-dependent --
-    "q1_pricing_summary",
-    "events_funnel_conversion",
-    "retention_cohorts",
-    "window_session_10m",
-    "window_tumbling_hourly",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine_lsh",
-    "ann_lsh_multiprobe_cosine",
-    "embedding_quantize_int8",
-    "dedup_jaccard_capped",
+    # -- 6 never driver-checked (added in round 5) --
+    "text_gopher_quality_rules",
+    "ann_recall_audit",
+    "curation_token_budget_plan",
+    "dedup_incremental_lsh",
+    "curation_interleave_schedule",
+    "profile_documents_columns",
+    # -- 40 oldest-evidence greens (latest row = r02) --
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_brand_volume",
+    "semi_join_big_spenders",
+    "anti_join_no_urgent_orders",
+    "outer_join_nation_suppliers",
+    "set_union_segments",
+    "set_intersect_segments",
+    "set_except_segments",
+    "rollup_flag_status",
+    "cube_flag_status",
+    "pivot_linestatus",
+    "scalar_subquery_above_avg",
+    "topn_orders_by_price",
+    "distinct_counts",
+    "window_topk_per_brand",
+    "window_running_total",
+    "window_lag_lead_events",
+    "window_rank_ntile",
+    "events_type_stats",
+    "window_sliding_30m",
+    "events_json_extract",
+    "events_pivot_by_type",
+    "kv_last_writer_wins",
+    "kv_point_lookup",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_bruteforce_cosine",
+    "ann_ivf_cosine",
+    "embedding_norm_stats",
+    "ann_lsh_cosine",
+    "ann_pq_adc",
+    "dedup_near_survivors",
+    "ngram_vocab_mining",
+    # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
+    "events_hourly_anomaly",
+    "asof_join_click_purchase",
+    "dedup_connected_components",
+    "kmeans_lloyd_round",
 )
 
 

@@ -65,9 +65,10 @@ def _unsafe_types(sdf, con, oracle: str) -> list[str]:
     the coerced Python values.
     """
     issues = []
+    rel = con.sql(oracle)
     hug = [
         f"{c}:{t}"
-        for c, t in zip(con.sql(oracle).columns, con.sql(oracle).types)
+        for c, t in zip(rel.columns, rel.types)
         if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
     ]
     if hug:

@@ -189,7 +189,13 @@ def dedup_jaccard_capped(spark, sf_dir):
 # MinHash + LSH (24 permutations, 6 bands x 4 rows, verify >= 0.8)
 # --------------------------------------------------------------------
 
-_MINHASH_ORACLE = _SHINGLES_CTE + """
+# Shared prefix for every MinHash-based oracle: shingles + 24
+# Carter-Wegman permutations + per-(doc, perm) min + 6x4 band
+# signatures.  The in-corpus pair oracle, the clustering oracle, and
+# the incremental-probe oracle all compose from this constant (never
+# by string-slicing a sibling oracle — a cosmetic edit to one must
+# not silently shift the others).
+_MINHASH_BANDS_CTE = _SHINGLES_CTE + """
 , perms AS (SELECT unnest(range(24)) AS p)
 , sh2 AS (
   SELECT doc_id,
@@ -205,7 +211,11 @@ _MINHASH_ORACLE = _SHINGLES_CTE + """
   SELECT doc_id, p // 4 AS band,
          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bsig
   FROM sig GROUP BY doc_id, p // 4
-), cand AS (
+)"""
+
+# in-corpus band-bucket candidates + exact intersect counts
+_MINHASH_CAND_INTER_CTE = """
+, cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM band a JOIN band b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
@@ -215,7 +225,9 @@ _MINHASH_ORACLE = _SHINGLES_CTE + """
   JOIN sh a ON a.doc_id = c.d1
   JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
   GROUP BY c.d1, c.d2
-)
+)"""
+
+_MINHASH_ORACLE = _MINHASH_BANDS_CTE + _MINHASH_CAND_INTER_CTE + """
 SELECT i.d1, i.d2, floor(i.i * 1.0 / (s1.n + s2.n - i.i) * 10000.0) / 10000.0 AS jaccard
 FROM inter i
 JOIN sizes s1 ON i.d1 = s1.doc_id
@@ -758,7 +770,7 @@ def dedup_connected_components(spark, sf_dir):
 # full near-dup clustering over LSH edges (the 100 TB variant)
 # --------------------------------------------------------------------
 
-_MINHASH_PAIRS_CTE = _MINHASH_ORACLE[: _MINHASH_ORACLE.index("SELECT i.d1")] + """
+_MINHASH_PAIRS_CTE = _MINHASH_BANDS_CTE + _MINHASH_CAND_INTER_CTE + """
 , pairs AS (
   SELECT i.d1, i.d2
   FROM inter i
@@ -1002,7 +1014,7 @@ def dedup_crossmodal_audit(spark, sf_dir):
 # incremental dedup: probe a NEW batch against the existing corpus
 # --------------------------------------------------------------------
 
-_INCR_ORACLE = _MINHASH_ORACLE[: _MINHASH_ORACLE.index(", cand AS")] + """
+_INCR_ORACLE = _MINHASH_BANDS_CTE + """
 , newb AS (SELECT * FROM band WHERE doc_id % 10 = 0),
 oldb AS (SELECT * FROM band WHERE doc_id % 10 != 0),
 cand AS (

@@ -260,27 +260,42 @@ def quantile_histogram_sketch(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# Bloom-filter-pruned join (m=65536 bits, k=3, md5-derived)
+# Bloom-filter-pruned join (size-adaptive bitmap, k=3, md5-derived)
 # --------------------------------------------------------------------
 
-_BLOOM_ORACLE = """
+# Bitmap sizing, identical in both engines: nbits =
+# 2^clamp(ceil(log2(20 * n_distinct_build_keys)), 12, 20) — ~20 bits
+# per key holds the candidate-set FP share (FP / candidates, which
+# concentrates vs the per-probe FPR) under ~1% at any SF instead of
+# letting a fixed bitmap saturate when the build side grows 100×.  ceil(log2())
+# over an integer is float-exact here because 10*n can never be an
+# exact power of two, so Spark's Python math and DuckDB's SQL agree.
+_BLOOM_MIN_LOG2, _BLOOM_MAX_LOG2 = 12, 20
+
+_BLOOM_ORACLE = f"""
 WITH build AS (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+params AS (
+  SELECT CAST(POWER(2, GREATEST({_BLOOM_MIN_LOG2}, LEAST({_BLOOM_MAX_LOG2},
+         CEIL(LOG2(20.0 * COUNT(DISTINCT c_custkey)))))) AS BIGINT) AS nbits
+  FROM build
 ),
 build_bits AS (
   SELECT DISTINCT
     CAST(CONCAT('0x', SUBSTRING(md5(CAST(c_custkey AS VARCHAR) || ':' ||
-         CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
+         CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % (SELECT nbits FROM params) AS pos
   FROM build CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i
 ),
 probe AS (
   SELECT o_orderkey, o_custkey,
     CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15))
-         AS BIGINT) % 65536 AS p1,
+         AS BIGINT) % (SELECT nbits FROM params) AS p1,
     CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15))
-         AS BIGINT) % 65536 AS p2,
+         AS BIGINT) % (SELECT nbits FROM params) AS p2,
     CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || ':3'), 1, 15))
-         AS BIGINT) % 65536 AS p3
+         AS BIGINT) % (SELECT nbits FROM params) AS p3
   FROM orders
 ),
 cand AS (
@@ -300,29 +315,48 @@ FROM cand
 
 
 @register("bloom_join_prune", oracle=_BLOOM_ORACLE, bench=True,
-          doc="Bloom-filter pre-pruned semi-join (64 KiB bitmap, k=3 md5 "
-              "hashes): orders of BUILDING-segment customers, with the "
-              "filter's own false-positive rate measured")
+          doc="Bloom-filter pre-pruned semi-join (size-adaptive bitmap "
+              "~20 bits/key, k=3 md5 hashes): orders of BUILDING-segment "
+              "customers, with the filter's own false-positive rate measured")
 def bloom_join_prune(spark, sf_dir):
     """Join pruning with an explicit Bloom filter: the build side's
-    keys set k=3 md5-derived bits in a 65536-bit bitmap; the probe
-    side tests its bits with pure column ops BEFORE any join, so at
-    scale the shuffle (or even the broadcast-hash probe) only sees
-    the candidate subset. The final exact join both removes false
-    positives and measures them — the output's fp_ratio is the
-    filter's realized FPR, itself deterministic because every hash is.
+    keys set k=3 md5-derived bits in a bitmap sized from the build
+    side's exact distinct-key count (~20 bits/key, power-of-two,
+    clamped to [2^12, 2^20] bits); the probe side tests its bits with
+    pure column ops BEFORE any join, so at scale the shuffle (or even
+    the broadcast-hash probe) only sees the candidate subset. The
+    final exact join both removes false positives and measures them —
+    the output's fp_ratio is the filter's realized FPR, deterministic
+    because every hash and the sizing rule are.
 
-    The bitmap is collected to the driver as 1024 longs (8 KiB — the
-    same order as a broadcast-join hash table's keys) and re-enters
-    the plan as an array literal; bit tests are element_at + bitwise
-    AND against a 64-entry mask array, no Python. This is the manual
-    twin of AQE's runtime bloom pruning (spark.sql.optimizer.runtime.
-    bloomFilter), which cannot be oracle-checked; this one can."""
+    Sizing uses COUNT(DISTINCT) rather than approx_count_distinct
+    because the oracle must derive the *identical* bitmap; the count
+    runs on the small (build) side — the same side the bitmap itself
+    aggregates — so it adds one cheap pass. Past ~50k build keys the
+    2^20 cap saturates; there you graduate to AQE's runtime bloom
+    pruning (spark.sql.optimizer.runtime.bloomFilter, native sizing,
+    not oracle-checkable — this query is its oracle-checkable twin)
+    or a Broadcast variable instead of a plan literal.
+
+    The bitmap is collected to the driver as nbits/64 longs (at most
+    16384 words = 128 KiB — the same order as a broadcast-join hash
+    table's keys) and re-enters the plan as an array literal; bit
+    tests are element_at + bitwise AND against a 64-entry mask array,
+    no Python."""
+    import math
+
     cust = T(spark, sf_dir, "customer")
     build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
 
+    n_keys = build.distinct().count()
+    log2_bits = max(_BLOOM_MIN_LOG2,
+                    min(_BLOOM_MAX_LOG2,
+                        math.ceil(math.log2(20.0 * max(1, n_keys)))))
+    nbits = 1 << log2_bits
+    nwords = nbits // 64
+
     def _pos(key_col, i):
-        return md5_long(F.concat(key_col.cast("string"), F.lit(f":{i}"))) % 65536
+        return md5_long(F.concat(key_col.cast("string"), F.lit(f":{i}"))) % nbits
 
     pos = build.select(
         F.explode(F.array(*[_pos(F.col("c_custkey"), i) for i in (1, 2, 3)])).alias(
@@ -337,7 +371,7 @@ def bloom_join_prune(spark, sf_dir):
         .agg(F.expr("bit_or(shiftleft(bigint(1), b))").alias("word"))
     )
     wm = {r["w"]: r["word"] for r in words.collect()}
-    bitmap = F.array(*[F.lit(wm.get(i, 0)).cast("long") for i in range(1024)])
+    bitmap = F.array(*[F.lit(wm.get(i, 0)).cast("long") for i in range(nwords)])
     masks = F.array(*[F.lit((1 << b) - (1 << 64 if b == 63 else 0)).cast("long")
                       for b in range(64)])
 

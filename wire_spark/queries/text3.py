@@ -198,7 +198,11 @@ WITH w AS (
 ), m AS (
   SELECT source,
          len(words) AS nw,
-         list_sum(list_transform(words, x -> length(x))) AS sumlen,
+         -- coalesce: DuckDB list_sum([]) is NULL but Spark's
+         -- aggregate(words, 0, ...) is 0; both engines must agree
+         -- that a zero-word doc has sumlen 0 (meanlen rule then
+         -- passes vacuously on both: 0 <= 0 <= 0)
+         COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS sumlen,
          len(list_filter(words,
              x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS nstop,
          len(list_distinct(words)) AS ndis,
