@@ -139,6 +139,72 @@ def stream_latency(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def continuous_latency(spark, warmup_s: float = 5.0, measure_s: float = 10.0) -> dict:
+    """First-visible record latency under ContinuousTrigger — the
+    epoch-based execution mode that removes the micro-batch floor
+    (the reference's declared <10 ms p99 class, ROADMAP.md:189).
+
+    Pipeline: rate source -> continuous trigger (50 ms epochs) ->
+    memory sink; the driver polls the sink table and records, per
+    record, first-seen time minus source-generation time. Honest
+    scope: with a memory sink the measured number includes the epoch
+    commit plus the driver's poll/collect RPC (~100-200 ms here), so
+    this demonstrates the continuous path RUNNING end-to-end and its
+    measured profile in this sandbox — the sub-10 ms figure itself
+    needs kafka->kafka per-record writes, with no broker available
+    here. Python ForeachWriter cannot run in continuous mode
+    (CANNOT_GET_BATCH_ID), so the memory sink + poll is the
+    measurable shape."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="wire_bench_cont_")
+    name = f"cont_lat_{os.getpid()}"
+    q = None
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "100")
+            .option("numPartitions", "1")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(continuous="50 milliseconds")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .start()
+        )
+        time.sleep(warmup_s)  # codegen + epoch pipeline spinup
+        hi = spark.sql(f"SELECT max(value) v FROM {name}").collect()[0].v
+        hi = -1 if hi is None else hi
+        seen: dict[int, float] = {}
+        t_end = time.time() + measure_s
+        while time.time() < t_end:
+            rows = spark.sql(
+                f"SELECT value, timestamp FROM {name} WHERE value > {hi}"
+            ).collect()
+            tnow = time.time()
+            for r in rows:
+                seen[r.value] = tnow - r.timestamp.timestamp()
+                if r.value > hi:
+                    hi = r.value
+            time.sleep(0.005)
+        lats = sorted(seen.values())
+        if not lats:
+            return {"error": "no records observed"}
+        n = len(lats)
+        return {
+            "n": n,
+            "trigger": "continuous=50ms",
+            "p50_ms": round(lats[n // 2] * 1000.0, 1),
+            "p99_ms": round(lats[min(n - 1, int(n * 0.99))] * 1000.0, 1),
+            "min_ms": round(lats[0] * 1000.0, 1),
+        }
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -176,6 +242,12 @@ def main() -> None:
         latency = {"error": str(e)}
         print(f"BENCH LATENCY ERROR: {e}", file=sys.stderr)
 
+    try:
+        cont = continuous_latency(spark)
+    except Exception as e:
+        cont = {"error": str(e)}
+        print(f"BENCH CONTINUOUS ERROR: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -187,6 +259,7 @@ def main() -> None:
                 "sf": sf,
                 "stream": stream,
                 "stream_latency": latency,
+                "continuous_latency": cont,
             }
         )
     )

@@ -105,3 +105,37 @@ def test_connector_creates_and_runs_pipeline(svc, tmp_path):
         q.awaitTermination(60)
     rows = s.spark.read.json(out_dir).collect()
     assert [r.word for r in rows] == ["hi"]
+
+
+def test_nodes_single_node_roster(svc, spark):
+    # service.go:975-1022 analog: exactly one node (this driver),
+    # keyed by the Spark application id, reachable + leader + voter —
+    # the shape reference-built dashboards parse
+    _, base = svc
+    code, nodes = _get(base + "/nodes")
+    assert code == 200
+    assert list(nodes) == [spark.sparkContext.applicationId]
+    rec = nodes[spark.sparkContext.applicationId]
+    assert rec["reachable"] is True and rec["leader"] is True
+    assert rec["voter"] is True
+    assert rec["api_addr"] and rec["time"] >= 0
+
+
+def test_debug_vars_counters_and_filter(svc):
+    # service.go:1416-1436 analog: per-route expvar counters tick on
+    # each hit; engine gauges present; ?key= filters to one variable
+    _, base = svc
+    _get(base + "/status")
+    _get(base + "/status")
+    _get(base + "/readyz")
+    code, ev = _get(base + "/debug/vars")
+    assert code == 200
+    assert ev["num_status"] == 2
+    assert ev["num_readyz"] == 1
+    assert "active_streaming_queries" in ev and "kv_keys_live" in ev
+    assert ev["uptime_seconds"] >= 0
+
+    _, one = _get(base + "/debug/vars?key=num_status")
+    assert one == {"num_status": 2}  # /debug/vars itself is not counted
+    _, none = _get(base + "/debug/vars?key=no_such_var")
+    assert none == {}

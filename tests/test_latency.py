@@ -1,19 +1,26 @@
 """End-to-end latency: the reference declares "< 10ms p99 end-to-end"
 (ROADMAP.md:189) with no measurement harness. Here the claim is made
-testable: a micro-batch pipeline measures real per-record
-landing->processing latency, and the continuous-processing path (the
-sub-10ms-class execution mode, epoch-based, no micro-batch floor) is
-documented but not exercised: ContinuousTrigger parks long-running
-epoch tasks that never terminate under an availableNow-style harness
-(observed: rate->memory continuous query blocks indefinitely in this
-single-JVM sandbox), and a meaningful end-to-end continuous
-measurement needs a kafka broker on both ends, absent here.
+testable on both execution modes:
+
+- micro-batch: a real pipeline measures per-record
+  landing->processing latency (file spool -> 0s trigger ->
+  foreachBatch timestamps).
+- continuous: ``bench.continuous_latency`` runs ContinuousTrigger
+  end-to-end (rate -> 50 ms epochs -> memory sink) with a timed stop
+  and measures first-visible latency by polling the sink table. Two
+  sandbox constraints shape it: Python ForeachWriter cannot run in
+  continuous mode (CANNOT_GET_BATCH_ID — the open/process/close
+  wrapper needs a batch id continuous epochs don't provide), and an
+  availableNow-style harness never terminates (epoch tasks are
+  long-running by design) — hence memory sink + sleep + stop().
 
 Honest numbers (local[32]): micro-batch floor is O(100ms) per trigger
 regardless of record cost, so p99 lands in the 0.1-2s class — the
-right tool for throughput (bench.py: >100k rows/s). The <10ms class
-needs ContinuousTrigger + kafka, wired below up to the broker
-boundary.
+right tool for throughput (bench.py: >100k rows/s). Continuous mode
+measures p50 ~150-250 ms first-visible here because the memory-sink
+poll adds an epoch commit + collect RPC per observation; the <10ms
+class needs kafka->kafka per-record delivery, no broker in this
+sandbox.
 """
 
 from __future__ import annotations
@@ -113,3 +120,17 @@ def test_simple_transform_per_record_latency_submillisecond(spark, tmp_path):
     print(f"\nsteady-state transform latency: {per_record_ms:.4f} ms/record "
           f"({n} records in {wall:.2f}s)")
     assert per_record_ms < 1.0  # the sub-millisecond claim, measured
+
+
+def test_continuous_trigger_runs_and_measures(spark):
+    """ContinuousTrigger executes end-to-end in this sandbox (epoch
+    pipeline + memory-sink commits + clean stop) and yields a
+    non-empty latency profile in the sub-second class — the exercised
+    form of the reference's declared <10ms continuous-mode story."""
+    import bench
+
+    prof = bench.continuous_latency(spark, warmup_s=3.0, measure_s=5.0)
+    assert "error" not in prof, prof
+    assert prof["n"] > 100          # ~100 rows/s for 5s measured
+    assert prof["p50_ms"] < 2000    # continuous class, not batch class
+    assert prof["min_ms"] > 0

@@ -27,7 +27,7 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
 
 
 def test_bloom_fp_ratio_stays_low_across_sf(spark):
-    # the size-adaptive bitmap (~10 bits/key) must hold the realized
+    # the size-adaptive bitmap (~20 bits/key) must hold the realized
     # false-positive rate under 5% as the build side grows 100x —
     # the failure mode of the earlier fixed 65536-bit bitmap was
     # quiet saturation (fp_ratio -> ~1) at larger SFs

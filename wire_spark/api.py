@@ -56,6 +56,15 @@ class WireService:
         self.registry = PipelineRegistry(spark)
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self._started = time.time()
+        # expvar-style per-route hit counters (service.go's stats.Add
+        # calls); exposed verbatim through /debug/vars
+        self._stats: dict[str, int] = {}
+        self._stats_lock = threading.Lock()
+
+    def _count(self, name: str) -> None:
+        with self._stats_lock:
+            self._stats[name] = self._stats.get(name, 0) + 1
 
     # -- handlers ----------------------------------------------------
 
@@ -108,6 +117,44 @@ class WireService:
             "spark": {"version": self.spark.version},
         }
 
+    def nodes(self) -> dict:
+        """service.go:975-1022 handleNodes analog. The reference
+        walks the Raft roster and pings each voter; here the roster
+        is exactly this driver, always reachable, always the leader
+        (SURVEY §7.3: no replica tier). Same response shape
+        (id -> node record) so reference-built tooling parses it."""
+        sc = self.spark.sparkContext
+        addr = None
+        if self._server is not None:
+            host, port = self._server.server_address[:2]
+            addr = f"{host}:{port}"
+        return {
+            sc.applicationId: {
+                "api_addr": addr,
+                "addr": addr,
+                "reachable": True,
+                "leader": True,
+                "voter": True,
+                "time": round(time.time() - self._started, 3),
+            }
+        }
+
+    def expvar(self, key: str | None = None) -> dict:
+        """service.go:1416-1436 handleExpvar analog: route-hit
+        counters plus engine gauges, with the reference's ``?key=``
+        single-variable filter."""
+        with self._stats_lock:
+            out: dict = dict(self._stats)
+        out["uptime_seconds"] = round(time.time() - self._started, 3)
+        out["active_streaming_queries"] = len(
+            [q for q in self.spark.streams.active if q.isActive]
+        )
+        out["pipelines"] = len(self.registry.show())
+        out["kv_keys_live"] = self.kv.state().count()
+        if key is not None:
+            out = {key: out[key]} if key in out else {}
+        return out
+
     # -- server lifecycle --------------------------------------------
 
     def serve(self, port: int = 0) -> int:
@@ -133,9 +180,18 @@ class WireService:
                 u = urlparse(self.path)
                 qs = parse_qs(u.query, keep_blank_values=True)
                 if u.path == "/readyz":
+                    service._count("num_readyz")
                     self._send(200, {"ready": True})
                 elif u.path == "/status":
+                    service._count("num_status")
                     self._send(200, service.status())
+                elif u.path == "/nodes":
+                    service._count("num_nodes")
+                    self._send(200, service.nodes())
+                elif u.path == "/debug/vars":
+                    self._send(
+                        200, service.expvar(key=qs.get("key", [None])[0])
+                    )
                 elif u.path == "/key":
                     key = qs.get("key", [None])[0]
                     if key is None:

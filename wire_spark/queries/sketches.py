@@ -267,8 +267,8 @@ def quantile_histogram_sketch(spark, sf_dir):
 # 2^clamp(ceil(log2(20 * n_distinct_build_keys)), 12, 20) — ~20 bits
 # per key holds the candidate-set FP share (FP / candidates, which
 # concentrates vs the per-probe FPR) under ~1% at any SF instead of
-# letting a fixed bitmap saturate when the build side grows 100×.  ceil(log2())
-# over an integer is float-exact here because 10*n can never be an
+# letting a fixed bitmap saturate when the build side grows 100×.
+# ceil(log2()) over an integer is float-exact here because 20*n can never be an
 # exact power of two, so Spark's Python math and DuckDB's SQL agree.
 _BLOOM_MIN_LOG2, _BLOOM_MAX_LOG2 = 12, 20
 

@@ -17,6 +17,11 @@ Semantics notes:
   bulk writer; gated here since no ES is available in tests.
 - ``memory``/``console``/``noop`` are the test/debug sinks (the
   reference's writeToFile dev helper, pipeline.go:183-205).
+- ``postgresql``/``mongodb``/``webhook``/``http`` are README-promised
+  sinks the reference never shipped (README.md:77-87, docs-only):
+  foreachBatch + JDBC append (sinks/jdbc.py), bulk document insert
+  and HTTP delivery (sinks/doc_sinks.py), each with a pluggable
+  writer/transport so the contract is testable without live services.
 """
 
 from __future__ import annotations
@@ -29,7 +34,8 @@ from pyspark.sql import functions as F
 from wire_spark.model import SinkConfig
 
 _KNOWN = ("file", "json", "parquet", "memory", "console", "noop", "kafka",
-          "elasticsearch", "redis", "s3")
+          "elasticsearch", "redis", "s3", "postgresql", "postgres",
+          "mongodb", "webhook", "http")
 
 
 def kafka_write_options(c: dict) -> dict:
@@ -101,6 +107,37 @@ class DataSink:
                 port=int(c.get("port", 6379)),
                 id_field=c.get("id_field", "_id"),
                 key_prefix=c.get("key_prefix", ""),
+                transport=c.get("transport"),  # injectable for tests
+            )
+            return writer.foreachBatch(sink.foreach_batch()).start()
+        if t in ("postgresql", "postgres"):
+            from wire_spark.sinks.jdbc import PostgresSink
+
+            sink = PostgresSink(
+                connection=c["connection"],
+                table=c["table"],
+                batch_size=int(c.get("batch_size", 1000)),
+                writer=c.get("writer"),  # injectable for tests
+            )
+            return writer.foreachBatch(sink.foreach_batch()).start()
+        if t == "mongodb":
+            from wire_spark.sinks.doc_sinks import MongoSink
+
+            sink = MongoSink(
+                connection=c["connection"],
+                database=c["database"],
+                collection=c["collection"],
+                bulk_size=int(c.get("bulk_size", 500)),
+                transport=c.get("transport"),  # injectable for tests
+            )
+            return writer.foreachBatch(sink.foreach_batch()).start()
+        if t in ("webhook", "http"):
+            from wire_spark.sinks.doc_sinks import WebhookSink
+
+            sink = WebhookSink(
+                url=c["url"],
+                batch_size=int(c.get("batch_size", 1)),
+                headers=c.get("headers"),
                 transport=c.get("transport"),  # injectable for tests
             )
             return writer.foreachBatch(sink.foreach_batch()).start()

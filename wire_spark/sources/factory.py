@@ -96,12 +96,34 @@ class DataSource:
             if c.get("_source") is None and c.get("start_server", "true") == "true":
                 src.start(int(c.get("port", 0)))
             return src.read(spark, c["schema"])
+        if t in ("sqs", "rabbitmq"):
+            # pull ingestion: poller thread drains the queue into the
+            # spool the file stream tails; ack only after the atomic
+            # spool rename (at-least-once). README.md:70-71 promises
+            # both sources; the reference ships neither.
+            from wire_spark.sources.queue_source import (
+                QueueSource,
+                rabbitmq_poller,
+                sqs_poller,
+            )
+
+            poller = c.get("poller")  # injectable for tests
+            if poller is None:
+                poller = (sqs_poller if t == "sqs" else rabbitmq_poller)(c)
+            src = c.get("_source") or QueueSource(
+                c["spool_dir"], poller,
+                batch_size=int(c.get("batch_size", 100)),
+                poll_interval=float(c.get("poll_interval", 0.05)),
+            )
+            if c.get("_source") is None and c.get("start_poller", "true") == "true":
+                src.start()
+            return src.read(spark, c["schema"])
         raise ValueError(f"unknown source type: {t!r}")  # config.go:265-266
 
 
 def data_source_factory(cfg: SourceConfig, streaming: bool = True) -> DataSource:
     """config.go:250-268 analog (validation up front, read lazily)."""
     if cfg.type not in ("file", "json", "text", "parquet", "rate", "kafka",
-                        "http", "webhook"):
+                        "http", "webhook", "sqs", "rabbitmq"):
         raise ValueError(f"unknown source type: {cfg.type!r}")
     return DataSource(cfg, streaming=streaming)
