@@ -110,3 +110,59 @@ def test_star_components_restores_checkpoint_dir(spark, tmp_path):
     # on the tree: back under the caller's dir, not the operator's
     assert opt.isDefined()
     assert "caller_dir" in opt.get() and "op_dir" not in opt.get()
+
+
+def _sym(spark, pairs):
+    import pyspark.sql.functions as F
+
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_pagerank_uniform_weights_reduce_to_unweighted(spark):
+    # floor(r*w / (k*w)) == floor(r/k): any constant weight must give
+    # bit-identical ranks to the unweighted form
+    import pyspark.sql.functions as F
+
+    from wire_spark.operators.graph import pagerank_fixed
+
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)])
+    plain = {r.node: r.r for r in pagerank_fixed(edges, iterations=3).collect()}
+    weighted = {
+        r.node: r.r
+        for r in pagerank_fixed(
+            edges.withColumn("w", F.lit(7)), iterations=3, weight="w"
+        ).collect()
+    }
+    assert plain == weighted
+
+
+def test_pagerank_all_seeds_equals_global(spark):
+    # personalization over the FULL vertex set is exactly global
+    # PageRank (teleport mass spread over all nodes either way)
+    import pyspark.sql.functions as F
+
+    from wire_spark.operators.graph import pagerank_fixed
+
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    all_nodes = edges.select(F.col("src").alias("node")).distinct()
+    global_pr = {r.node: r.r for r in pagerank_fixed(edges, iterations=3).collect()}
+    ppr = {
+        r.node: r.r
+        for r in pagerank_fixed(edges, iterations=3, seeds=all_nodes).collect()
+    }
+    assert global_pr == ppr
+
+
+def test_pagerank_personalized_mass_concentrates_near_seed(spark):
+    # two disconnected triangles; seeding only one of them must leave
+    # every node of the other triangle at rank ~0 (pure damping decay
+    # of a zero start), and seed-side nodes strictly above them
+    from wire_spark.operators.graph import pagerank_fixed
+
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.r for r in pagerank_fixed(edges, iterations=3, seeds=seeds).collect()}
+    far_side = {got[10], got[11], got[12]}
+    assert far_side == {0}                       # no path from the seed
+    assert min(got[1], got[2], got[3]) > 0       # seed side holds all mass

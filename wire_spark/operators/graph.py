@@ -218,6 +218,7 @@ def pagerank_fixed(
     iterations: int = 3,
     checkpoint_dir: str | None = None,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with damping 0.85 over a directed
     edge list, ranks in 1e12 fixed-point BIGINTs.
@@ -230,6 +231,19 @@ def pagerank_fixed(
     undirected graphs fed as both directions); dangling-node mass is
     not redistributed.
 
+    ``weight``: optional INTEGER edge-weight column; a node then
+    splits its rank proportionally — contribution is
+    ``(rank * w) div strength(u)``, still pure integer arithmetic
+    (uniform weights reduce exactly to the unweighted form:
+    floor(r*w / (k*w)) == floor(r/k)).
+
+    ``seeds``: optional one-column (``node``) DataFrame switching to
+    PERSONALIZED PageRank: the teleport mass lands only on the seed
+    set (``TELEPORT div n_seeds`` each, 0 elsewhere) and the initial
+    rank vector is the personalization vector (``SCALE div n_seeds``
+    on seeds, 0 elsewhere) — the random surfer restarts at the seeds,
+    so ranks measure proximity to them. Same integer exactness.
+
     Scale shape: per iteration, one shuffle of the node-sized rank
     table on the join key + one sum-agg on ``dst`` — the classic
     Pregel step as DataFrames. The edge list is referenced by every
@@ -237,8 +251,10 @@ def pagerank_fixed(
     an expensive upstream edge derivation — e.g. a shingle join —
     re-executes per reference); rank lineage is truncated per
     iteration exactly like ``connected_components`` rounds, with the
-    same reliable-vs-local checkpoint choice. Returns
-    ``(node, d, r)`` — out-degree and final fixed-point rank.
+    same reliable-vs-local checkpoint choice. The seed flag rides the
+    node-keyed rank table (one extra tiny column), so personalization
+    adds no extra shuffle. Returns ``(node, d, r)`` — out-degree
+    (strength when weighted) and final fixed-point rank.
     """
     spark = edges.sparkSession
     prev_dir = (
@@ -246,41 +262,56 @@ def pagerank_fixed(
     )
     _persist = _round_persister(spark, checkpoint_dir)
     try:
-        # ``weight``: optional INTEGER edge-weight column; a node then
-        # splits its rank proportionally — contribution is
-        # (rank * w) div strength(u), still pure integer arithmetic
-        # (uniform weights reduce exactly to the unweighted form:
-        # floor(r*w / (k*w)) == floor(r/k)).
         cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
         cols.append(
             F.col(weight).cast("long").alias("w") if weight is not None
             else F.lit(1).cast("long").alias("w")
         )
         e = _persist(edges.select(*cols))
-        deg = _persist(
-            e.groupBy(F.col("src").alias("node")).agg(
-                F.sum("w").alias("d")
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.sum("w").alias("d")
+        )
+        if seeds is None:
+            nn = deg.agg(F.count(F.lit(1)).alias("n"))
+            # base: per-node constant teleport t and initial rank r
+            base = _persist(
+                deg.crossJoin(F.broadcast(nn)).select(
+                    "node", "d",
+                    F.expr(f"CAST({_PR_TELEPORT} AS BIGINT) div n").alias("t"),
+                    F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r0"),
+                )
             )
-        )
-        nn = deg.agg(F.count(F.lit(1)).alias("n"))
-        ranks = deg.crossJoin(F.broadcast(nn)).select(
-            "node", "d", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r")
-        )
+        else:
+            sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+            ns = sd.agg(F.count(F.lit(1)).alias("n"))
+            flagged = deg.join(
+                sd.withColumn("__seed", F.lit(1)), "node", "left"
+            )
+            base = _persist(
+                flagged.crossJoin(F.broadcast(ns)).select(
+                    "node", "d",
+                    F.expr(
+                        f"CASE WHEN __seed = 1 THEN CAST({_PR_TELEPORT} AS BIGINT) div n "
+                        "ELSE CAST(0 AS BIGINT) END"
+                    ).alias("t"),
+                    F.expr(
+                        f"CASE WHEN __seed = 1 THEN CAST({_PR_SCALE} AS BIGINT) div n "
+                        "ELSE CAST(0 AS BIGINT) END"
+                    ).alias("r0"),
+                )
+            )
+        ranks = base.select("node", "d", F.col("r0").alias("r"))
         for i in range(iterations):
             contrib = e.join(ranks, e.src == ranks.node).select(
                 F.col("dst").alias("node"), F.expr("(r * w) div d").alias("c")
             )
             sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
             ranks = (
-                sums.crossJoin(F.broadcast(nn))
+                sums.join(base, "node")
                 .select(
-                    "node",
-                    F.expr(
-                        f"CAST({_PR_TELEPORT} AS BIGINT) div n + (85 * s) div 100"
-                    ).alias("r"),
+                    "node", "d",
+                    F.expr("t + (85 * s) div 100").alias("r"),
                 )
-                .join(deg, "node")
-                .select("node", "d", "r")
             )
             if i < iterations - 1:
                 ranks = _persist(ranks)

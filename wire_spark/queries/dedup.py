@@ -99,7 +99,8 @@ def _shingle_df(spark, sf_dir, cache: bool = True):
     return sh.cache() if cache else sh
 
 
-def _jaccard_pairs(spark, sf_dir, threshold: float, df_cap: int | None = 1000):
+def _jaccard_pairs(spark, sf_dir, threshold: float, df_cap: int | None = 1000,
+                   with_weight: bool = False):
     """Exact Jaccard via shingle equi-join, with a stop-shingle cap.
 
     Scale path: the join shuffles on `shingle`, so cost is
@@ -138,11 +139,20 @@ def _jaccard_pairs(spark, sf_dir, threshold: float, df_cap: int | None = 1000):
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
+    out = ["d1", "d2", t4(jac).alias("jaccard")]
+    if with_weight:
+        # integer fixed-point similarity weight: floor(jaccard*1e4)
+        # computed in the INTEGER domain ((i*10000) div union), never
+        # by re-scaling the truncated float — float re-scaling is off
+        # by one ulp exactly when the 4-dp value is not representable
+        out.append(
+            F.expr("(i * 10000) div (n1 + n2 - i)").cast("long").alias("w1e4")
+        )
     return (
         inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .filter(jac >= threshold)
-        .select("d1", "d2", t4(jac).alias("jaccard"))
+        .select(*out)
     )
 
 

@@ -113,3 +113,207 @@ def graph_pagerank_neardup(spark, sf_dir):
         .orderBy(F.desc("pr_fixed"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# weighted PageRank: edges carry the Jaccard similarity as weight
+# --------------------------------------------------------------------
+
+_PAGERANK_W_ORACLE = _SHINGLES_CTE + f"""
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2, (i * 10000) // (s1.n + s2.n - i) AS w FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), ed AS (
+  SELECT d1 AS a, d2 AS b, w FROM pairs
+  UNION ALL
+  SELECT d2, d1, w FROM pairs
+), deg AS (
+  SELECT a AS node, CAST(sum(w) AS BIGINT) AS d FROM ed GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT node, d, CAST({_SCALE} AS BIGINT) // nn.n AS r FROM deg, nn
+),
+i1 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum((p.r * e.w) // p.d)) // 100 AS r
+  FROM ed e JOIN r0 p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+), i1d AS (
+  SELECT i1.node, deg.d, i1.r FROM i1 JOIN deg ON i1.node = deg.node
+),
+i2 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum((p.r * e.w) // p.d)) // 100 AS r
+  FROM ed e JOIN i1d p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+), i2d AS (
+  SELECT i2.node, deg.d, i2.r FROM i2 JOIN deg ON i2.node = deg.node
+),
+i3 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum((p.r * e.w) // p.d)) // 100 AS r
+  FROM ed e JOIN i2d p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+)
+SELECT i3.node AS doc_id, deg.d AS strength, CAST(i3.r AS BIGINT) AS pr_fixed
+FROM i3 JOIN deg ON i3.node = deg.node
+ORDER BY pr_fixed DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("graph_pagerank_weighted", oracle=_PAGERANK_W_ORACLE, bench=True,
+          doc="similarity-weighted integer-exact PageRank over the "
+              "near-dup graph: rank splits proportional to Jaccard "
+              "fixed-point edge weights")
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank: each edge carries the pair's Jaccard
+    similarity as a 1e4 fixed-point integer weight, so a document
+    spreads its rank in proportion to HOW similar each neighbor is
+    (a 0.95 near-identical copy pulls more centrality than a 0.80
+    borderline one) — the survivor-selection signal weighted by
+    evidence strength.
+
+    Integer exactness extends to the weights: w = (i*10000) div
+    union-size is computed in the integer domain on both engines
+    (never by re-scaling the truncated float ratio), strength =
+    sum(w), contribution = (r*w) div strength — all BIGINT, so the
+    three iterations stay bit-identical cross-engine.
+
+    Scale shape: identical to ``graph_pagerank_neardup`` (same edge
+    generator, same per-iteration node-keyed shuffle); the weight is
+    one extra BIGINT column on the edge list. Reference parity: the
+    reference has no graph tier at all (SURVEY §2.6) — this extends
+    the engine along the LLM-pipeline axis."""
+    from wire_spark.operators.graph import pagerank_fixed
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8, with_weight=True).select(
+        "d1", "d2", "w1e4"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "w1e4")
+    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"),
+             F.col("w1e4").alias("w"))
+    ranks = pagerank_fixed(edges, iterations=3, weight="w")
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("strength"),
+            F.col("r").alias("pr_fixed"),
+        )
+        .orderBy(F.desc("pr_fixed"), "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------
+# personalized PageRank: teleport restarts at a seed set
+# --------------------------------------------------------------------
+
+_PAGERANK_P_ORACLE = _SHINGLES_CTE + f"""
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), ed AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM ed GROUP BY 1
+), ns AS (SELECT count(*) AS n FROM deg WHERE node % 17 = 0),
+base AS (
+  SELECT node, d,
+         CASE WHEN node % 17 = 0 THEN CAST({_TELEPORT} AS BIGINT) // ns.n
+              ELSE CAST(0 AS BIGINT) END AS t,
+         CASE WHEN node % 17 = 0 THEN CAST({_SCALE} AS BIGINT) // ns.n
+              ELSE CAST(0 AS BIGINT) END AS r
+  FROM deg, ns
+),
+i1 AS (
+  SELECT e.b AS node, sum(p.r // p.d) AS s
+  FROM ed e JOIN base p ON e.a = p.node GROUP BY e.b
+), i1d AS (
+  SELECT b.node, b.d, b.t, b.t + (85 * i1.s) // 100 AS r
+  FROM i1 JOIN base b ON i1.node = b.node
+),
+i2 AS (
+  SELECT e.b AS node, sum(p.r // p.d) AS s
+  FROM ed e JOIN i1d p ON e.a = p.node GROUP BY e.b
+), i2d AS (
+  SELECT b.node, b.d, b.t, b.t + (85 * i2.s) // 100 AS r
+  FROM i2 JOIN base b ON i2.node = b.node
+),
+i3 AS (
+  SELECT e.b AS node, sum(p.r // p.d) AS s
+  FROM ed e JOIN i2d p ON e.a = p.node GROUP BY e.b
+), i3d AS (
+  SELECT b.node, b.d, b.t + (85 * i3.s) // 100 AS r
+  FROM i3 JOIN base b ON i3.node = b.node
+)
+SELECT node AS doc_id, d AS degree, CAST(r AS BIGINT) AS ppr_fixed,
+       node % 17 = 0 AS is_seed
+FROM i3d
+ORDER BY ppr_fixed DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("graph_pagerank_personalized", oracle=_PAGERANK_P_ORACLE, bench=True,
+          doc="personalized (seed-restart) integer-exact PageRank: "
+              "proximity of every near-dup-graph document to the "
+              "doc_id%17=0 seed set")
+def graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank: the random surfer restarts only at the
+    deterministic seed set (doc_id % 17 = 0 among graph nodes), so
+    ranks measure each document's graph proximity TO those seeds —
+    the "find everything near this known-bad cluster" primitive
+    (contamination spread, takedown propagation, dup-cluster audit
+    from a confirmed exemplar).
+
+    Integer exactness: the seed flag only changes the per-node
+    teleport/initial-rank constants (TELEPORT div n_seeds on seeds,
+    0 elsewhere); every iteration step stays BIGINT-exact, so the
+    oracle's unrolled three iterations match bit-for-bit.
+
+    Scale shape: identical per-iteration cost to the global variant —
+    the personalization rides the node-keyed rank table as one extra
+    constant column (operators/graph.py::pagerank_fixed seeds=);
+    no additional shuffle. Zero-rank nodes still emit zero
+    contributions rather than being pruned, keeping the output shape
+    oracle-checkable; a production run chasing only the reachable
+    frontier would add ``filter(r > 0)`` before the edge join."""
+    from wire_spark.operators.graph import pagerank_fixed
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 17 == 0
+    )
+    ranks = pagerank_fixed(edges, iterations=3, seeds=seeds)
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("ppr_fixed"),
+            (F.col("node") % 17 == 0).alias("is_seed"),
+        )
+        .orderBy(F.desc("ppr_fixed"), "doc_id")
+        .limit(50)
+    )
