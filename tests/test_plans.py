@@ -329,3 +329,19 @@ def test_incremental_dedup_candidates_are_equi_join(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, f"non-broadcast-dim nested loop: {line.strip()}"
+
+
+def test_order_percentile_bucketed_twin_never_sorts_per_key(spark, sf_dir):
+    # the same invariant for the orders twin: row_number windows key on
+    # (o_orderpriority, bkt) over bucket-filtered rows — never a
+    # per-priority total sort like percentile_order_value's verify form
+    from wire_spark.plans import formatted_plan
+
+    df = _df(spark, sf_dir, "percentile_order_value_bucketed")
+    plan = formatted_plan(df)
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number" in line
+    ]
+    assert rn_windows and all("bkt" in line for line in rn_windows)
+    assert has_broadcast_join(df)

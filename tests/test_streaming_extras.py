@@ -598,3 +598,67 @@ def test_streaming_incremental_dedup_gate_matches_batch(spark, tmp_path, sf_dir)
         r.doc_id for r in spark.sql("SELECT doc_id FROM incr_gate").collect()
     }
     assert streamed == batch_cand
+
+
+def test_streaming_windowed_transition_matrix_batch_parity(spark, tmp_path):
+    """Chained stateful operators (transition emitter -> watermarked
+    tumbling count) in one append-mode query: every CLOSED window's
+    (prev,next) counts must equal the batch lag-window computation;
+    the trailing window past the final watermark emits nothing."""
+    from pyspark.sql import Window as W
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.markov_stream import windowed_transition_matrix
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path / "wtm_in")
+    rows = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_id", "event_type",
+    ).collect()
+    _write_jsonl(os.path.join(src, "all.json"), [r.asDict() for r in rows])
+
+    stream = _file_stream(spark, src).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_timestamp("ts").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    q = (
+        windowed_transition_matrix(stream, window="6 hours", watermark="1 hour")
+        .writeStream.format("memory").queryName("wtm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wtm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start, r.prev_type, r.next_type): r.n
+        for r in spark.sql("SELECT * FROM wtm").collect()
+    }
+
+    # batch expectation: lag transitions, tumbling 6h buckets, only
+    # windows closed by the final watermark (max transition ts - 1h)
+    wspec = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wspec))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"), "ts")
+    )
+    cutoff = trans.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("c")
+    ).first().c
+    expected = {
+        (r.w.start, r.prev_type, r.next_type): r.n
+        for r in trans.groupBy(
+            F.window("ts", "6 hours").alias("w"), "prev_type", "next_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r.w.end <= cutoff
+    }
+    assert expected  # non-vacuous: multiple closed windows at sf0.001
+    assert got == expected

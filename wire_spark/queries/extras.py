@@ -234,6 +234,42 @@ def percentile_order_value(spark, sf_dir):
     )
 
 
+@register("percentile_order_value_bucketed", oracle=_PCT_ORACLE,
+          doc="same exact percentiles via two-pass histogram navigation "
+              "— the designated scale form (no per-key sort)")
+def percentile_order_value_bucketed(spark, sf_dir):
+    """Same-oracle scale twin of ``percentile_order_value``: that
+    form ranks every order inside |priority|=5 window partitions (a
+    data-sized per-key sort — fine until one priority holds a
+    terabyte); this one navigates a $1000-wide price histogram
+    (two map-combined shuffles + ranking only inside the <=6 buckets
+    per class that hold the target ranks — see
+    ``sketches.bucketed_quantiles``). Identical results by
+    construction, so both register the SAME oracle; keep the pair:
+    the sort form verifies, the bucketed form scales — mirroring the
+    ``robust_outliers_mad`` / ``_bucketed`` pairing."""
+    from wire_spark.queries.sketches import bucketed_quantiles
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    interp = bucketed_quantiles(
+        o, (0.5, 0.9, 0.99),
+        key="o_orderpriority", val="o_totalprice", tie="o_orderkey",
+        width=1000.0,
+    )
+    t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
+    return (
+        interp.groupBy("o_orderpriority")
+        .agg(
+            t4v(F.max(F.when(F.col("p") == 0.5, F.col("v")))).alias("p50"),
+            t4v(F.max(F.when(F.col("p") == 0.9, F.col("v")))).alias("p90"),
+            t4v(F.max(F.when(F.col("p") == 0.99, F.col("v")))).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------
 # sessionization composition: top users by session count
 # --------------------------------------------------------------------

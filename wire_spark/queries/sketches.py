@@ -407,17 +407,21 @@ def bloom_join_prune(spark, sf_dir):
 
 
 
-def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id"):
+def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
+                       width: float = 1.0):
     """Exact interpolated quantiles per ``key`` WITHOUT a per-key
     sort: two-pass histogram navigation (see
     ``percentile_bucketed_exact`` for the full story). ``df`` must
     have columns (key, tie, val); returns (key, p, n, v) with v the
     exact rank-interpolated quantile — bit-identical to sorting the
-    whole key group. Buckets are ``floor(val)``; any
-    order-compatible, finite-width bucketing works."""
+    whole key group. Buckets are ``floor(val / width)`` (``width=1``
+    keeps the original ``floor(val)`` plan): any order-compatible,
+    finite-width bucketing works — pick width so the histogram stays
+    ~1k buckets per key and each bucket stays small."""
     k, t, v = F.col(key), F.col(tie), F.col(val)
+    bkt = F.floor(v) if width == 1.0 else F.floor(v / F.lit(float(width)))
     ev = df.select(k.alias("__k"), t.alias("__t"), v.alias("__v"),
-                   F.floor(v).cast("long").alias("bkt"))
+                   bkt.cast("long").alias("bkt"))
     hist = ev.groupBy("__k", "bkt").agg(F.count(F.lit(1)).alias("c"))
     wcum = W.partitionBy("__k").orderBy("bkt")
     cum = hist.select(

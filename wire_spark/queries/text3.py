@@ -327,3 +327,74 @@ def gopher_pass_all(text_col: str = "text"):
         f" AND 5 * ({maxc}) <= ({nw})"
         f" AND 10 * ({ndis}) >= 3 * ({nw})"
     )
+
+
+# --------------------------------------------------------------------
+# BPE merge-pair counting (the byte-pair-encoding training primitive)
+# --------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+    AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS c FROM w WHERE length(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT substring(wc.word, g.i, 2) AS pair, wc.c
+  FROM wc, LATERAL (SELECT unnest(range(1, length(wc.word))) AS i) g
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n_pair
+FROM pairs GROUP BY pair
+ORDER BY n_pair DESC, pair
+LIMIT 30
+"""
+
+
+@register("text_bpe_pair_counts", oracle=_BPE_ORACLE, bench=True,
+          doc="BPE training primitive: corpus-frequency-weighted "
+              "adjacent character-pair counts, top 30 merge candidates")
+def text_bpe_pair_counts(spark, sf_dir):
+    """The inner loop of byte-pair-encoding vocabulary training:
+    count every adjacent symbol pair across the corpus, weighted by
+    word frequency — the most frequent pair is the next BPE merge.
+    One iteration is the oracle-checkable unit (full BPE training
+    iterates merge -> recount; each round is this same shape).
+
+    Scale shape: pair generation runs against the DISTINCT-word
+    relation, not the corpus — the word-frequency rollup (one
+    map-combined shuffle) collapses 100 TB of text to a vocabulary-
+    sized table, and the per-word pair explosion is bounded by word
+    length over that small relation; the final pair rollup is the
+    second tiny shuffle, then a WindowGroupLimit-able top-30. No
+    Python anywhere — split/explode/substring are all JVM column ops.
+
+    Cross-engine parity notes: words shorter than 2 chars are
+    filtered explicitly on BOTH engines — Spark's sequence(1, 0)
+    auto-steps DOWNWARD ([1, 0]) where DuckDB range(1, 1) is empty,
+    so an unguarded sequence fabricates pairs for 1-char words."""
+    d = T(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word")
+    )
+    wc = (
+        d.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(30)
+    )

@@ -84,3 +84,43 @@ def transition_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_transition_matrix(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    **transition_kwargs,
+) -> DataFrame:
+    """Live per-window Markov transition matrix: chains the stateful
+    transition emitter with a watermarked tumbling-window count —
+    two stateful operators in ONE streaming query, legal because both
+    run in append mode (Spark supports chained stateful operators
+    there; update mode would reject the pair).
+
+    Emits ``(w_start, w_end, prev_type, next_type, n)`` once per
+    CLOSED window (append semantics: a window's row appears only
+    after the event-time watermark passes its end, so counts are
+    final — late events inside the ``watermark`` allowance are still
+    folded in; an unclosed trailing window emits nothing yet).
+
+    Scale shape: the emitter shuffles on user_id with three scalars
+    of state per user; the matrix count shuffles on (window, pair)
+    with one counter per live window x observed pair — both state
+    sizes bounded independently of stream length. This is the
+    streaming form of bucketing ``events_markov_transitions`` by
+    time; tests pin closed-window counts to the batch computation.
+    """
+    trans = transition_stream(df, **transition_kwargs)
+    return (
+        trans.withColumn("event_ts", F.to_timestamp("ts"))
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"),
+                 "prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "prev_type", "next_type", "n",
+        )
+    )
