@@ -317,3 +317,130 @@ def graph_pagerank_personalized(spark, sf_dir):
         .orderBy(F.desc("ppr_fixed"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# centrality-based survivor selection: components x PageRank
+# --------------------------------------------------------------------
+
+_SURVIVOR_CENTRAL_ORACLE = (_SHINGLES_CTE + f"""
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), edc AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+  UNION SELECT d1, d1 FROM pairs
+  UNION SELECT d2, d2 FROM pairs
+), reach AS (
+  SELECT a, b FROM edc
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edc e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+), ed AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM ed GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT node, d, CAST({_SCALE} AS BIGINT) // nn.n AS r FROM deg, nn
+),
+i1 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum(p.r // p.d)) // 100 AS r
+  FROM ed e JOIN r0 p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+), i1d AS (
+  SELECT i1.node, deg.d, i1.r FROM i1 JOIN deg ON i1.node = deg.node
+),
+i2 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum(p.r // p.d)) // 100 AS r
+  FROM ed e JOIN i1d p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+), i2d AS (
+  SELECT i2.node, deg.d, i2.r FROM i2 JOIN deg ON i2.node = deg.node
+),
+i3 AS (
+  SELECT e.b AS node,
+         CAST({_TELEPORT} AS BIGINT) // nn.n
+           + (85 * sum(p.r // p.d)) // 100 AS r
+  FROM ed e JOIN i2d p ON e.a = p.node, nn
+  GROUP BY e.b, nn.n
+), ranked AS (
+  SELECT comp.component_id, comp.doc_id, i3.r,
+         row_number() OVER (PARTITION BY comp.component_id
+                            ORDER BY i3.r DESC, comp.doc_id) AS rn,
+         count(*) OVER (PARTITION BY comp.component_id) AS n_members
+  FROM comp JOIN i3 ON comp.doc_id = i3.node
+)
+SELECT component_id, doc_id AS survivor_doc_id, n_members,
+       CAST(r AS BIGINT) AS survivor_pr
+FROM ranked WHERE rn = 1
+ORDER BY component_id
+""").replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+
+
+@register("dedup_survivors_central", oracle=_SURVIVOR_CENTRAL_ORACLE,
+          bench=True,
+          doc="centrality-based survivor selection: per near-dup "
+              "cluster, keep the highest-PageRank member")
+def dedup_survivors_central(spark, sf_dir):
+    """The full survivor-selection pipeline composed end-to-end:
+    near-dup edges -> transitive clusters (min-label propagation) ->
+    PageRank centrality -> per-cluster survivor = the most central
+    member (tiebreak min doc_id). "Keep the hub copy" beats "keep
+    min id" when satellites are partial or decayed copies: the hub
+    is the version everything else resembles most.
+
+    Both iterative operators consume the SAME cached edge relation —
+    the expensive Jaccard edge generation runs once, clustering and
+    ranking reuse it (lineage-truncated inside each operator). Final
+    assembly is one node-keyed join plus a per-component
+    WindowGroupLimit — all shuffles stay node-sized. At 100 TB the
+    edge source swaps to the LSH generator exactly as
+    ``dedup_components_lsh`` does; everything downstream is
+    unchanged."""
+    from wire_spark.operators.graph import connected_components, pagerank_fixed
+    from pyspark.sql import Window as W
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    comps = connected_components(pairs, src="d1", dst="d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    ranks = pagerank_fixed(edges, iterations=3)
+    joined = comps.join(ranks, comps.id == ranks.node).select(
+        F.col("comp").alias("component_id"),
+        F.col("id").alias("doc_id"),
+        F.col("r"),
+    )
+    w = W.partitionBy("component_id")
+    ranked = joined.select(
+        "component_id", "doc_id", "r",
+        F.row_number().over(
+            w.orderBy(F.desc("r"), F.asc("doc_id"))
+        ).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            F.col("r").alias("survivor_pr"),
+        )
+        .orderBy("component_id")
+    )

@@ -346,7 +346,14 @@ def bloom_join_prune(spark, sf_dir):
     import math
 
     cust = T(spark, sf_dir, "customer")
-    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # cached: the build side feeds three consumers (distinct count for
+    # sizing, the bitmap aggregation, the exact verify join) — one
+    # filtered scan instead of three
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .cache()
+    )
 
     n_keys = build.distinct().count()
     log2_bits = max(_BLOOM_MIN_LOG2,
