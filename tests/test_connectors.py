@@ -700,3 +700,52 @@ def test_queue_source_via_factory_with_poller_thread(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert {r.k for r in spark.sql("SELECT * FROM queue_rows2").collect()} == {0, 1, 2}
+
+
+def test_sqs_poller_against_stubbed_aws(tmp_path):
+    """The real boto3-backed poller (not the fake) against botocore's
+    Stubber: receive_message -> spool -> delete_message_batch, with
+    the config mapping (queue_url/region/wait_seconds) and the
+    SQS 10-message API caps exercised for real."""
+    boto3 = pytest.importorskip("boto3")
+    from botocore.stub import Stubber
+
+    from wire_spark.sources.queue_source import QueueSource, sqs_poller
+
+    poller = sqs_poller({
+        "queue_url": "https://sqs.us-east-1.amazonaws.com/123/wire-in",
+        "region": "us-east-1",
+        "wait_seconds": 0,
+    })
+    assert poller.queue_url.endswith("wire-in")
+    stub = Stubber(poller.client)
+    stub.add_response(
+        "receive_message",
+        {"Messages": [
+            {"MessageId": "m1", "ReceiptHandle": "rh1",
+             "Body": json.dumps({"k": 1})},
+            {"MessageId": "m2", "ReceiptHandle": "rh2",
+             "Body": json.dumps({"k": 2})},
+        ]},
+        {"QueueUrl": poller.queue_url,
+         "MaxNumberOfMessages": 10,   # API cap applied to batch_size=100
+         "WaitTimeSeconds": 0},
+    )
+    stub.add_response(
+        "delete_message_batch",
+        {"Successful": [{"Id": "0"}, {"Id": "1"}], "Failed": []},
+        {"QueueUrl": poller.queue_url,
+         "Entries": [{"Id": "0", "ReceiptHandle": "rh1"},
+                     {"Id": "1", "ReceiptHandle": "rh2"}]},
+    )
+    spool = str(tmp_path / "sqs_spool")
+    src = QueueSource(spool, poller, batch_size=100)
+    with stub:
+        assert src.drain_once() == 2
+    stub.assert_no_pending_responses()   # delete happened, exactly once
+
+    landed = []
+    for p in os.listdir(spool):
+        with open(os.path.join(spool, p)) as f:
+            landed += [json.loads(line) for line in f]
+    assert sorted(d["k"] for d in landed) == [1, 2]
