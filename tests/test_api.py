@@ -139,3 +139,22 @@ def test_debug_vars_counters_and_filter(svc):
     assert one == {"num_status": 2}  # /debug/vars itself is not counted
     _, none = _get(base + "/debug/vars?key=no_such_var")
     assert none == {}
+
+
+def test_boot_loads_records_idempotently(svc):
+    # service.go:801-819 promises /boot but ships a 503 stub; our
+    # analog loads {key,value} records through the LWW log, so a
+    # replayed boot is a no-op and later live writes win
+    _, base = svc
+    recs = [{"key": "a", "value": "1"}, {"key": "b", "value": "2"}]
+    code, res = _post(base + "/boot", recs)
+    assert code == 200 and res == {"loaded": 2}
+    assert _get(base + "/key?key=a")[1]["value"] == "1"
+
+    _post(base + "/boot", recs)                     # replay: idempotent
+    assert _get(base + "/key?key=a")[1]["value"] == "1"
+
+    _post(base + "/key", {"key": "a", "value": "9"})  # live write wins
+    assert _get(base + "/key?key=a")[1]["value"] == "9"
+    _, ev = _get(base + "/debug/vars?key=num_boot")
+    assert ev == {"num_boot": 2}

@@ -369,3 +369,48 @@ def test_incremental_dedup_batch_only_and_verified(spark, sf_dir):
         assert r.best_match % 10 != 0          # matches come from the corpus
         assert r.n_matches >= 1
         assert r.best_jaccard >= 0.8
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2),                 # key
+                  st.integers(-500, 500),            # value (int -> exact)
+                  st.integers(0, 10**6)),            # tie id
+        min_size=2, max_size=40, unique_by=lambda r: r[2],
+    ),
+    width=st.sampled_from([1.0, 7.0, 100.0]),
+)
+def test_bucketed_quantiles_match_sorted_model(spark, vals, width):
+    """bucketed_quantiles must be BIT-identical to the sort-the-data
+    rank interpolation for any data and any bucket width — the
+    histogram-navigation path (incl. the new width parameter) can
+    only relocate work, never change the answer."""
+    from wire_spark.queries.sketches import bucketed_quantiles
+
+    df = spark.createDataFrame(
+        [(k, float(v), t) for k, v, t in vals], ["event_type", "value", "event_id"]
+    )
+    got = {
+        (r[0], r.p): (r.n, r.v)
+        for r in bucketed_quantiles(df, (0.5, 0.9), width=width).collect()
+    }
+
+    # brute-force rank-interpolation model per key
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for k, v, t in vals:
+        groups[k].append((float(v), t))
+    expected = {}
+    for k, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        for p in (0.5, 0.9):
+            h = (n - 1) * p
+            lo, hi = rows[int(h)][0], rows[min(n - 1, int(h) + (h % 1 > 0))][0]
+            expected[(k, p)] = (n, lo + (hi - lo) * (h % 1))
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key][0] == expected[key][0], key
+        assert abs(got[key][1] - expected[key][1]) < 1e-9, key

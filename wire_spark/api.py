@@ -13,6 +13,10 @@ Mirrors internal/http/service.go routes (:484-580):
 - ``POST /db/query``             GET statements -> QueryRows JSON
   (plain or ``?associative`` — encoding/json.go:27-160 shapes).
 - ``GET /status`` ``GET /readyz`` diagnostics (service.go:508-511).
+- ``POST /boot``                 bulk store restore (service.go:801-819
+  handleBoot — the reference returns a hardcoded 503 with the actual
+  load commented out; here the promised load is implemented through
+  the KV last-writer-wins log).
 - ``GET /nodes``                 node roster (service.go:975-1022,
   handleNodes). Single-node analog: exactly one entry, keyed by the
   Spark application id, always reachable and leader — there is no
@@ -117,6 +121,23 @@ class WireService:
             "spark": {"version": self.spark.version},
         }
 
+    def boot(self, records: list[dict]) -> dict:
+        """service.go:801-819 handleBoot analog. The reference
+        PROMISES booting the node from an uploaded store file but
+        ships a hardcoded 503 (`http.Error(... StatusServiceUnavailable)`
+        with the ReadFrom call commented out); here the promise is
+        kept: a JSON array of {key, value} records loads into the KV
+        store through the normal last-writer-wins log, so a /boot
+        replay is idempotent and coexists with live writes. Restores
+        beyond control-plane size should ship a parquet log to
+        ``persist_path`` instead — this endpoint is for config-store
+        sized state, which the KV tier is (SURVEY §2.5)."""
+        n = 0
+        for rec in records:
+            self.kv.put(str(rec["key"]), str(rec["value"]))
+            n += 1
+        return {"loaded": n}
+
     def nodes(self) -> dict:
         """service.go:975-1022 handleNodes analog. The reference
         walks the Raft roster and pings each voter; here the roster
@@ -217,6 +238,9 @@ class WireService:
                                 self._body(), associative="associative" in qs
                             ),
                         )
+                    elif u.path == "/boot":
+                        service._count("num_boot")
+                        self._send(200, service.boot(self._body()))
                     elif u.path == "/key":
                         body = self._body()
                         service.kv.put(body["key"], body["value"])
