@@ -979,3 +979,93 @@ def ann_recall_audit(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------
+# kNN label agreement: embedding-space label-noise audit
+# --------------------------------------------------------------------
+
+_LABEL_AGREE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+         floor((""" + _COS + """) * 1000000.0) / 1000000.0 AS sim,
+         b.vec_id AS nid
+  FROM q a JOIN e b ON b.vec_id != a.vec_id
+),
+top5 AS (
+  SELECT qid, qlabel, nlabel FROM (
+    SELECT qid, qlabel, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+perq AS (
+  SELECT qid, qlabel,
+         CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM top5 GROUP BY qid, qlabel
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       floor(sum(agree) * 10000.0 / (5 * count(*))) / 10000.0 AS agree_ratio,
+       CAST(sum(CASE WHEN agree <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+FROM perq GROUP BY qlabel
+ORDER BY label
+"""
+
+
+@register("knn_label_agreement", oracle=_LABEL_AGREE_ORACLE, bench=True,
+          doc="embedding-space label-noise audit: per-label top-5 "
+              "neighbor label agreement + suspect-query counts")
+def knn_label_agreement(spark, sf_dir):
+    """Label-noise detection in embedding space: for every query
+    vector, how many of its 5 nearest neighbors carry the SAME
+    label? Per label this reports mean agreement and the count of
+    suspect queries (<=1 of 5 neighbors agree) — the standard
+    confident-learning-style screen a curation pipeline runs before
+    trusting labels for supervised filtering.
+
+    Cross-engine: reuses the exact kNN machinery verbatim (same 6dp
+    sim floors, same (sim DESC, nid) tiebreaks as
+    ``knn_bruteforce_cosine``); the agreement ratio is an
+    exact-integer count pair floored at 4dp — no float crosses the
+    engine boundary except the already-verified sims.
+
+    Scale shape: identical to the brute-force kNN it audits (query
+    subset broadcast over one vector scan, WindowGroupLimit top-5);
+    at corpus scale the neighbor source swaps to any of the ANN
+    paths (IVF/LSH/PQ) unchanged, since only (qid, qlabel, nlabel)
+    rows reach the audit."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    sims = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel", F.col("label").alias("nlabel"),
+            F.col("vec_id").alias("nid"),
+            t6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    top5 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    perq = top5.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)).alias("agree")
+    )
+    return (
+        perq.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (
+                F.floor(F.sum("agree") * F.lit(10000.0)
+                        / (F.lit(5) * F.count(F.lit(1)))) / F.lit(10000.0)
+            ).alias("agree_ratio"),
+            F.sum(F.when(F.col("agree") <= 1, 1).otherwise(0)).alias("n_suspect"),
+        )
+        .orderBy("label")
+    )
