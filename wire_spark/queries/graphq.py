@@ -299,7 +299,10 @@ def graph_pagerank_personalized(spark, sf_dir):
     frontier would add ``filter(r > 0)`` before the edge join."""
     from wire_spark.operators.graph import pagerank_fixed
 
-    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    # cached: both the edge list handed to pagerank AND the seed set
+    # derive from the pair relation — without the cache the expensive
+    # shingle join would execute twice (once per consumer)
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
