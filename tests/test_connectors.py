@@ -749,3 +749,38 @@ def test_sqs_poller_against_stubbed_aws(tmp_path):
         with open(os.path.join(spool, p)) as f:
             landed += [json.loads(line) for line in f]
     assert sorted(d["k"] for d in landed) == [1, 2]
+
+
+def test_queue_source_reserializes_multiline_json(tmp_path):
+    """A pretty-printed (newline-containing) JSON body must land as
+    ONE physical spool line — written verbatim it would span several
+    lines of the line-delimited spool and corrupt records that were
+    already acked (data loss, not redelivery)."""
+    from wire_spark.sources.queue_source import QueueSource
+
+    pretty = '{\n  "user": "a",\n  "n": 1\n}'
+    poller = FakeQueuePoller([pretty])
+    spool = str(tmp_path / "mlspool")
+    src = QueueSource(spool, poller)
+    assert src.drain_once() == 1
+
+    (fname,) = os.listdir(spool)
+    lines = open(os.path.join(spool, fname)).read().splitlines()
+    assert len(lines) == 1
+    assert json.loads(lines[0]) == {"user": "a", "n": 1}
+
+
+def test_queue_factory_injected_source_needs_no_broker_config(spark, tmp_path):
+    """An injected _source must short-circuit poller construction —
+    the factory must not demand queue_url/boto3 for a source that
+    already exists (mirrors the http branch's guard)."""
+    from wire_spark.sources.queue_source import QueueSource
+
+    poller = FakeQueuePoller([json.dumps({"k": 7})])
+    src_obj = QueueSource(str(tmp_path / "inj_spool"), poller)
+    src_obj.drain_once()
+    df = data_source_factory(
+        SourceConfig(name="q", type="sqs", key="k",
+                     config={"_source": src_obj, "schema": "k BIGINT"})
+    ).read(spark)   # no queue_url/region/poller in config — must not raise
+    assert df.isStreaming

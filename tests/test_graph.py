@@ -166,3 +166,25 @@ def test_pagerank_personalized_mass_concentrates_near_seed(spark):
     far_side = {got[10], got[11], got[12]}
     assert far_side == {0}                       # no path from the seed
     assert min(got[1], got[2], got[3]) > 0       # seed side holds all mass
+
+
+def test_pagerank_seeds_outside_graph_are_ignored_or_rejected(spark):
+    # teleport mass divides over seeds IN the graph only: a seed with
+    # no edges can neither hold nor spread rank; counting it would
+    # silently leak mass. An empty intersection is an error, not an
+    # all-zero result.
+    import pytest
+    from wire_spark.operators.graph import pagerank_fixed
+
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 1)])
+    in_graph = spark.createDataFrame([(1,)], ["node"])
+    mixed = spark.createDataFrame([(1,), (999,)], ["node"])  # 999 absent
+    only_in = {r.node: r.r for r in pagerank_fixed(edges, iterations=2,
+                                                   seeds=in_graph).collect()}
+    with_ghost = {r.node: r.r for r in pagerank_fixed(edges, iterations=2,
+                                                      seeds=mixed).collect()}
+    assert only_in == with_ghost  # ghost seed changes nothing
+
+    all_ghosts = spark.createDataFrame([(999,)], ["node"])
+    with pytest.raises(ValueError, match="no seed appears"):
+        pagerank_fixed(edges, iterations=2, seeds=all_ghosts)

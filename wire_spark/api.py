@@ -163,17 +163,30 @@ class WireService:
     def expvar(self, key: str | None = None) -> dict:
         """service.go:1416-1436 handleExpvar analog: route-hit
         counters plus engine gauges, with the reference's ``?key=``
-        single-variable filter."""
+        single-variable filter. Gauges that cost a Spark job
+        (kv_keys_live) or registry walk are computed ONLY when
+        actually requested — /debug/vars is a polling endpoint, and a
+        scraper asking for one counter must not trigger driver jobs
+        for values it throws away."""
+        gauges = {
+            "uptime_seconds": lambda: round(time.time() - self._started, 3),
+            "active_streaming_queries": lambda: len(
+                [q for q in self.spark.streams.active if q.isActive]
+            ),
+            "pipelines": lambda: len(self.registry.show()),
+            "kv_keys_live": lambda: self.kv.state().count(),
+        }
         with self._stats_lock:
-            out: dict = dict(self._stats)
-        out["uptime_seconds"] = round(time.time() - self._started, 3)
-        out["active_streaming_queries"] = len(
-            [q for q in self.spark.streams.active if q.isActive]
-        )
-        out["pipelines"] = len(self.registry.show())
-        out["kv_keys_live"] = self.kv.state().count()
+            counters: dict = dict(self._stats)
         if key is not None:
-            out = {key: out[key]} if key in out else {}
+            if key in counters:
+                return {key: counters[key]}
+            if key in gauges:
+                return {key: gauges[key]()}
+            return {}
+        out = counters
+        for name, fn in gauges.items():
+            out[name] = fn()
         return out
 
     # -- server lifecycle --------------------------------------------
@@ -200,28 +213,36 @@ class WireService:
             def do_GET(self):
                 u = urlparse(self.path)
                 qs = parse_qs(u.query, keep_blank_values=True)
-                if u.path == "/readyz":
-                    service._count("num_readyz")
-                    self._send(200, {"ready": True})
-                elif u.path == "/status":
-                    service._count("num_status")
-                    self._send(200, service.status())
-                elif u.path == "/nodes":
-                    service._count("num_nodes")
-                    self._send(200, service.nodes())
-                elif u.path == "/debug/vars":
-                    self._send(
-                        200, service.expvar(key=qs.get("key", [None])[0])
-                    )
-                elif u.path == "/key":
-                    key = qs.get("key", [None])[0]
-                    if key is None:
-                        self._send(400, {"error": "missing key"})
-                        return
-                    v = service.kv.get(key)
-                    self._send(200, {"key": key, "value": v})
-                else:
-                    self._send(404, {"error": "not found"})
+                # same JSON-error contract as do_POST: /status,
+                # /nodes, /debug/vars and /key all touch Spark/KV
+                # state that can fail (stopped context, job error) —
+                # the client must get the rqlite-style error shape,
+                # never a dropped connection
+                try:
+                    if u.path == "/readyz":
+                        service._count("num_readyz")
+                        self._send(200, {"ready": True})
+                    elif u.path == "/status":
+                        service._count("num_status")
+                        self._send(200, service.status())
+                    elif u.path == "/nodes":
+                        service._count("num_nodes")
+                        self._send(200, service.nodes())
+                    elif u.path == "/debug/vars":
+                        self._send(
+                            200, service.expvar(key=qs.get("key", [None])[0])
+                        )
+                    elif u.path == "/key":
+                        key = qs.get("key", [None])[0]
+                        if key is None:
+                            self._send(400, {"error": "missing key"})
+                            return
+                        v = service.kv.get(key)
+                        self._send(200, {"key": key, "value": v})
+                    else:
+                        self._send(404, {"error": "not found"})
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
 
             def do_POST(self):
                 u = urlparse(self.path)

@@ -283,7 +283,21 @@ def pagerank_fixed(
             )
         else:
             sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-            ns = sd.agg(F.count(F.lit(1)).alias("n"))
+            # teleport mass divides over seeds IN THE GRAPH only: a
+            # seed with no edges can neither hold nor spread rank, so
+            # counting it would silently leak (TELEPORT div n_all)
+            # of mass per absent seed. Empty intersection is an error,
+            # not an all-zero result.
+            n_in_graph = sd.join(deg, "node", "left_semi").count()
+            if n_in_graph == 0:
+                raise ValueError(
+                    "personalized PageRank: no seed appears in the edge "
+                    "list — every rank would be 0/NULL; pass seeds that "
+                    "exist in the graph"
+                )
+            ns = sd.join(deg, "node", "left_semi").agg(
+                F.count(F.lit(1)).alias("n")
+            )
             flagged = deg.join(
                 sd.withColumn("__seed", F.lit(1)), "node", "left"
             )

@@ -196,9 +196,11 @@ def graph_pagerank_weighted(spark, sf_dir):
     the engine along the LLM-pipeline axis."""
     from wire_spark.operators.graph import pagerank_fixed
 
+    # cached: the self-union's two branches project differently, so
+    # without the cache the shingle join can materialize twice
     pairs = _jaccard_pairs(spark, sf_dir, 0.8, with_weight=True).select(
         "d1", "d2", "w1e4"
-    )
+    ).cache()
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "w1e4")
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"),

@@ -89,10 +89,15 @@ class MongoRecordingTransport:
     def __call__(self, connection: str, database: str, collection: str,
                  docs: list) -> int:
         import os
+        import uuid
 
+        # uuid component: hash(payload) alone would make two calls
+        # with identical payloads overwrite each other's recording
+        # (PYTHONHASHSEED is pinned under PySpark), silently
+        # undercounting deliveries in tests
         fname = os.path.join(
             self.directory,
-            f"mongo_{os.getpid()}_{abs(hash(tuple(docs))) % 10**12}.jsonl",
+            f"mongo_{os.getpid()}_{uuid.uuid4().hex}.jsonl",
         )
         with open(fname, "w") as f:
             f.write(json.dumps(
@@ -112,9 +117,10 @@ class WebhookRecordingTransport:
 
     def __call__(self, url: str, body: str, headers: dict | None = None) -> int:
         import os
+        import uuid
 
         fname = os.path.join(
-            self.directory, f"hook_{os.getpid()}_{abs(hash(body)) % 10**12}.json"
+            self.directory, f"hook_{os.getpid()}_{uuid.uuid4().hex}.json"
         )
         with open(fname, "w") as f:
             f.write(url + "\n")

@@ -61,9 +61,12 @@ class RecordingTransport:
 
     def __call__(self, url: str, body: str, headers: dict | None = None) -> dict:
         import os
+        import uuid
 
+        # uuid, not hash(body): identical payloads must not overwrite
+        # each other's recording (delivery counts would silently drop)
         fname = os.path.join(
-            self.directory, f"bulk_{os.getpid()}_{abs(hash(body)) % 10**12}.ndjson"
+            self.directory, f"bulk_{os.getpid()}_{uuid.uuid4().hex}.ndjson"
         )
         with open(fname, "w") as f:
             f.write(url + "\n")

@@ -143,9 +143,10 @@ class RespRecordingTransport:
 
     def __call__(self, host: str, port: int, payload: bytes) -> int:
         import os
+        import uuid
 
         fname = os.path.join(
-            self.directory, f"p_{os.getpid()}_{abs(hash(payload)) % 10**12}.resp"
+            self.directory, f"p_{os.getpid()}_{uuid.uuid4().hex}.resp"
         )
         with open(fname, "wb") as f:
             f.write(payload)

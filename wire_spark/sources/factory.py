@@ -107,16 +107,21 @@ class DataSource:
                 sqs_poller,
             )
 
-            poller = c.get("poller")  # injectable for tests
-            if poller is None:
-                poller = (sqs_poller if t == "sqs" else rabbitmq_poller)(c)
-            src = c.get("_source") or QueueSource(
-                c["spool_dir"], poller,
-                batch_size=int(c.get("batch_size", 100)),
-                poll_interval=float(c.get("poll_interval", 0.05)),
-            )
-            if c.get("_source") is None and c.get("start_poller", "true") == "true":
-                src.start()
+            src = c.get("_source")
+            if src is None:
+                # poller construction stays inside this branch: an
+                # injected _source must not require broker config or
+                # client libraries (mirrors the http branch's guard)
+                poller = c.get("poller")  # injectable for tests
+                if poller is None:
+                    poller = (sqs_poller if t == "sqs" else rabbitmq_poller)(c)
+                src = QueueSource(
+                    c["spool_dir"], poller,
+                    batch_size=int(c.get("batch_size", 100)),
+                    poll_interval=float(c.get("poll_interval", 0.05)),
+                )
+                if c.get("start_poller", "true") == "true":
+                    src.start()
             return src.read(spark, c["schema"])
         raise ValueError(f"unknown source type: {t!r}")  # config.go:265-266
 

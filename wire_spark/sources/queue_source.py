@@ -181,10 +181,14 @@ class QueueSource:
         with open(tmp, "w") as f:
             for m in messages:
                 # non-JSON bodies are wrapped, not dropped: the DLQ
-                # decision belongs downstream, not in the ingest loop
+                # decision belongs downstream, not in the ingest loop.
+                # Valid JSON is RE-serialized, never written verbatim:
+                # a pretty-printed (newline-containing) body would
+                # otherwise span multiple physical lines of the
+                # line-delimited spool and corrupt records that are
+                # already acked.
                 try:
-                    json.loads(m.body)
-                    f.write(m.body.strip() + "\n")
+                    f.write(json.dumps(json.loads(m.body)) + "\n")
                 except ValueError:
                     f.write(json.dumps({"_raw": m.body}) + "\n")
         os.rename(tmp, os.path.join(self.spool_dir, fname))
