@@ -398,3 +398,107 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n_pair"), "pair")
         .limit(30)
     )
+
+
+_BPE_MERGE_ORACLE = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+    AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS c FROM w WHERE length(word) >= 2 GROUP BY word
+), p1 AS (
+  SELECT substring(wc.word, g.i, 2) AS pair, wc.c
+  FROM wc, LATERAL (SELECT unnest(range(1, length(wc.word))) AS i) g
+), top1 AS (
+  SELECT pair FROM (
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n_pair FROM p1 GROUP BY pair
+    ORDER BY n_pair DESC, pair LIMIT 1
+  )
+), merged AS (
+  SELECT replace(wc.word, (SELECT pair FROM top1), '#') AS word, wc.c
+  FROM wc
+), m2 AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS c FROM merged
+  WHERE length(word) >= 2 GROUP BY word
+), p2 AS (
+  SELECT substring(m2.word, g.i, 2) AS pair, m2.c
+  FROM m2, LATERAL (SELECT unnest(range(1, length(m2.word))) AS i) g
+)
+SELECT (SELECT pair FROM top1) AS merged_pair,
+       pair, CAST(sum(c) AS BIGINT) AS n_pair
+FROM p2 GROUP BY pair
+ORDER BY n_pair DESC, pair
+LIMIT 20
+"""
+
+
+@register("text_bpe_second_merge", oracle=_BPE_MERGE_ORACLE, bench=True,
+          doc="second BPE iteration: apply the top merge (as sentinel "
+              "'#') to the vocabulary and recount pairs — the loop "
+              "step of BPE training, top 20 next candidates")
+def text_bpe_second_merge(spark, sf_dir):
+    """One full turn of the BPE training loop: take round 1's winning
+    pair (``text_bpe_pair_counts`` rank 1), merge it into every
+    vocabulary word (sentinel symbol '#', absent from the lowercase
+    corpus), and recount adjacent pairs over the merged alphabet —
+    the next merge candidates. Demonstrates the whole iterative
+    algorithm is expressible as pure column ops: full training is
+    this step repeated with a growing sentinel alphabet.
+
+    Cross-engine parity: ``replace()`` substitutes non-overlapping
+    occurrences left-to-right identically in Spark and DuckDB, and
+    the winning pair is deterministic ((count DESC, pair ASC) limit
+    1, broadcast as a scalar). Merged words re-aggregate (two
+    pre-merge words can collapse to one spelling) before pair
+    generation so both engines count from the identical vocabulary.
+
+    Scale shape: everything after the word-frequency rollup operates
+    on the vocabulary-sized relation; the top-1 pair is a scalar
+    broadcast into the merge projection — per iteration, two tiny
+    shuffles, zero corpus passes."""
+    d = T(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word")
+    )
+    wc = (
+        d.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def pairs_of(rel):
+        return rel.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+
+    top1 = (
+        pairs_of(wc).groupBy("pair").agg(F.sum("c").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair").limit(1)
+        .select(F.col("pair").alias("mp"))
+    )
+    merged = (
+        wc.crossJoin(F.broadcast(top1))
+        .select(F.expr("replace(word, mp, '#')").alias("word"), "c", "mp")
+    )
+    m2 = (
+        merged.filter(F.length("word") >= 2)
+        .groupBy("word", "mp")
+        .agg(F.sum("c").alias("c"))
+    )
+    return (
+        pairs_of(m2.select("word", "c"))
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n_pair"))
+        .crossJoin(F.broadcast(top1))
+        .select(F.col("mp").alias("merged_pair"), "pair", "n_pair")
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(20)
+    )
