@@ -359,3 +359,115 @@ def curation_interleave_schedule(spark, sf_dir):
         .select("schedule_pos", "source", "doc_id", "rank_in_source", "stride_key")
         .orderBy("schedule_pos")
     )
+
+
+# --------------------------------------------------------------------
+# dedup-aware weighted sampling: each near-dup cluster counts once
+# --------------------------------------------------------------------
+
+_DEDUP_WSAMPLE_ORACLE = ("""
+WITH RECURSIVE w AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 3) AS shingle FROM g
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+  UNION SELECT d1, d1 FROM pairs
+  UNION SELECT d2, d2 FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+), csize AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component_id
+), weighted AS (
+  SELECT d.doc_id,
+         COALESCE(cs.cluster_size, 1) AS cluster_size,
+         -ln((CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)
+              || ':dw'), 1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+           * COALESCE(cs.cluster_size, 1) AS key
+  FROM documents d
+  LEFT JOIN comp ON d.doc_id = comp.doc_id
+  LEFT JOIN csize cs ON comp.component_id = cs.component_id
+)
+SELECT doc_id, cluster_size,
+       floor(key * 100000000.0) / 100000000.0 AS sample_key
+FROM weighted
+ORDER BY sample_key, doc_id
+LIMIT 40
+""")
+
+
+@register("sample_dedup_weighted", oracle=_DEDUP_WSAMPLE_ORACLE,
+          doc="dedup-aware A-ES sample: inverse-cluster-size weights, "
+              "so each near-dup cluster contributes ~one expected doc")
+def sample_dedup_weighted(spark, sf_dir):
+    """Duplication-corrected corpus sampling: every document's weight
+    is 1/|its near-dup cluster| (singletons weigh 1), so in
+    expectation each CLUSTER — not each copy — contributes equally to
+    the sample. This is the sampling-time alternative to hard
+    dedup-then-sample: boilerplate that survived as 30 near-copies
+    no longer gets 30x the draw probability, but no document is
+    irrevocably deleted either (soft dedup, the knob curation teams
+    actually want when cluster membership is noisy).
+
+    Composition: exact-Jaccard clusters (``connected_components``
+    over the capped shingle join) feed cluster sizes into the same
+    deterministic A-ES machinery as ``sample_weighted_by_length``
+    (key = -ln(md5-uniform) / w = -ln(u) * cluster_size); smallest
+    40 keys win, fully reproducible cross-engine.
+
+    Scale shape: clustering cost is the edge generator's (swap in
+    the LSH edge source at 100 TB, as everywhere); the sampling
+    itself adds one broadcast-joinable cluster-size table (clusters
+    << docs) over a stateless projection + TakeOrdered — no global
+    sort, no driver pass."""
+    from wire_spark.operators.graph import connected_components
+    from wire_spark.queries.dedup import _jaccard_pairs
+    from wire_spark.queries._util import md5_long
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    comps = connected_components(pairs, src="d1", dst="d2")
+    csize = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    membership = comps.join(csize, "comp").select(
+        F.col("id").alias("doc_id"), "cluster_size"
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    u = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":dw"))) + 1
+    ) / F.lit(1152921504606846976.0)
+    weighted = (
+        docs.join(F.broadcast(membership), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+    key = -F.log(u) * F.col("cluster_size")
+    return (
+        weighted.select(
+            "doc_id", "cluster_size",
+            (F.floor(key * F.lit(100000000.0)) / F.lit(100000000.0)).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(40)
+    )
