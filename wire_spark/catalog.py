@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.text3",
     "wire_spark.queries.paths",
     "wire_spark.queries.graphq",
+    "wire_spark.queries.extras5",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in

@@ -1119,3 +1119,83 @@ def dedup_incremental_lsh(spark, sf_dir):
         .drop("rn")
         .orderBy("new_doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# LSH quality audit: candidate precision/recall vs exact Jaccard truth
+# --------------------------------------------------------------------
+
+_LSH_QUALITY_ORACLE = _MINHASH_BANDS_CTE + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), tp AS (
+  SELECT count(*) AS n FROM cand JOIN truth USING (d1, d2)
+), nc AS (SELECT count(*) AS n FROM cand),
+nt AS (SELECT count(*) AS n FROM truth)
+SELECT CAST(nc.n AS BIGINT) AS n_candidates,
+       CAST(nt.n AS BIGINT) AS n_true_pairs,
+       CAST(tp.n AS BIGINT) AS n_hits,
+       CASE WHEN nc.n = 0 THEN CAST(0 AS BIGINT)
+            ELSE (tp.n * 10000) // nc.n END AS precision_1e4,
+       CASE WHEN nt.n = 0 THEN CAST(0 AS BIGINT)
+            ELSE (tp.n * 10000) // nt.n END AS recall_1e4
+FROM nc, nt, tp
+"""
+
+
+@register("dedup_lsh_quality_audit", oracle=_LSH_QUALITY_ORACLE, bench=True,
+          doc="MinHash-LSH candidate quality: precision/recall of the "
+              "band-bucket candidate set vs exact >=0.8 Jaccard truth")
+def dedup_lsh_quality_audit(spark, sf_dir):
+    """Measures the LSH index itself: how many band-bucket candidate
+    pairs are real near-dups (precision) and how many real near-dups
+    the bands surface (recall). This is the go/no-go gauge for the
+    (bands, rows) S-curve before pointing the scale path at a new
+    corpus — ann_recall_audit's sibling for the dedup family.
+
+    Scale shape: candidates come from the banded self-join (never
+    all-pairs); truth is the df-capped exact-Jaccard join whose cost
+    is bounded by sum(min(df,cap)^2) — at 100 TB the audit runs on a
+    sampled partition of documents, but every join here is already
+    key-bucketed so the full-corpus form only pays the same two
+    bounded joins. Metrics are exact integer fixed-point (x*10000
+    div n) so the single output row hash-matches cross-engine.
+    """
+    sh, band = _minhash_bands(spark, sf_dir)
+    band = band.cache()  # both sides of the bucket self-join
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bsig") == F.col("b.bsig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .cache()  # consumed by both the count and the hit join
+    )
+    truth = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    tp = cand.join(truth, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(tp))
+        .select(
+            "n_candidates", "n_true_pairs", "n_hits",
+            F.expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE (n_hits * 10000) div n_candidates END")
+            .alias("precision_1e4"),
+            F.expr("CASE WHEN n_true_pairs = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE (n_hits * 10000) div n_true_pairs END")
+            .alias("recall_1e4"),
+        )
+    )

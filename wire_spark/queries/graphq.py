@@ -325,6 +325,127 @@ def graph_pagerank_personalized(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# triangle count + local clustering coefficient
+# --------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), ed AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM ed GROUP BY 1
+), tri AS (
+  SELECT e1.d1 AS x, e1.d2 AS y, e2.d2 AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.d1 = e1.d1 AND e2.d2 > e1.d2
+  JOIN pairs e3 ON e3.d1 = e1.d2 AND e3.d2 = e2.d2
+), tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  )
+  GROUP BY node
+)
+SELECT deg.node AS doc_id, deg.d AS degree,
+       coalesce(tcnt.t, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN (2 * coalesce(tcnt.t, CAST(0 AS BIGINT)) * 10000)
+                   // (deg.d * (deg.d - 1))
+            ELSE CAST(0 AS BIGINT) END AS lcc_1e4
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+ORDER BY doc_id
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, bench=True,
+          doc="degree-oriented triangle count + local clustering "
+              "coefficient over the near-dup graph")
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle count and local clustering coefficient over
+    the >=0.8 Jaccard near-dup graph. High-LCC nodes sit inside tight
+    dup cliques (template families); low-LCC high-degree nodes are
+    hubs bridging otherwise-unrelated near-dups — the two populations
+    need different curation treatment (drop the clique satellites,
+    inspect the bridges).
+
+    Scale shape: the classic degree-orientation trick — every edge is
+    oriented from its lower-(degree, id) endpoint, wedges are
+    enumerated only at the tail, and the closing edge is one hash
+    join. Wedge count is sum(out-degree^2) with out-degree bounded by
+    O(sqrt(|E|)) on any graph, so a viral million-member dup cluster
+    costs |E|^1.5, never degree^2 at the hub. The oracle enumerates
+    the same triangle set via id-ordering (x<y<z); orientation
+    changes the enumeration order only, not the set. LCC is exact
+    integer fixed-point: (2*t*10000) div (d*(d-1)).
+    """
+    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    ed = pairs.union(pairs.select(F.col("d2").alias("d1"),
+                                  F.col("d1").alias("d2")))
+    deg = ed.groupBy(F.col("d1").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    p = (
+        pairs
+        .join(deg.select(F.col("node").alias("d1"), F.col("d").alias("deg1")), "d1")
+        .join(deg.select(F.col("node").alias("d2"), F.col("d").alias("deg2")), "d2")
+    )
+    fwd = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("d1") < F.col("d2")))
+    oriented = p.select(
+        F.when(fwd, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+        # carry the head's orientation key so the wedge join can order
+        # its two heads without re-joining degrees
+        F.when(fwd, F.col("deg2")).otherwise(F.col("deg1")).alias("ddst"),
+    ).cache()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & ((F.col("e1.ddst") < F.col("e2.ddst"))
+           | ((F.col("e1.ddst") == F.col("e2.ddst"))
+              & (F.col("e1.dst") < F.col("e2.dst")))),
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("v").alias("node")))
+        .union(tri.select(F.col("w").alias("node")))
+    )
+    tcnt = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0).cast("long")).alias("n_triangles"),
+        )
+        .withColumn(
+            "lcc_1e4",
+            F.expr("CASE WHEN degree >= 2 THEN (2 * n_triangles * 10000) "
+                   "div (degree * (degree - 1)) ELSE CAST(0 AS BIGINT) END"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
 # centrality-based survivor selection: components x PageRank
 # --------------------------------------------------------------------
 
