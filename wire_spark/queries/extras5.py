@@ -191,3 +191,222 @@ def text_vocab_growth(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------
+# record linkage: blocked fuzzy match on customer names (levenshtein)
+# --------------------------------------------------------------------
+
+_LINKAGE_ORACLE = """
+WITH p AS (
+  SELECT c1.c_nationkey AS nationkey,
+         levenshtein(c1.c_name, c2.c_name) AS d
+  FROM customer c1 JOIN customer c2
+    ON c1.c_nationkey = c2.c_nationkey
+   AND c1.c_custkey < c2.c_custkey
+  WHERE levenshtein(c1.c_name, c2.c_name) <= 2
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS n_linked_pairs,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
+       CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2
+FROM p GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+
+@register("record_linkage_customers", oracle=_LINKAGE_ORACLE, bench=True,
+          doc="blocked fuzzy record linkage: same-nation customer "
+              "pairs within levenshtein distance 2")
+def record_linkage_customers(spark, sf_dir):
+    """Entity-resolution primitive: candidate duplicate customer
+    records found by fuzzy name match (edit distance <= 2) inside
+    nation blocks. Structured-record linkage is the tabular sibling
+    of document near-dup — same blocking-then-verify shape, different
+    similarity kernel.
+
+    Scale shape: the edit-distance predicate only ever runs INSIDE a
+    block — the join is a plain equi-join on the blocking key
+    (nation), so candidate count is sum(block_size^2), never
+    |customers|^2. On a production corpus the blocking key would be
+    composite (e.g. zip + name-prefix) to keep blocks small, and a
+    hot block gets salted like any skewed join key; the verify kernel
+    (JVM levenshtein, whole-stage codegen) is unchanged. The oracle
+    runs the identical blocked theta join declaratively.
+    """
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name")
+    a = c.select(F.col("c_nationkey").alias("nationkey"),
+                 F.col("c_custkey").alias("k1"),
+                 F.col("c_name").alias("n1"))
+    b = c.select(F.col("c_nationkey").alias("nationkey"),
+                 F.col("c_custkey").alias("k2"),
+                 F.col("c_name").alias("n2"))
+    d = F.levenshtein("n1", "n2")
+    pairs = (
+        a.join(b, "nationkey")
+        .filter((F.col("k1") < F.col("k2")) & (d <= 2))
+        .select("nationkey", d.alias("d"))
+    )
+    return (
+        pairs.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_linked_pairs"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_dist1"),
+            F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).alias("n_dist2"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# per-group OLS trend (integer-exact sufficient statistics)
+# --------------------------------------------------------------------
+
+# Distributed regression done right: one aggregation computes the five
+# sufficient statistics (n, Sx, Sy, Sxy, Sxx) — all BIGINT-exact, all
+# map-side combinable — and the slope falls out of closed form on the
+# tiny result. No per-group sort, no iterative solver, no Python.
+_TREND_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 10000.0) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, min(es) AS mn FROM b GROUP BY 1
+), x AS (
+  SELECT b.event_type, (b.es - m.mn) // 3600 AS x, b.y
+  FROM b JOIN m USING (event_type)
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT)     AS sx,
+         CAST(sum(y) AS BIGINT)     AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM x GROUP BY 1
+)
+SELECT event_type, n,
+       sy // n AS mean_y4,
+       CAST(floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                  * 1000000.0) AS BIGINT) AS slope_1e6
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("events_linear_trend", oracle=_TREND_ORACLE, bench=True,
+          doc="per-event-type OLS trend line via integer-exact "
+              "sufficient statistics (no sort, no solver)")
+def events_linear_trend(spark, sf_dir):
+    """Least-squares trend of event value over time, per event type:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = hours since the
+    type's first event and y = value in 1e4 fixed-point. The drift
+    detector for metric streams ("is this feed slowly degrading?").
+
+    Cross-engine exactness: the five sufficient statistics are BIGINT
+    integer sums (x bounded by the one-month window -> ~720, y4 <
+    5e6, so n*Sxy stays under 2^62 at sf0.1); numerator and
+    denominator are exact integers in both engines, the final single
+    division + floor is one deterministic double op — verified at all
+    three SFs. Scale shape: ONE shuffle (the groupBy computing the
+    statistics, partial-aggregated map-side) plus a broadcast join
+    for the per-group epoch origin; adding groups or rows never adds
+    passes. The same five-number pattern extends to Welford variance
+    and covariance matrices.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.expr("CAST(floor(value * 10000.0) AS BIGINT)").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(F.min("es").alias("mn"))
+    x = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.expr("(es - mn) div 3600").alias("x"),
+        "y",
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type", "n",
+        F.expr("sy div n").alias("mean_y4"),
+        F.expr("CAST(floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))"
+               " * 1000000.0) AS BIGINT)").alias("slope_1e6"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------
+# continuous-aggregate pattern: stored rollup + raw tail merge
+# --------------------------------------------------------------------
+
+# The hypertable/"lambda view" shape: history is served from a compact
+# pre-aggregated rollup, only the recent tail touches raw rows, and the
+# two merge because count/sum are decomposable aggregates. The oracle
+# aggregates everything directly — proving the merged path is
+# indistinguishable from the direct one.
+_ROLLUP_TAIL_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(floor(value * 10000.0)) AS BIGINT) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("rollup_plus_tail_merge", oracle=_ROLLUP_TAIL_ORACLE, bench=True,
+          doc="continuous-aggregate merge: pre-aggregated hourly "
+              "rollup for history + raw scan only for the last 6h, "
+              "merged losslessly")
+def rollup_plus_tail_merge(spark, sf_dir):
+    """Hourly event statistics served the way a 100 TB deployment
+    serves them: everything older than the last 6 hours comes from
+    the hourly ROLLUP (here computed inline; in production a stored
+    table maintained by the streaming materialized-view path —
+    wire_spark/streaming/materialized.py), only the tail scans raw
+    rows, and the two halves merge by re-aggregating decomposable
+    partials (counts add, fixed-point sums add). The answer is
+    bit-identical to the direct full aggregation — which is exactly
+    what the oracle computes.
+
+    Scale shape: the raw scan is bounded by the tail window no matter
+    how old the table grows; history cost is O(hours), not O(rows).
+    The cutoff is hour-aligned so no hour straddles the boundary and
+    the merge needs no partial-bucket reconciliation. At 100 TB with
+    a partitioned events table the `ts < cutoff` filter also prunes
+    raw partitions entirely — the rollup is the only thing read.
+    """
+    e = T(spark, sf_dir, "events").select("ts", "value")
+    mx = e.agg(
+        F.expr("date_trunc('hour', max(ts)) - INTERVAL 6 HOURS").alias("cutoff")
+    )
+    ec = e.crossJoin(F.broadcast(mx))
+    hour = F.date_trunc("hour", F.col("ts"))
+    y4 = F.expr("floor(value * 10000.0)")
+    # the "stored rollup": per-hour decomposable partials for history
+    hist = (
+        ec.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy(hour.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4).alias("s4"))
+    )
+    # the raw tail: identical partials over only the recent rows
+    tail = (
+        ec.filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy(hour.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4).alias("s4"))
+    )
+    merged = (
+        hist.unionByName(tail)
+        .groupBy("h")
+        .agg(F.sum("n").alias("n_events"),
+             (F.sum("s4") / F.lit(10000.0)).alias("sum_value"))
+    )
+    return merged.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "n_events", "sum_value",
+    ).orderBy("hour_s")
