@@ -1181,21 +1181,26 @@ def dedup_lsh_quality_audit(spark, sf_dir):
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        .cache()  # consumed by both the count and the hit join
     )
-    truth = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    tp = cand.join(truth, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(tp))
-        .select(
-            "n_candidates", "n_true_pairs", "n_hits",
-            F.expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
-                   "ELSE (n_hits * 10000) div n_candidates END")
-            .alias("precision_1e4"),
-            F.expr("CASE WHEN n_true_pairs = 0 THEN CAST(0 AS BIGINT) "
-                   "ELSE (n_hits * 10000) div n_true_pairs END")
-            .alias("recall_1e4"),
-        )
+    truth = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+    # single pass: a full outer join on the pair key classifies every
+    # pair as candidate-only / truth-only / hit, and ONE aggregation
+    # produces all three counts — each expensive relation is scanned
+    # exactly once (three separate count branches would race a lazy
+    # cache and recompute the shingle joins)
+    j = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["d1", "d2"], "full")
+    return j.agg(
+        F.count("c").alias("n_candidates"),
+        F.count("t").alias("n_true_pairs"),
+        F.count(F.when(F.col("c").isNotNull()
+                       & F.col("t").isNotNull(), 1)).alias("n_hits"),
+    ).select(
+        "n_candidates", "n_true_pairs", "n_hits",
+        F.expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+               "ELSE (n_hits * 10000) div n_candidates END")
+        .alias("precision_1e4"),
+        F.expr("CASE WHEN n_true_pairs = 0 THEN CAST(0 AS BIGINT) "
+               "ELSE (n_hits * 10000) div n_true_pairs END")
+        .alias("recall_1e4"),
     )

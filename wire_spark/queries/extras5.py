@@ -236,17 +236,30 @@ def record_linkage_customers(spark, sf_dir):
     """
     c = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name")
-    a = c.select(F.col("c_nationkey").alias("nationkey"),
-                 F.col("c_custkey").alias("k1"),
-                 F.col("c_name").alias("n1"))
+    # spread the verify kernel by RECORD key, not block key: the block
+    # column has only ~25 distinct values, and the build side is
+    # broadcast anyway, so probe-side partitioning is free-form — a
+    # single-file scan would otherwise run every levenshtein in one task
+    # explicit partition count: a column-only repartition of a tiny
+    # relation gets AQE-coalesced back to one partition, re-serializing
+    # the O(block^2) verify work
+    a = c.repartition(32, F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"))
     b = c.select(F.col("c_nationkey").alias("nationkey"),
                  F.col("c_custkey").alias("k2"),
                  F.col("c_name").alias("n2"))
-    d = F.levenshtein("n1", "n2")
+    # threshold form: banded DP that early-exits once distance exceeds
+    # 2 (returns -1) — O(k*n) per pair instead of O(n^2), and the key
+    # inequality lives in the join condition so the kernel never runs
+    # on the discarded half of each block
+    d = F.levenshtein("n1", "n2", 2)
     pairs = (
-        a.join(b, "nationkey")
-        .filter((F.col("k1") < F.col("k2")) & (d <= 2))
-        .select("nationkey", d.alias("d"))
+        a.join(b, (a["nationkey"] == b["nationkey"])
+               & (F.col("k1") < F.col("k2")))
+        .filter(d != -1)
+        .select(a["nationkey"], d.alias("d"))
     )
     return (
         pairs.groupBy("nationkey")

@@ -390,7 +390,14 @@ def graph_triangle_count(spark, sf_dir):
     changes the enumeration order only, not the set. LCC is exact
     integer fixed-point: (2*t*10000) div (d*(d-1)).
     """
-    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    # eagerly materialized: FOUR consumers (degree, orientation join x2,
+    # closing-edge probe) fan out from this relation, and a lazy cache
+    # races — concurrent branches of the same job can each recompute
+    # the expensive shingle join before the cache is populated
+    pairs = (
+        _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     ed = pairs.union(pairs.select(F.col("d2").alias("d1"),
                                   F.col("d1").alias("d2")))
     deg = ed.groupBy(F.col("d1").alias("node")).agg(
@@ -408,7 +415,7 @@ def graph_triangle_count(spark, sf_dir):
         # carry the head's orientation key so the wedge join can order
         # its two heads without re-joining degrees
         F.when(fwd, F.col("deg2")).otherwise(F.col("deg1")).alias("ddst"),
-    ).cache()
+    ).localCheckpoint(eager=True)  # node-sized; wedge join reads it twice
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
