@@ -423,3 +423,160 @@ def rollup_plus_tail_merge(spark, sf_dir):
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
         "n_events", "sum_value",
     ).orderBy("hour_s")
+
+
+# --------------------------------------------------------------------
+# distributed Gram (second-moment) matrix over the embedding table
+# --------------------------------------------------------------------
+
+# The PCA/whitening precursor X^T X computed the map-reduce way: each
+# partition reduces its rows to one 64x64 partial matrix (vectorized
+# numpy over Arrow batches), and partials merge by integer addition.
+# Per-row products are floor-truncated to 1e6 BEFORE summing, so every
+# partial is an exact BIGINT and the merged result is identical under
+# any partitioning — the msum trick lifted to matrices.
+_GRAM_ORACLE = """
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+prod AS (
+  SELECT p.i, p.j,
+         CAST(floor(CAST(e.embedding[p.i] AS DOUBLE)
+                    * CAST(e.embedding[p.j] AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS v
+  FROM embeddings e, pairs p
+)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       CAST(sum(v) AS BIGINT) AS gram_1e6
+FROM prod GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("embedding_gram_matrix", oracle=_GRAM_ORACLE, bench=True,
+          doc="distributed X^T X over embeddings: per-partition numpy "
+              "partial matrices merged by exact integer addition")
+def embedding_gram_matrix(spark, sf_dir):
+    """Upper-triangle Gram matrix of the embedding table — the one
+    matrix PCA, whitening, and linear-probe covariance all start
+    from. At 100 TB this is THE canonical map-reduce matrix job:
+    per-partition X^T X partials (here a vectorized einsum over each
+    Arrow batch) are dimension^2-sized regardless of row count, so
+    the shuffle moves 64x64 matrices, never rows.
+
+    Cross-engine exactness: each row's outer-product entries are
+    floor-truncated to 1e6 fixed-point individually (deterministic
+    double op on the f32-widened values), making every partial an
+    exact int64 — addition commutes, so the result is partitioning-
+    independent and matches DuckDB's per-element unnest formulation
+    bit-for-bit. int64 headroom: |entry| <= 1e6 per row supports
+    ~9e12 rows before overflow.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings").select("embedding")
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+
+    def gram_partial(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # floor each row's outer product in fixed point, THEN sum:
+            # exact integers commute under any batch/partition split
+            P = np.floor(np.einsum("ri,rj->rij", X, X) * 1e6).astype(np.int64)
+            acc += P.sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame({
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "v": acc[iu, ju],
+            })
+
+    partials = e.mapInPandas(gram_partial, "i LONG, j LONG, v LONG")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("v").alias("gram_1e6"))
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------
+# market-basket co-occurrence: brand pairs within an order
+# --------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), nn AS (SELECT count(DISTINCT orderkey) AS n FROM ob),
+bc AS (
+  SELECT brand, count(*) AS nb FROM ob GROUP BY brand
+), pairs AS (
+  SELECT a.brand AS b1, b.brand AS b2, count(*) AS support
+  FROM ob a JOIN ob b ON a.orderkey = b.orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT p.b1, p.b2, CAST(p.support AS BIGINT) AS support,
+       (p.support * 10000) // c1.nb AS confidence_1e4,
+       (p.support * nn.n * 10000) // (c1.nb * c2.nb) AS lift_1e4
+FROM pairs p
+JOIN bc c1 ON p.b1 = c1.brand
+JOIN bc c2 ON p.b2 = c2.brand, nn
+ORDER BY support DESC, b1, b2
+LIMIT 30
+"""
+
+
+@register("basket_brand_pairs", oracle=_BASKET_ORACLE, bench=True,
+          doc="market-basket mining: brand co-occurrence within "
+              "orders, with support / confidence / lift")
+def basket_brand_pairs(spark, sf_dir):
+    """Association mining over order baskets: which part brands are
+    bought together more than chance predicts. support = co-occurring
+    orders, confidence = P(b2|b1), lift = observed/expected — the
+    classic frequent-itemset statistics at pair order.
+
+    Scale shape: the basket relation is (order, brand) DISTINCT —
+    one shuffle — and the pair join is a self-join on the order key,
+    whose cost is sum(basket_size^2) with basket size bounded by the
+    brand count (25), never corpus-sized. Brand marginals broadcast
+    into the final scoring join. Ratios are exact integer fixed-point
+    ((support * N * 10000) div (nb1 * nb2)), so the oracle
+    hash-matches without float rounding concerns.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("orderkey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nn = ob.agg(F.countDistinct("orderkey").alias("n"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.orderkey") == F.col("b.orderkey"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(bc.select(F.col("brand").alias("b1"),
+                                    F.col("nb").alias("nb1"))), "b1")
+        .join(F.broadcast(bc.select(F.col("brand").alias("b2"),
+                                    F.col("nb").alias("nb2"))), "b2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b1", "b2", "support",
+            F.expr("(support * 10000) div nb1").alias("confidence_1e4"),
+            F.expr("(support * n * 10000) div (nb1 * nb2)").alias("lift_1e4"),
+        )
+        .orderBy(F.desc("support"), "b1", "b2")
+        .limit(30)
+    )
