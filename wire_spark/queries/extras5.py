@@ -1,6 +1,9 @@
-"""Fifth extras batch: bucketed band (interval) self-join and
-Heaps'-law vocabulary growth — two shapes a 100 TB pipeline needs
-that neither the TPC-H set nor the dedup family exercises.
+"""Fifth extras batch: shapes a 100 TB pipeline needs that neither
+the TPC-H set nor the dedup family exercises — bucket-blocked band
+join, Heaps'-law vocabulary growth, blocked fuzzy record linkage,
+per-group OLS from sufficient statistics, the continuous-aggregate
+(rollup + raw tail) serving pattern, a map-reduce Gram matrix, and
+market-basket association mining.
 """
 
 from __future__ import annotations
