@@ -555,3 +555,165 @@ def percentile_bucketed_exact(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: mergeable cardinality
+# --------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 48  # 48-bit hash: (k-1)*2^48 stays far inside int64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM events
+), ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+), kth AS (
+  SELECT event_type, nd, hv AS mk FROM ranked WHERE rn = {_KMV_K}
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT e.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN k.mk IS NULL THEN e.n_exact
+                 ELSE ({_KMV_K - 1} * {_KMV_DOMAIN}) // k.mk END AS BIGINT)
+         AS kmv_estimate
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("sketch_kmv_distinct", oracle=_KMV_ORACLE, bench=True,
+          doc="KMV (k-minimum-values) distinct-count sketch per event "
+              "type, deterministic and mergeable, vs exact truth")
+def sketch_kmv_distinct(spark, sf_dir):
+    """Distinct users per event type estimated from only the k=64
+    smallest hash values: estimate = (k-1) * 2^48 / h_(k). The KMV
+    set is a MERGEABLE summary — union two sketches, keep the k
+    smallest — which is what makes it the cross-partition /
+    cross-day cardinality primitive (HLL's order-statistics cousin,
+    exact-reproducible here via the portable 48-bit md5 hash).
+
+    Scale shape: the k smallest hashes per group come from a
+    rank-filtered window that Spark executes as WindowGroupLimit —
+    each task keeps a k-row heap, the shuffle carries k rows per
+    group, never the distinct set. Groups with fewer than k distinct
+    hashes fall back to the exact count (the sketch IS the set
+    there). All arithmetic is integer ((k-1)*2^48 div h_k), so the
+    estimate reproduces bit-for-bit cross-engine.
+    """
+    e = T(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+               16, 10).cast("long").alias("hv"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("hv").alias("mk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(F.broadcast(kth), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.expr(f"CAST(CASE WHEN mk IS NULL THEN n_exact "
+                   f"ELSE ({_KMV_K - 1} * {_KMV_DOMAIN}) div mk END AS BIGINT)")
+            .alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# count-min sketch: frequency estimation with collision audit
+# --------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 16  # deliberately tight vs the 31-token vocab so collisions are visible
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY token
+), cells AS (
+  SELECT d.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.d AS VARCHAR) || ':' || e.token), 1, 15))
+              AS BIGINT) % {_CMS_W} AS cell,
+         CAST(sum(e.n_exact) AS BIGINT) AS total
+  FROM exact e, (SELECT unnest(range({_CMS_D})) AS d) d
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.token, min(c.total) AS cms_n
+  FROM exact e
+  JOIN (SELECT unnest(range({_CMS_D})) AS d) d ON true
+  JOIN cells c
+    ON c.d = d.d
+   AND c.cell = CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.d AS VARCHAR) || ':' || e.token), 1, 15))
+                     AS BIGINT) % {_CMS_W}
+  GROUP BY e.token
+)
+SELECT e.token, e.n_exact, CAST(est.cms_n AS BIGINT) AS cms_n,
+       CAST(est.cms_n - e.n_exact AS BIGINT) AS over_n
+FROM exact e JOIN est ON e.token = est.token
+ORDER BY e.n_exact DESC, e.token
+LIMIT 20
+"""
+
+
+@register("sketch_countmin_freq", oracle=_CMS_ORACLE, bench=True,
+          doc="count-min sketch (4x16) token frequencies with "
+              "per-token overestimation audit vs exact counts")
+def sketch_countmin_freq(spark, sf_dir):
+    """Token frequencies read back from a 4x16 count-min sketch,
+    with the per-token overestimate (always >= 0 — CMS never
+    undercounts) audited against exact counts. The CMS is the
+    fixed-size mergeable frequency summary for streams and
+    cross-partition union: cells add, so a 1000-executor build is
+    d*w integers per executor plus one tree-reduce. The width here is
+    deliberately tight against the 31-token test vocabulary so the
+    collision overestimates are visibly exercised; production sizing
+    is w = ceil(e/eps) for an eps*N error bound.
+
+    Scale shape: the sketch is built from the (token, count)
+    aggregate, not per-occurrence rows — increments are weighted, so
+    the heavy relation is touched by exactly one map-combinable
+    groupBy; the cell table is d*w = 4096 rows broadcast back into
+    the estimation join. Hashes are the portable md5-derived kind,
+    making every cell total and every min bit-identical in DuckDB.
+    """
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    depths = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    keyed = exact.crossJoin(F.broadcast(depths)).select(
+        "token", "n_exact", "d",
+        (md5_long(F.concat_ws(":", F.col("d").cast("string"), F.col("token")))
+         % _CMS_W).alias("cell"),
+    )
+    cells = keyed.groupBy("d", "cell").agg(F.sum("n_exact").alias("total"))
+    est = (
+        keyed.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("token")
+        .agg(F.min("total").alias("cms_n"))
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token", "n_exact", "cms_n",
+            (F.col("cms_n") - F.col("n_exact")).alias("over_n"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
