@@ -345,3 +345,54 @@ def test_order_percentile_bucketed_twin_never_sorts_per_key(spark, sf_dir):
     ]
     assert rn_windows and all("bkt" in line for line in rn_windows)
     assert has_broadcast_join(df)
+
+
+def test_band_join_is_equi_join(spark, sf_dir):
+    # the 7-day band join must run as a hash equi-join on
+    # (custkey, bucket) with the exact |diff| predicate as a residual
+    # condition — never a cartesian/nested-loop per customer
+    df = _df(spark, sf_dir, "range_join_order_bursts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[custkey",
+        plan), "band join is not keyed on (custkey, bucket)"
+
+
+def test_record_linkage_probe_parallelized(spark, sf_dir):
+    # the levenshtein verify kernel must be spread across a fixed
+    # partition count — a column-only repartition gets AQE-coalesced
+    # back to one task (observed: 19s -> 1.7s at sf0.1)
+    df = _df(spark, sf_dir, "record_linkage_customers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(c_custkey" in plan and ", 32)" in plan, \
+        "probe side lost its explicit-count repartition"
+
+
+def test_triangle_joins_are_keyed(spark, sf_dir):
+    # wedge enumeration joins on the oriented tail; the closing-edge
+    # probe joins on (v, w) — no unkeyed join anywhere
+    df = _df(spark, sf_dir, "graph_triangle_count")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_rank_filter_uses_window_group_limit(spark, sf_dir):
+    # the k smallest hashes per group must come from WindowGroupLimit
+    # (per-task k-row heap), not a full per-group sort materialization
+    df = _df(spark, sf_dir, "sketch_kmv_distinct")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_gram_matrix_shuffles_only_partials(spark, sf_dir):
+    # the Gram job's shuffles carry dimension^2-sized partials (the
+    # (i, j, v) rows), so the whole plan needs at most the merge
+    # groupBy plus the final ordering — never a row-granular exchange
+    df = _df(spark, sf_dir, "embedding_gram_matrix")
+    assert count_shuffles(df) <= 2
