@@ -336,3 +336,81 @@ def profile_documents_columns(spark, sf_dir):
     for c in ("lang", "n_chars", "source"):
         out = out.unionAll(branch(c))
     return out.orderBy("col_name")
+
+
+# --------------------------------------------------------------------
+# distribution drift: first half vs second half of the event window
+# --------------------------------------------------------------------
+
+# The feed-health check behind every "did the upstream change?" page:
+# split the time range at its midpoint, compare each event type's
+# share of traffic across halves in exact basis points. The midpoint
+# and all shares are integers, so the audit is bit-reproducible.
+_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS eu FROM events
+), mm AS (
+  SELECT (min(eu) + max(eu)) // 2 AS mid FROM b
+), halves AS (
+  SELECT event_type,
+         CASE WHEN eu < mid THEN 0 ELSE 1 END AS half
+  FROM b, mm
+), counts AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_first,
+         CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_second
+  FROM halves GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+         CAST(sum(n_second) AS BIGINT) AS t2 FROM counts
+)
+SELECT c.event_type, c.n_first, c.n_second,
+       (c.n_first * 10000) // t.t1  AS share_first_bp,
+       (c.n_second * 10000) // t.t2 AS share_second_bp,
+       abs((c.n_first * 10000) // t.t1 - (c.n_second * 10000) // t.t2)
+         AS drift_bp
+FROM counts c, tot t
+ORDER BY c.event_type
+"""
+
+
+@register("events_drift_audit", oracle=_DRIFT_ORACLE, bench=True,
+          doc="distribution drift: event-type traffic shares in the "
+              "first vs second half of the window, in basis points")
+def events_drift_audit(spark, sf_dir):
+    """Per-type traffic-share drift between the two halves of the
+    event window — the population-stability screen run before
+    trusting a model or mix trained on "yesterday's" distribution.
+    A type whose share moved more than a few hundred basis points is
+    flagged for investigation upstream.
+
+    Scale shape: ONE pass over events computes both halves' counts
+    (conditional aggregation on the broadcast midpoint — no
+    self-join, no second scan); totals are a 5-row aggregate joined
+    back by broadcast. Shares are exact integer basis points
+    ((n * 10000) div total), so the oracle hash-matches.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts)").alias("eu"))
+    mm = e.agg(F.expr("(min(eu) + max(eu)) div 2").alias("mid"))
+    counts = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("eu") < F.col("mid"), 1)).alias("n_first"),
+            F.count(F.when(F.col("eu") >= F.col("mid"), 1)).alias("n_second"),
+        )
+    )
+    tot = counts.agg(F.sum("n_first").alias("t1"),
+                     F.sum("n_second").alias("t2"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "n_first", "n_second",
+            F.expr("(n_first * 10000) div t1").alias("share_first_bp"),
+            F.expr("(n_second * 10000) div t2").alias("share_second_bp"),
+            F.expr("abs((n_first * 10000) div t1 - "
+                   "(n_second * 10000) div t2)").alias("drift_bp"),
+        )
+        .orderBy("event_type")
+    )

@@ -717,3 +717,105 @@ def sketch_countmin_freq(spark, sf_dir):
         .orderBy(F.desc("n_exact"), "token")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# conditional-quantile filter: orders above their segment's p90
+# --------------------------------------------------------------------
+
+# Type-1 order statistic (value at rank ceil(0.9 n)) as a FILTER
+# threshold: the two-pass histogram navigation finds the target
+# bucket from cumulative counts, sorts only inside that one bucket,
+# and the resulting per-segment thresholds broadcast back into the
+# scan. ceil is exact-integer: (9n + 9) div 10.
+_SEG_P90_ORACLE = """
+WITH oc AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS price, o.o_orderkey AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT seg, price,
+         row_number() OVER (PARTITION BY seg ORDER BY price, k) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM oc
+), thr AS (
+  SELECT seg, price AS t90 FROM ranked WHERE rn = (9 * n + 9) // 10
+)
+SELECT oc.seg,
+       CAST(count(CASE WHEN oc.price > t.t90 THEN 1 END) AS BIGINT) AS n_above,
+       floor(t.t90 * 10000.0) / 10000.0 AS t90,
+       CAST(sum(CASE WHEN oc.price > t.t90
+                     THEN CAST(floor(oc.price * 10000.0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) / 10000.0 AS sum_above
+FROM oc JOIN thr t ON oc.seg = t.seg
+GROUP BY oc.seg, t.t90
+ORDER BY oc.seg
+"""
+
+
+@register("segment_p90_spenders", oracle=_SEG_P90_ORACLE, bench=True,
+          doc="conditional-quantile filter: per-segment p90 order "
+              "value found by histogram navigation, orders above it "
+              "counted and summed")
+def segment_p90_spenders(spark, sf_dir):
+    """"Orders above their own segment's p90" — the conditional-
+    quantile filter behind outlier billing review, top-decile spend
+    attribution, and per-cohort SLA cuts. The threshold is an exact
+    type-1 order statistic (value at rank ceil(0.9 n) under a total
+    (price, key) order), so the answer is discrete and reproducible —
+    no interpolation, no approx-percentile drift.
+
+    Scale shape: pass 1 builds a per-segment value histogram
+    (map-combinable groupBy) and locates the bucket whose cumulative
+    range covers the target rank; pass 2 sorts ONLY that bucket's
+    rows per segment (window over a bucket-filtered relation — a
+    few hundred rows regardless of segment size). The five threshold
+    rows broadcast into the final scan. The oracle uses the
+    verification form (full per-segment row_number) — same answer,
+    sort-everything plan.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderkey").alias("k"))
+    )
+    ev = oc.withColumn("bkt", F.floor(F.col("price") / F.lit(1000.0)))
+    hist = ev.groupBy("seg", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("seg").orderBy("bkt")
+    cum = hist.select(
+        "seg", "bkt", "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(W.partitionBy("seg")).alias("n"),
+    ).withColumn("rk", F.expr("(9 * n + 9) div 10"))
+    target = cum.filter(
+        (F.col("cum_before") < F.col("rk"))
+        & (F.col("cum_before") + F.col("c") >= F.col("rk"))
+    ).select("seg", "bkt", "cum_before", "rk")
+    # pass 2: sort only the target bucket's rows per segment
+    in_bucket = ev.join(F.broadcast(target), ["seg", "bkt"])
+    wbkt = W.partitionBy("seg").orderBy("price", "k")
+    thr = (
+        in_bucket.withColumn("rn", F.row_number().over(wbkt))
+        .filter(F.col("rn") == F.col("rk") - F.col("cum_before"))
+        .select("seg", F.col("price").alias("t90"))
+    )
+    return (
+        oc.join(F.broadcast(thr), "seg")
+        .groupBy("seg", "t90")
+        .agg(
+            F.count(F.when(F.col("price") > F.col("t90"), 1)).alias("n_above"),
+            (F.sum(F.when(F.col("price") > F.col("t90"),
+                          F.expr("CAST(floor(price * 10000.0) AS BIGINT)"))
+                   .otherwise(F.lit(0))) / F.lit(10000.0)).alias("sum_above"),
+        )
+        .select(
+            "seg", "n_above",
+            (F.floor(F.col("t90") * F.lit(10000.0)) / F.lit(10000.0))
+            .alias("t90"),
+            "sum_above",
+        )
+        .orderBy("seg")
+    )
