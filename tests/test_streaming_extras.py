@@ -662,3 +662,64 @@ def test_streaming_windowed_transition_matrix_batch_parity(spark, tmp_path):
     }
     assert expected  # non-vacuous: multiple closed windows at sf0.001
     assert got == expected
+
+
+def test_streaming_cms_cell_parity_across_batches(spark, tmp_path):
+    """Streaming CMS: folding tokens across two micro-batches yields
+    estimates identical to a one-shot fold of the union (cell
+    increments commute), and the cell mapping matches the batch
+    query's md5-derived hash — verified against a Python model."""
+    from wire_spark.streaming.cms_stream import cms_cell, cms_token_counts
+
+    D, W_ = 4, 16
+    src = str(tmp_path / "cms_in")
+    b1 = [{"lang": "en", "token": t} for t in ["a", "b", "a", "c"]] + [
+        {"lang": "de", "token": "x"}]
+    b2 = [{"lang": "en", "token": t} for t in ["a", "c", "d"]]
+    _write_jsonl(os.path.join(src, "b1.json"), b1)
+
+    stream = _file_stream(spark, src).select("lang", "token")
+    collected: list = []
+
+    def run_drain():
+        q = (
+            cms_token_counts(stream, depth=D, width=W_)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    _write_jsonl(os.path.join(src, "b2.json"), b2)
+    run_drain()
+
+    # python model: one-shot fold of ALL rows, same hash
+    def model_cells(rows):
+        cells = {}
+        for r in rows:
+            for d in range(D):
+                k = (r["lang"], d * W_ + cms_cell(d, r["token"], W_))
+                cells[k] = cells.get(k, 0) + 1
+        return cells
+
+    cells = model_cells(b1 + b2)
+
+    def model_est(lang, tok):
+        return min(cells.get((lang, d * W_ + cms_cell(d, tok, W_)), 0)
+                   for d in range(D))
+
+    # last emission per (group, token) reflects the full fold
+    last = {}
+    for r in collected:
+        last[(r.group, r.token)] = r
+    assert last[("en", "a")].est == model_est("en", "a") == 3
+    assert last[("en", "c")].est == model_est("en", "c") == 2
+    assert last[("en", "d")].est == model_est("en", "d")
+    assert last[("de", "x")].est == model_est("de", "x") == 1
+    # batch-2 rows carried per-batch occurrence counts
+    assert last[("en", "a")].n_batch == 1  # one 'a' in b2
+    # CMS never undercounts
+    for (lang, tok), r in last.items():
+        assert r.est >= model_est(lang, tok) >= 1
