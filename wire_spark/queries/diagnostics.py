@@ -414,3 +414,87 @@ def events_drift_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# referential-integrity audit across the star schema's FK edges
+# --------------------------------------------------------------------
+
+_RI_ORACLE = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+         CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_orphan
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+), oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+         CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_orphan
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), cn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_keys,
+         CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_orphan
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS edge, n_child, n_keys, n_orphan,
+         ((n_child - n_orphan) * 10000) // n_child AS coverage_bp FROM li
+  UNION ALL
+  SELECT 'orders->customer', n_child, n_keys, n_orphan,
+         ((n_child - n_orphan) * 10000) // n_child FROM oc
+  UNION ALL
+  SELECT 'customer->nation', n_child, n_keys, n_orphan,
+         ((n_child - n_orphan) * 10000) // n_child FROM cn
+) ORDER BY edge
+"""
+
+
+@register("referential_integrity_audit", oracle=_RI_ORACLE, bench=True,
+          doc="FK health across the star schema: child rows, distinct "
+              "keys, orphans, and coverage per edge")
+def referential_integrity_audit(spark, sf_dir):
+    """Orphan detection over the three FK edges of the star schema
+    (lineitem->orders, orders->customer, customer->nation): the first
+    query run against any newly landed extract, because every
+    downstream inner join silently DROPS orphaned child rows —
+    coverage below 10000 bp here explains row-count mysteries
+    everywhere else.
+
+    Scale shape: each edge is one left join probed against its
+    parent (dimension parents broadcast; the lineitem->orders edge
+    shuffles on the join key like any fact join) folded into a 1-row
+    conditional aggregate; the three rows union. At 100 TB the same
+    audit runs per-partition-batch on arrival, not corpus-wide.
+    """
+    def edge(child, ckey, parent, pkey, label):
+        j = child.join(F.broadcast(parent) if label != "lineitem->orders"
+                       else parent,
+                       child[ckey] == parent[pkey], "left")
+        return j.agg(
+            F.lit(label).alias("edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct(child[ckey]).alias("n_keys"),
+            F.count(F.when(parent[pkey].isNull(), 1)).alias("n_orphan"),
+        ).select(
+            "edge", "n_child", "n_keys", "n_orphan",
+            F.expr("((n_child - n_orphan) * 10000) div n_child")
+            .alias("coverage_bp"),
+        )
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        edge(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+             "lineitem->orders")
+        .unionByName(edge(o, "o_custkey", c.select("c_custkey"), "c_custkey",
+                          "orders->customer"))
+        .unionByName(edge(c, "c_nationkey", n, "n_nationkey",
+                          "customer->nation"))
+        .orderBy("edge")
+    )

@@ -819,3 +819,83 @@ def segment_p90_spenders(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------
+# join-size estimation: self-join size (F2) from CMS inner products
+# --------------------------------------------------------------------
+
+_F2_D = 4
+_F2_W = 256
+
+_F2_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM counts
+), cells AS (
+  SELECT d.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.d AS VARCHAR) || ':' ||
+                                         CAST(k.user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_F2_W} AS cell,
+         CAST(sum(k.c) AS BIGINT) AS total
+  FROM counts k, (SELECT unnest(range({_F2_D})) AS d) d
+  GROUP BY 1, 2
+), per_depth AS (
+  SELECT d, CAST(sum(total * total) AS BIGINT) AS est FROM cells GROUP BY d
+), best AS (
+  SELECT min(est) AS cms_f2 FROM per_depth
+)
+SELECT e.f2 AS exact_f2, CAST(b.cms_f2 AS BIGINT) AS cms_f2,
+       ((b.cms_f2 - e.f2) * 10000) // e.f2 AS over_bp
+FROM exact e, best b
+"""
+
+
+@register("sketch_selfjoin_size", oracle=_F2_ORACLE, bench=True,
+          doc="join-size estimation: the events-on-user self-join "
+              "cardinality (F2 moment) from CMS cell inner products "
+              "vs exact truth")
+def sketch_selfjoin_size(spark, sf_dir):
+    """How big would the events-on-user_id self-join be? The exact
+    answer is the second frequency moment sum(c_u^2); the sketch
+    answer is min over depths of sum(cell^2) on a 4x256 count sketch
+    — the AMS/CMS inner-product estimate a cost-based planner uses to
+    veto a join before running it. The estimate never undercounts
+    (cell totals only merge keys), and the audit reports the
+    overestimate in basis points.
+
+    Scale shape: the sketch is built from the (key, count) aggregate
+    — one map-combinable groupBy over events, then d*w = 1024 cells;
+    the squared sums and the min are constant-size arithmetic.
+    Two DIFFERENT relations' sketches estimate their equi-join size
+    the same way (sum of cell products per depth) — self-join F2 is
+    the oracle-checkable special case. Integer end-to-end.
+    """
+    e = T(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = counts.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    depths = spark.range(_F2_D).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        counts.crossJoin(F.broadcast(depths))
+        .select(
+            "d", "c",
+            (md5_long(F.concat_ws(":", F.col("d").cast("string"),
+                                  F.col("user_id").cast("string")))
+             % _F2_W).alias("cell"),
+        )
+        .groupBy("d", "cell").agg(F.sum("c").alias("total"))
+    )
+    best = (
+        cells.groupBy("d")
+        .agg(F.sum(F.col("total") * F.col("total")).alias("est"))
+        .agg(F.min("est").alias("cms_f2"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(best))
+        .select(
+            "exact_f2", "cms_f2",
+            F.expr("((cms_f2 - exact_f2) * 10000) div exact_f2")
+            .alias("over_bp"),
+        )
+    )
