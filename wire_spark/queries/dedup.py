@@ -1204,3 +1204,65 @@ def dedup_lsh_quality_audit(spark, sf_dir):
                "ELSE (n_hits * 10000) div n_true_pairs END")
         .alias("recall_1e4"),
     )
+
+
+# --------------------------------------------------------------------
+# n-gram novelty: per-doc share of corpus-first shingles
+# --------------------------------------------------------------------
+
+_NOVELTY_ORACLE = _SHINGLES_CTE + """
+, first AS (
+  SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle
+), per_doc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(CASE WHEN f.fd = sh.doc_id THEN 1 END) AS BIGINT)
+           AS n_novel
+  FROM sh JOIN first f ON sh.shingle = f.shingle
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_sh, n_novel,
+       (n_novel * 10000) // n_sh AS novelty_bp
+FROM per_doc
+ORDER BY novelty_bp, doc_id
+LIMIT 30
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, bench=True,
+          doc="per-doc novelty: share of 3-gram shingles this doc "
+              "introduced to the corpus (id order), lowest first")
+def text_ngram_novelty(spark, sf_dir):
+    """For each document, the share of its 3-gram shingles that first
+    appear (by doc_id order) in THAT document. Low-novelty documents
+    are assembled almost entirely from earlier material — the cheap
+    memorization/duplication risk score that ranks candidates for the
+    expensive pairwise dedup passes, and the per-doc refinement of
+    ``text_vocab_growth``'s corpus curve.
+
+    Scale shape: first-occurrence attribution again — min(doc_id)
+    per shingle is one map-combinable groupBy on the shingle key,
+    and the per-doc rollup joins on the same key the shingle
+    relation is already hashed by; nothing pairwise anywhere. The
+    ratio is exact integer basis points. Ascending top-30 via
+    TakeOrderedAndProject (partial top-k, no global sort).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count(F.when(F.col("fd") == F.col("doc_id"), 1))
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_sh", "n_novel",
+            F.expr("(n_novel * 10000) div n_sh").alias("novelty_bp"),
+        )
+        .orderBy("novelty_bp", "doc_id")
+        .limit(30)
+    )
