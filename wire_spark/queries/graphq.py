@@ -577,3 +577,85 @@ def dedup_survivors_central(spark, sf_dir):
         )
         .orderBy("component_id")
     )
+
+
+# --------------------------------------------------------------------
+# k-core peeling: 3 rounds of degree-2 deletion
+# --------------------------------------------------------------------
+
+_KCORE_ORACLE = _SHINGLES_CTE + """
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+), e0 AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), dg0 AS (SELECT a AS node, count(*) AS d FROM e0 GROUP BY 1),
+k1 AS (SELECT node FROM dg0 WHERE d >= 2),
+e1 AS (
+  SELECT e.a, e.b FROM e0 e
+  JOIN k1 x ON e.a = x.node JOIN k1 y ON e.b = y.node
+), dg1 AS (SELECT a AS node, count(*) AS d FROM e1 GROUP BY 1),
+k2 AS (SELECT node FROM dg1 WHERE d >= 2),
+e2 AS (
+  SELECT e.a, e.b FROM e1 e
+  JOIN k2 x ON e.a = x.node JOIN k2 y ON e.b = y.node
+), dg2 AS (SELECT a AS node, count(*) AS d FROM e2 GROUP BY 1),
+k3 AS (SELECT node FROM dg2 WHERE d >= 2),
+e3 AS (
+  SELECT e.a, e.b FROM e2 e
+  JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node
+), dg3 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e3 GROUP BY 1)
+SELECT node AS doc_id, d AS core_degree
+FROM dg3 ORDER BY doc_id
+"""
+
+
+@register("graph_kcore_peel", oracle=_KCORE_ORACLE, bench=True,
+          doc="2-core peeling (3 rounds) over the near-dup graph: "
+              "degrees after iterative removal of degree-1 nodes")
+def graph_kcore_peel(spark, sf_dir):
+    """Three rounds of 2-core peeling over the near-dup graph:
+    repeatedly delete nodes of degree < 2 and recount. What survives
+    is the clique-ish template mass (the dup families worth batch
+    treatment); what peels away is tree-like incidental similarity.
+    Peeling is the third iteration pattern in the graph family —
+    monotone DELETION (state shrinks every round), vs label
+    propagation's fixpoint and PageRank's fixed-step value flow.
+
+    Cross-engine exactness: degrees are integer counts and the
+    delete set is a threshold filter, so the unrolled oracle matches
+    exactly. Scale shape: each round is one degree groupBy plus two
+    semi-join-shaped filters, all keyed on the node id — cost
+    shrinks monotonically with the surviving edge set, and lineage
+    is truncated per round (localCheckpoint) exactly like the other
+    iterative operators; a production run would loop until the
+    deleted count hits zero instead of a fixed 3 rounds.
+    """
+    edges = (
+        _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    e = edges.union(edges.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2"))) \
+        .select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    for _ in range(3):
+        deg = e.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)  # per-round lineage truncation
+        )
+    final = e.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree"))
+    return final.orderBy("doc_id")
