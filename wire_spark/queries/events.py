@@ -15,6 +15,7 @@ partition pruning on date-partitioned storage still applies.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
@@ -439,4 +440,205 @@ def events_hourly_anomaly(spark, sf_dir):
         .filter(F.abs(F.col("z")) >= 1.0)
         .select("event_type", "hr", "c", "z")
         .orderBy("event_type", "hr")
+    )
+
+
+# --------------------------------------------------------------------
+# 3-step strict-order funnel: view -> click -> purchase, 1h per step
+# --------------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS eu FROM events
+), v AS (
+  SELECT user_id, min(eu) AS v_ts FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.eu) AS c_ts
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.eu > v.v_ts AND e.eu <= v.v_ts + 3600000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.eu) AS p_ts
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.eu > c.c_ts AND e.eu <= c.c_ts + 3600000000
+  GROUP BY e.user_id
+), tot AS (SELECT count(DISTINCT user_id) AS n FROM e)
+SELECT CAST(tot.n AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       ((SELECT count(*) FROM c) * 10000) // (SELECT count(*) FROM v)
+         AS click_rate_bp,
+       ((SELECT count(*) FROM p) * 10000) // (SELECT count(*) FROM c)
+         AS purchase_rate_bp
+FROM tot
+"""
+
+
+@register("events_funnel_3step", oracle=_FUNNEL3_ORACLE, bench=True,
+          doc="3-step strict-order funnel (first view -> first "
+              "qualifying click -> first qualifying purchase, 1h per "
+              "step) with per-step conversion")
+def events_funnel_3step(spark, sf_dir):
+    """The sequential-pattern funnel: a user converts step N+1 only
+    via an event strictly after their step-N anchor and within one
+    hour of it, anchors being FIRST qualifying events. This is the
+    min-after-min chaining shape (each stage re-anchors on the
+    previous stage's timestamp) that two-step pairwise funnels can't
+    express.
+
+    Scale shape: each stage is one user-keyed shuffle join of the
+    raw stream against the previous stage's one-row-per-user anchor
+    table followed by a map-combinable min — stages chain linearly,
+    candidate sets shrink monotonically, and nothing is ever
+    per-user quadratic. Timestamps compare as integer epoch micros;
+    conversion rates are exact integer basis points.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("eu"))
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("eu").alias("v_ts")))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("eu") > F.col("v_ts"))
+                & (F.col("eu") <= F.col("v_ts") + 3_600_000_000))
+        .groupBy("user_id").agg(F.min("eu").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("eu") > F.col("c_ts"))
+                & (F.col("eu") <= F.col("c_ts") + 3_600_000_000))
+        .groupBy("user_id").agg(F.min("eu").alias("p_ts"))
+    )
+    tot = e.agg(F.countDistinct("user_id").alias("n_users"))
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        tot.crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_users", "n_view", "n_click", "n_purchase",
+            F.expr("(n_click * 10000) div n_view").alias("click_rate_bp"),
+            F.expr("(n_purchase * 10000) div n_click")
+            .alias("purchase_rate_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# discrete survival/hazard table: signup -> first purchase
+# --------------------------------------------------------------------
+
+_HAZARD_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS eu FROM events
+), mx AS (SELECT max(eu) AS m FROM e),
+s AS (
+  SELECT user_id, min(eu) AS s_ts FROM e WHERE event_type = 'signup'
+  GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(e.eu) AS p_ts
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.eu > s.s_ts
+  GROUP BY e.user_id
+), u AS (
+  SELECT s.user_id,
+         CASE WHEN fp.p_ts IS NOT NULL
+              THEN (fp.p_ts - s.s_ts) // 86400000000
+              ELSE (mx.m - s.s_ts) // 86400000000 END AS obs_end,
+         CASE WHEN fp.p_ts IS NOT NULL
+              THEN (fp.p_ts - s.s_ts) // 86400000000 END AS event_day
+  FROM s LEFT JOIN fp ON s.user_id = fp.user_id, mx
+), days AS (
+  SELECT unnest(range(0, (SELECT max(obs_end) FROM u) + 1)) AS day
+), risk AS (
+  SELECT d.day,
+         CAST((SELECT count(*) FROM u WHERE u.obs_end >= d.day) AS BIGINT)
+           AS n_at_risk,
+         CAST((SELECT count(*) FROM u WHERE u.event_day = d.day) AS BIGINT)
+           AS n_events
+  FROM days d
+)
+SELECT day, n_at_risk, n_events,
+       (n_events * 10000) // n_at_risk AS hazard_bp
+FROM risk WHERE n_at_risk > 0
+ORDER BY day
+"""
+
+
+@register("events_survival_hazard", oracle=_HAZARD_ORACLE, bench=True,
+          doc="discrete survival analysis: per-day at-risk counts, "
+              "first-purchase events, and hazard after signup, with "
+              "censoring at the window edge")
+def events_survival_hazard(spark, sf_dir):
+    """Time-to-conversion as a discrete hazard table: for each day
+    since signup, how many users were still unconverted and under
+    observation (at risk), how many converted that day, and the
+    hazard in basis points — with users who never purchase censored
+    at the data window's edge, the piece naive "average days to
+    purchase" gets wrong. The Kaplan-Meier curve is the running
+    product of (1 - hazard); the table keeps integers so the oracle
+    hash-matches.
+
+    Scale shape: everything reduces to ONE row per signup user
+    (two user-keyed min aggregations), after which at-risk counts
+    come from a reverse cumulative sum over the ~30-row day
+    histogram — never a per-day rescan of users. The oracle uses
+    correlated per-day subqueries (the verification form); the
+    Spark side demonstrates the scale form.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("eu"))
+    mx = e.agg(F.max("eu").alias("m"))
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("eu").alias("s_ts")))
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("eu") > F.col("s_ts"))
+        .groupBy("user_id").agg(F.min("eu").alias("p_ts"))
+    )
+    u = (
+        s.join(fp, "user_id", "left").crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CASE WHEN p_ts IS NOT NULL "
+                   "THEN (p_ts - s_ts) div 86400000000 "
+                   "ELSE (m - s_ts) div 86400000000 END").alias("obs_end"),
+            F.expr("CASE WHEN p_ts IS NOT NULL "
+                   "THEN (p_ts - s_ts) div 86400000000 END")
+            .alias("event_day"),
+        )
+    )
+    # day histogram + reverse cumsum: at_risk(d) = sum of users whose
+    # observation ends at day >= d
+    end_hist = u.groupBy(F.col("obs_end").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_end"))
+    ev_hist = u.filter(F.col("event_day").isNotNull()).groupBy(
+        F.col("event_day").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    dmax = u.agg(F.max("obs_end").alias("dm"))
+    days = dmax.select(F.explode(F.sequence(F.lit(0), F.col("dm"))).alias("day"))
+    wrev = W.orderBy(F.desc("day")).rowsBetween(W.unboundedPreceding, 0)
+    risk = (
+        days.join(end_hist, "day", "left")
+        .join(ev_hist, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_end", F.lit(0)).alias("n_end"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .withColumn("n_at_risk", F.sum("n_end").over(wrev))
+    )
+    return (
+        risk.filter(F.col("n_at_risk") > 0)
+        .select(
+            "day", "n_at_risk", F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(n_events * 10000) div n_at_risk").alias("hazard_bp"),
+        )
+        .orderBy("day")
     )
