@@ -723,3 +723,43 @@ def test_streaming_cms_cell_parity_across_batches(spark, tmp_path):
     # CMS never undercounts
     for (lang, tok), r in last.items():
         assert r.est >= model_est(lang, tok) >= 1
+
+
+def test_streaming_kmv_merge_parity_across_batches(spark, tmp_path):
+    """Streaming KMV: union-keep-k-smallest across micro-batches
+    yields the same sketch as a one-shot fold (the KMV merge rule),
+    exact below k and estimating above it, with the same 48-bit hash
+    as the batch query."""
+    from wire_spark.streaming.kmv_stream import kmv_hash, kmv_distinct
+
+    K = 4
+    src = str(tmp_path / "kmv_in")
+    b1 = [{"event_type": "click", "user_id": u} for u in [1, 2, 3]]
+    b2 = [{"event_type": "click", "user_id": u} for u in [3, 4, 5, 6, 7]]
+    _write_jsonl(os.path.join(src, "b1.json"), b1)
+
+    stream = _file_stream(spark, src).select("event_type", "user_id")
+    collected: list = []
+
+    def run_drain():
+        q = (
+            kmv_distinct(stream, k=K)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    # below k: the sketch IS the distinct set -> exact
+    assert collected[-1].n_held == 3 and collected[-1].estimate == 3
+
+    _write_jsonl(os.path.join(src, "b2.json"), b2)
+    run_drain()
+    final = collected[-1]
+    # one-shot model over the union, same hash and merge rule
+    hashes = sorted({kmv_hash(str(u)) for u in [1, 2, 3, 4, 5, 6, 7]})[:K]
+    expect = (K - 1) * (1 << 48) // hashes[K - 1]
+    assert final.n_held == K
+    assert final.estimate == expect
