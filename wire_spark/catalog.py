@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.paths",
     "wire_spark.queries.graphq",
     "wire_spark.queries.extras5",
+    "wire_spark.queries.search",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
