@@ -131,3 +131,110 @@ def search_phrase_positional(spark, sf_dir):
         .orderBy(F.desc("n_matches"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# BM25 ranking for the 3-term query
+# --------------------------------------------------------------------
+
+# Determinism recipe (established by text_unigram_logprob): the single
+# transcendental (idf's ln) is evaluated once per query TERM on an
+# exact integer ratio and floored to 1e6 fixed point; each (doc, term)
+# contribution is then floored to an integer BEFORE the per-doc sum,
+# so the 3-addend accumulation is exact integer addition — float
+# summation order can never flip the ranking hash.
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(len(words)) AS BIGINT) AS tot
+  FROM w
+), tok AS (
+  SELECT doc_id, unnest(words) AS t FROM w
+), hits AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE t IN ('{_QUERY_TERMS[0]}', '{_QUERY_TERMS[1]}', '{_QUERY_TERMS[2]}')
+  GROUP BY doc_id, t
+), dfq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY t
+), idf AS (
+  SELECT t, CAST(floor(ln((nd - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                       * 1000000.0::DOUBLE) AS BIGINT) AS idf6
+  FROM dfq, stats
+), contrib AS (
+  SELECT h.doc_id,
+         CAST(floor((i.idf6 * h.tf * 2.2::DOUBLE)
+                    / (h.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl
+                                     / (s.tot * 1.0::DOUBLE / s.nd)))) AS BIGINT)
+           AS c6
+  FROM hits h
+  JOIN idf i ON h.t = i.t
+  JOIN dl d ON h.doc_id = d.doc_id, stats s
+)
+SELECT c.doc_id, d.dl, CAST(sum(c.c6) AS BIGINT) AS bm25_6
+FROM contrib c JOIN dl d ON c.doc_id = d.doc_id
+GROUP BY c.doc_id, d.dl
+ORDER BY bm25_6 DESC, c.doc_id
+LIMIT 25
+"""
+
+
+@register("search_bm25_ranked", oracle=_BM25_ORACLE, bench=True,
+          doc="BM25 (k1=1.2, b=0.75) ranking of the 3-term query with "
+              "per-term fixed-point idf and integer-summed "
+              "contributions")
+def search_bm25_ranked(spark, sf_dir):
+    """Top-25 documents for the query by BM25 — the retrieval scoring
+    function production search engines default to, combining term
+    rarity (idf), within-doc saturation (k1), and length
+    normalization (b). Completes the search family: boolean
+    retrieval (conjunctive), phrase constraint (positional), ranked
+    scoring (this).
+
+    Scale shape: ONE corpus shuffle — a single conditional
+    aggregation yields each doc's length and every query-term tf,
+    and all marginals (N, total length, dfs, idfs) collapse into a
+    1-row broadcast, so scoring is a scalar expression over the
+    per-doc relation. The
+    idf ln evaluates on |query| exact ratios only (floored 1e6 fixed
+    point, libm parity verified at all 3 SFs per the repo's ln rule);
+    per-(doc, term) contributions floor to integers before summing so
+    accumulation order is irrelevant.
+    """
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # ONE shuffle: per-doc length and all query-term tfs from the same
+    # conditional aggregation (dl = token count, tf_i = term count)
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.count(F.when(F.col("t") == term, 1)).alias(f"tf{i}")
+        for i, term in enumerate(_QUERY_TERMS)
+    ]
+    perdoc = tok.groupBy("doc_id").agg(*aggs)
+    # corpus stats + per-term dfs collapse into a single 1-row
+    # broadcast relation; idf6 becomes three scalar columns
+    marg = perdoc.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tot"),
+        *[F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+          for i in range(len(_QUERY_TERMS))],
+    ).select(
+        "nd", "tot",
+        *[F.expr(f"CAST(floor(ln((nd - df{i} + 0.5D) / (df{i} + 0.5D)) "
+                 f"* 1000000.0D) AS BIGINT)").alias(f"idf6_{i}")
+          for i in range(len(_QUERY_TERMS))],
+    )
+    c6 = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN CAST(floor((idf6_{i} * tf{i} * 2.2D) / "
+        f"(tf{i} + 1.2D * (0.25D + 0.75D * dl / (tot * 1.0D / nd)))) "
+        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(_QUERY_TERMS))
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(marg))
+        .filter(sum(F.col(f"tf{i}") for i in range(len(_QUERY_TERMS))) > 0)
+        .select("doc_id", F.col("dl").cast("long").alias("dl"),
+                F.expr(c6).alias("bm25_6"))
+        .orderBy(F.desc("bm25_6"), "doc_id")
+        .limit(25)
+    )
