@@ -707,3 +707,139 @@ def embedding_power_iteration(spark, sf_dir):
             .alias("lambda_est"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Z-order (Morton) layout audit: locality of 2-D clustering schemes
+# --------------------------------------------------------------------
+
+_MB = 14  # bits per dimension (day idx < 2^14, custkey < 2^14)
+
+
+def _morton_expr(x: str, y: str, duck: bool) -> str:
+    """Bit-interleave expression for a 2*_MB-bit Morton code,
+    generated identically for both engines (DuckDB spells shifts as
+    operators, Spark as shiftleft/shiftright functions; & is common)."""
+    parts = []
+    for i in range(_MB):
+        if duck:
+            parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            parts.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            parts.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(parts)
+
+
+_ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT epoch_us(o_orderdate) // 86400000000
+           - (SELECT min(epoch_us(o_orderdate) // 86400000000) FROM orders)
+           AS dx,
+         o_custkey AS cy
+  FROM orders
+), mx AS (
+  SELECT max(dx) AS md, max(cy) AS mc FROM base
+), scaled AS (
+  SELECT dx, cy,
+         (dx * {1 << _MB}) // (mx.md + 1) AS dxs,
+         (cy * {1 << _MB}) // (mx.mc + 1) AS cys,
+         mx.md, mx.mc
+  FROM base, mx
+), coded AS (
+  SELECT dx, cy,
+         ({_morton_expr('dxs', 'cys', True)}) // {1 << (2 * _MB - 8)} AS b_morton,
+         (dx * 256) // (md + 1) AS b_day,
+         (cy * 256) // (mc + 1) AS b_cust
+  FROM scaled
+), u AS (
+  SELECT 'morton' AS strategy, b_morton AS bucket, dx, cy FROM coded
+  UNION ALL
+  SELECT 'day_linear', b_day, dx, cy FROM coded
+  UNION ALL
+  SELECT 'cust_linear', b_cust, dx, cy FROM coded
+), per_bucket AS (
+  SELECT strategy, bucket,
+         max(dx) - min(dx) AS day_span,
+         max(cy) - min(cy) AS cust_span
+  FROM u GROUP BY strategy, bucket
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       (CAST(sum(day_span) AS BIGINT) * 100) // count(*) AS avg_day_span_x100,
+       (CAST(sum(cust_span) AS BIGINT) * 100) // count(*) AS avg_cust_span_x100
+FROM per_bucket
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+@register("layout_zorder_audit", oracle=_ZORDER_ORACLE, bench=True,
+          doc="Z-order layout audit: per-bucket (day, custkey) span "
+              "under Morton vs single-dimension clustering")
+def layout_zorder_audit(spark, sf_dir):
+    """The data-layout decision quantified: bucket orders three ways
+    — by Morton (Z-order) code of (day, custkey), by day alone, by
+    custkey alone — and measure each bucket's span in BOTH
+    dimensions (both normalized to the full code range first, so
+    the prefix buckets are occupied). Single-dimension clustering
+    collapses one span and
+    leaves the other at full range (queries filtering the other
+    column prune nothing); the Morton prefix keeps both spans
+    moderate, which is exactly why lakehouse OPTIMIZE ZORDER exists.
+    This is the measure-side tool you run before choosing a layout.
+
+    Scale shape: the Morton code is pure bit arithmetic (JVM codegen,
+    no UDF) and prefix bucketing is a div — no global sort anywhere,
+    unlike an actual re-layout; the three labelings explode 3x and
+    reduce through one (strategy, bucket) groupBy whose state is the
+    bucket count. The audit's output is O(strategies); run it on a
+    sample at 100 TB — span statistics converge long before full
+    scans. Integer end-to-end (spans, x100 fixed-point averages).
+    """
+    o = T(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d0"),
+        F.col("o_custkey").alias("cy"),
+    )
+    mins = o.agg(F.min("d0").alias("mnd"))
+    base = o.crossJoin(F.broadcast(mins)).select(
+        (F.col("d0") - F.col("mnd")).alias("dx"), "cy")
+    mx = base.agg(F.max("dx").alias("md"), F.max("cy").alias("mc"))
+    scaled = base.crossJoin(F.broadcast(mx)).select(
+        "dx", "cy", "md", "mc",
+        F.expr(f"(dx * {1 << _MB}) div (md + 1)").alias("dxs"),
+        F.expr(f"(cy * {1 << _MB}) div (mc + 1)").alias("cys"),
+    )
+    coded = scaled.select(
+        "dx", "cy",
+        F.expr(f"({_morton_expr('dxs', 'cys', False)}) "
+               f"div {1 << (2 * _MB - 8)}").alias("b_morton"),
+        F.expr("(dx * 256) div (md + 1)").alias("b_day"),
+        F.expr("(cy * 256) div (mc + 1)").alias("b_cust"),
+    )
+    u = coded.select(
+        F.explode(F.array(
+            F.struct(F.lit("morton").alias("strategy"),
+                     F.col("b_morton").alias("bucket")),
+            F.struct(F.lit("day_linear").alias("strategy"),
+                     F.col("b_day").alias("bucket")),
+            F.struct(F.lit("cust_linear").alias("strategy"),
+                     F.col("b_cust").alias("bucket")),
+        )).alias("s"),
+        "dx", "cy",
+    ).select("s.strategy", "s.bucket", "dx", "cy")
+    per_bucket = u.groupBy("strategy", "bucket").agg(
+        (F.max("dx") - F.min("dx")).alias("day_span"),
+        (F.max("cy") - F.min("cy")).alias("cust_span"),
+    )
+    return (
+        per_bucket.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.expr("(sum(day_span) * 100) div count(*)")
+            .alias("avg_day_span_x100"),
+            F.expr("(sum(cust_span) * 100) div count(*)")
+            .alias("avg_cust_span_x100"),
+        )
+        .orderBy("strategy")
+    )
