@@ -82,3 +82,38 @@ def test_salted_join_rejects_outer(spark):
     import pytest
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, on="k", how="full")
+
+
+def test_band_join_matches_bruteforce_model(spark):
+    """band_join vs the quadratic model on adversarial small inputs:
+    exact bucket-boundary gaps, negative-bucket times, hot keys."""
+    from wire_spark.operators.joins import band_join
+
+    rows_l = [(k, t) for k in range(3) for t in (0, 4, 5, 9, 10, 11, 23)]
+    rows_r = [(k, t) for k in range(3) for t in (1, 5, 6, 10, 15, 22, 30)]
+    band = 5
+    left = spark.createDataFrame(rows_l, "k INT, lt LONG")
+    right = spark.createDataFrame(rows_r, "k INT, rt LONG")
+    got = sorted(
+        (r.k, r.lt, r.rt)
+        for r in band_join(left, right, "k", "lt", "rt", band).collect()
+    )
+    want = sorted(
+        (k1, t1, t2)
+        for (k1, t1) in rows_l for (k2, t2) in rows_r
+        if k1 == k2 and abs(t1 - t2) <= band
+    )
+    assert got == want and len(got) > 0
+
+
+def test_band_join_rejects_bad_args(spark):
+    from wire_spark.operators.joins import band_join
+
+    left = spark.createDataFrame([(1, 2)], "k INT, t LONG")
+    right = spark.createDataFrame([(1, 3)], "k INT, t LONG")
+    import pytest
+
+    with pytest.raises(ValueError, match="band"):
+        band_join(left, right, "k", "t", "t", 0)
+    with pytest.raises(ValueError, match="collision"):
+        band_join(left, right, "k", "t", "t", 5)

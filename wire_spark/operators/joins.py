@@ -133,3 +133,45 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    band: int,
+) -> DataFrame:
+    """All (left, right) row pairs sharing the ``on`` key whose
+    integer time columns differ by at most ``band``: the band join,
+    expressed as bucket blocking so it plans as a pure equi-join.
+
+    The left side is emitted into its ``band``-width bucket and both
+    neighbors (3x amplification, constant); the join key is
+    (on, bucket) and the exact |lt - rt| <= band predicate filters
+    the residual. A qualifying pair's bucket ids differ by at most 1,
+    so it meets in exactly one of the three distinct emitted buckets —
+    no dedup pass, no cross product, and AQE can skew-split the
+    equi-join like any other. Column names other than ``on`` must be
+    disjoint between the two sides.
+
+    Scale notes: shuffle cost is O(3|left| + |right|) rows keyed by
+    (on, bucket); per-task candidate count is bounded by per-bucket
+    density rather than per-key density, which is what tames hot keys
+    with long histories. ``band`` must be a positive integer in the
+    same units as the time columns.
+    """
+    if band <= 0:
+        raise ValueError("band must be a positive integer")
+    overlap = (set(left.columns) - {on}) & (set(right.columns) - {on})
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    bk = F.expr(f"{left_time} div {band}")
+    lt = left.withColumn("__bk", F.explode(F.array(bk - 1, bk, bk + 1)))
+    rt = right.withColumn("__bk", F.expr(f"{right_time} div {band}"))
+    return (
+        lt.join(rt, [on, "__bk"])
+        .filter(F.abs(F.col(left_time) - F.col(right_time)) <= band)
+        .drop("__bk")
+    )

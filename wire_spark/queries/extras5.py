@@ -57,39 +57,30 @@ def range_join_order_bursts(spark, sf_dir):
     interval overlap, near-time correlation, and slowly-changing-
     dimension alignment — none expressible as a plain equi-join.
 
-    Scale shape: one side is exploded into its 7-day bucket plus both
-    neighbors (3x amplification, constant), then the join is a pure
-    equi-join on (custkey, bucket) that AQE can plan like any other —
-    shuffle cost O(3|orders|), never the O(|orders|^2 / |customers|)
-    of a naive per-customer cross join, and skew on a hot customer is
-    still bounded by the bucket width. The exact |diff| <= 7d
-    predicate filters post-join; each qualifying pair matches in
-    exactly one bucket (gap <= one bucket width implies bucket ids
-    differ by <= 1, and the three emitted ids are distinct).
-    Arithmetic is all integer epoch-seconds (gap days via integer
-    div), so the oracle's plain theta join hash-matches.
+    Scale shape: delegated to the reusable
+    ``operators/joins.py::band_join`` (bucket blocking: probe side
+    exploded into bucket +/-1, pure equi-join on (custkey, bucket),
+    exact |diff| residual — property-tested against the quadratic
+    model in tests/test_joins.py). Shuffle cost O(3|orders|), never
+    per-customer quadratic; a hot customer's cost is bounded by
+    per-bucket density. Arithmetic is all integer epoch-seconds, so
+    the oracle's plain theta join hash-matches.
     """
+    from wire_spark.operators.joins import band_join
+
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
         F.expr("unix_micros(o_orderdate) div 1000000").alias("es"),
     )
-    bk = F.expr("es div 604800")
-    probe = o.select(
-        F.col("o_orderkey").alias("k1"),
-        F.col("o_custkey").alias("custkey"),
-        F.col("es").alias("es1"),
-        F.explode(F.array(bk - 1, bk, bk + 1)).alias("bucket"),
-    )
-    build = o.select(
-        F.col("o_orderkey").alias("k2"),
-        F.col("o_custkey").alias("custkey"),
-        F.col("es").alias("es2"),
-        bk.alias("bucket"),
-    )
+    probe = o.select(F.col("o_orderkey").alias("k1"),
+                     F.col("o_custkey").alias("custkey"),
+                     F.col("es").alias("es1"))
+    build = o.select(F.col("o_orderkey").alias("k2"),
+                     F.col("o_custkey").alias("custkey"),
+                     F.col("es").alias("es2"))
     pairs = (
-        probe.join(build, ["custkey", "bucket"])
-        .filter((F.col("k1") < F.col("k2"))
-                & (F.abs(F.col("es1") - F.col("es2")) <= 604800))
+        band_join(probe, build, "custkey", "es1", "es2", 604800)
+        .filter(F.col("k1") < F.col("k2"))
         .select("custkey",
                 F.expr("abs(es1 - es2) div 86400").alias("gap_days"))
     )
