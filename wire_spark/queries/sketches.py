@@ -899,3 +899,139 @@ def sketch_selfjoin_size(spark, sf_dir):
             .alias("over_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# HLL merge: register-max union across shards vs summed estimates
+# --------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), parts AS (
+  SELECT event_type, hv % 256 AS reg, hv // 256 AS rest FROM h
+), shard_rnk AS (
+  SELECT event_type, reg,
+         max(CASE WHEN rest = 0 THEN 53
+                  ELSE 53 - length(bin(rest)) END) AS m
+  FROM parts GROUP BY event_type, reg
+), merged_rnk AS (
+  SELECT reg, max(m) AS m FROM shard_rnk GROUP BY reg
+), grid AS (SELECT g.range AS reg FROM generate_series(0, 255) AS g(range)),
+mregs AS (
+  SELECT g.reg, COALESCE(r.m, 0) AS m
+  FROM grid g LEFT JOIN merged_rnk r ON g.reg = r.reg
+), magg AS (
+  SELECT sum(1::BIGINT << (53 - m)) AS s53,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+  FROM mregs
+), mest AS (
+  SELECT CASE WHEN {_HLL_A!r} / s53 <= {_HLL_LINEAR_CUTOFF!r} AND v > 0
+              THEN 256.0 * ln(256.0 / v)
+              ELSE {_HLL_A!r} / s53 END AS e
+  FROM magg
+), types AS (SELECT DISTINCT event_type FROM events),
+sgrid AS (
+  SELECT t.event_type, g.range AS reg
+  FROM types t CROSS JOIN generate_series(0, 255) AS g(range)
+), sregs AS (
+  SELECT g.event_type, g.reg, COALESCE(r.m, 0) AS m
+  FROM sgrid g LEFT JOIN shard_rnk r
+    ON g.event_type = r.event_type AND g.reg = r.reg
+), sagg AS (
+  SELECT event_type,
+         sum(1::BIGINT << (53 - m)) AS s53,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+  FROM sregs GROUP BY event_type
+), sest AS (
+  SELECT sum(CAST(floor(
+           CASE WHEN {_HLL_A!r} / s53 <= {_HLL_LINEAR_CUTOFF!r} AND v > 0
+                THEN 256.0 * ln(256.0 / v)
+                ELSE {_HLL_A!r} / s53 END) AS BIGINT)) AS se
+  FROM sagg
+), exact AS (SELECT count(DISTINCT user_id) AS n FROM events)
+SELECT CAST(exact.n AS BIGINT) AS exact_distinct,
+       CAST(floor(mest.e) AS BIGINT) AS hll_merged,
+       CAST(sest.se AS BIGINT) AS sum_shard_estimates
+FROM exact, mest, sest
+"""
+
+
+@register("sketch_hll_merge", oracle=_HLL_MERGE_ORACLE, bench=True,
+          doc="HLL mergeability: register-max union of per-type "
+              "sketches estimates GLOBAL distinct users; summing "
+              "per-shard estimates double-counts the overlap")
+def sketch_hll_merge(spark, sf_dir):
+    """The property that makes HLL the distributed cardinality tool,
+    demonstrated on overlapping shards: users appear under several
+    event types, so SUMMING per-type estimates over-counts wildly,
+    while taking the per-register MAX across the shards' sketches
+    yields the sketch of the UNION — one number close to the true
+    global distinct. At 100 TB this is why per-partition/per-day HLL
+    states roll up losslessly with no re-scan.
+
+    Scale shape: one shuffle to (type, reg) partial-max registers
+    (map-side combined), then the merge is a 256-row max — the
+    roll-up costs nothing beyond the per-shard sketches themselves.
+    Same deterministic md5/integer-domain formulation as
+    ``sketch_hll_distinct``, so every register and both estimates
+    reproduce bit-for-bit.
+    """
+    ev = T(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("hv"),
+    )
+    parts = h.select(
+        "event_type",
+        (F.col("hv") % 256).alias("reg"),
+        F.expr("hv div 256").alias("rest"),
+    )
+    rnk_m = F.expr("max(CASE WHEN rest = 0 THEN 53 "
+                   "ELSE 53 - length(bin(rest)) END)")
+    shard_rnk = parts.groupBy("event_type", "reg").agg(rnk_m.alias("m"))
+    grid = spark.range(256).select(F.col("id").cast("long").alias("reg"))
+
+    def hll_est(regs):
+        """(reg, m) relation (missing regs = rank 0) -> 1-row estimate."""
+        full = grid.join(regs, "reg", "left").select(
+            F.coalesce("m", F.lit(0)).alias("m"))
+        agg = full.agg(
+            F.sum(F.expr("CAST(1 AS BIGINT) << CAST(53 - m AS INT)")).alias("s53"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+        )
+        return agg.select(
+            F.expr(f"CASE WHEN {_HLL_A!r} / s53 <= {_HLL_LINEAR_CUTOFF!r} "
+                   f"AND v > 0 THEN 256.0D * ln(256.0D / v) "
+                   f"ELSE {_HLL_A!r} / s53 END").alias("e"))
+
+    merged = hll_est(shard_rnk.groupBy("reg").agg(F.max("m").alias("m")))
+    # per-shard estimates: same grid/agg per event_type, then sum
+    sfull = (
+        ev.select("event_type").distinct().crossJoin(grid)
+        .join(shard_rnk, ["event_type", "reg"], "left")
+        .select("event_type", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    sagg = sfull.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(53 - m AS INT)")).alias("s53"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    sest = sagg.select(
+        F.expr(f"CAST(floor(CASE WHEN {_HLL_A!r} / s53 <= "
+               f"{_HLL_LINEAR_CUTOFF!r} AND v > 0 "
+               f"THEN 256.0D * ln(256.0D / v) "
+               f"ELSE {_HLL_A!r} / s53 END) AS BIGINT)").alias("e")
+    ).agg(F.sum("e").alias("sum_shard_estimates"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        exact.crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(sest))
+        .select(
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.expr("CAST(floor(e) AS BIGINT)").alias("hll_merged"),
+            F.col("sum_shard_estimates").cast("long")
+            .alias("sum_shard_estimates"),
+        )
+    )
