@@ -132,3 +132,68 @@ def window_rank_ntile(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+# --------------------------------------------------------------------
+# hypertable rollup lattice: week -> day -> hour in ONE pass
+# --------------------------------------------------------------------
+
+_TIME_LATTICE_ORACLE = """
+WITH b AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS week_s,
+         strftime(date_trunc('day', ts),  '%Y-%m-%d %H:%M:%S') AS day_s,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+         CAST(floor(value * 10000.0) AS BIGINT) AS v4
+  FROM events
+)
+SELECT coalesce(week_s, 'ALL') AS week_s,
+       coalesce(day_s, 'ALL')  AS day_s,
+       coalesce(hour_s, 'ALL') AS hour_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v4) AS BIGINT) / 10000.0 AS sum_value
+FROM b
+GROUP BY ROLLUP (week_s, day_s, hour_s)
+ORDER BY week_s, day_s, hour_s
+"""
+
+
+@register("rollup_time_lattice", oracle=_TIME_LATTICE_ORACLE, bench=True,
+          doc="hypertable rollup lattice: week/day/hour continuous-"
+              "aggregate levels from ONE GROUP BY ROLLUP pass")
+def rollup_time_lattice(spark, sf_dir):
+    """The time-hierarchy rollup a hypertable maintains as
+    continuous aggregates — hourly, daily, and weekly levels plus
+    the grand total — produced by a single ROLLUP pass instead of
+    one query per granularity. Serving dashboards read the level
+    matching their zoom; ``rollup_plus_tail_merge`` shows how the
+    finest level stays fresh against a raw tail.
+
+    Scale shape: ROLLUP compiles to one Expand + aggregation —
+    every input row fans out to its 4 lattice levels and the
+    aggregation is map-side combinable on all of them, so the
+    shuffle carries at most (hours + days + weeks + 1) groups no
+    matter the row count. Fixed-point sums keep the hash stable;
+    the week/day/hour keys are formatted strings, coalesced to
+    'ALL' at the rolled-up levels.
+    """
+    e = T(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("week_s"),
+        F.date_format(F.date_trunc("day", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("day_s"),
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.expr("CAST(floor(value * 10000.0) AS BIGINT)").alias("v4"),
+    )
+    return (
+        e.rollup("week_s", "day_s", "hour_s")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum("v4") / F.lit(10000.0)).alias("sum_value"))
+        .select(
+            F.coalesce("week_s", F.lit("ALL")).alias("week_s"),
+            F.coalesce("day_s", F.lit("ALL")).alias("day_s"),
+            F.coalesce("hour_s", F.lit("ALL")).alias("hour_s"),
+            "n_events", "sum_value",
+        )
+        .orderBy("week_s", "day_s", "hour_s")
+    )
