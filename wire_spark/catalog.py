@@ -61,11 +61,12 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 6 window: the 6 round-5 additions that have never
-# been in the driver's 50-window, then the 40 queries whose newest
-# driver-green row is CORRECTNESS_r02 (4 rounds stale), then 4
-# re-checks from the r04 cohort (ts-dependent / iterative shapes).
-# After this round every registry query's driver evidence is r04+.
+# order.  Round 6 window (final): EVERY never-driver-checked query —
+# the 6 round-5 additions, the 8 early-round-6 additions, and the 26
+# late-round-6 additions (all hostile-session verified at sf0.01
+# locally) — then 4 r04 re-checks and 6 of the oldest r02-stale
+# greens.  After this round only stale-evidence refreshes remain
+# (r02/r04 cohorts -> r07/r08).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 6 never driver-checked (added in round 5) --
     "text_gopher_quality_rules",
@@ -74,52 +75,54 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_lsh",
     "curation_interleave_schedule",
     "profile_documents_columns",
-    # -- 40 oldest-evidence greens (latest row = r02) --
+    # -- 8 never driver-checked (added early round 6) --
+    "graph_pagerank_weighted",
+    "graph_pagerank_personalized",
+    "percentile_order_value_bucketed",
+    "text_bpe_pair_counts",
+    "dedup_survivors_central",
+    "knn_label_agreement",
+    "text_bpe_second_merge",
+    "sample_dedup_weighted",
+    # -- 26 never driver-checked (added late round 6) --
+    "graph_triangle_count",
+    "dedup_lsh_quality_audit",
+    "range_join_order_bursts",
+    "text_vocab_growth",
+    "record_linkage_customers",
+    "events_linear_trend",
+    "rollup_plus_tail_merge",
+    "embedding_gram_matrix",
+    "basket_brand_pairs",
+    "sketch_kmv_distinct",
+    "sketch_countmin_freq",
+    "segment_p90_spenders",
+    "events_drift_audit",
+    "sketch_selfjoin_size",
+    "referential_integrity_audit",
+    "text_ngram_novelty",
+    "embedding_power_iteration",
+    "graph_kcore_peel",
+    "events_funnel_3step",
+    "events_survival_hazard",
+    "search_conjunctive_terms",
+    "search_phrase_positional",
+    "search_bm25_ranked",
+    "layout_zorder_audit",
+    "rollup_time_lattice",
+    "sketch_hll_merge",
+    # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
+    "events_hourly_anomaly",
+    "asof_join_click_purchase",
+    "dedup_connected_components",
+    "kmeans_lloyd_round",
+    # -- 6 oldest-evidence greens (latest row = r02) --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_broadcast_brand_volume",
     "semi_join_big_spenders",
     "anti_join_no_urgent_orders",
     "outer_join_nation_suppliers",
-    "set_union_segments",
-    "set_intersect_segments",
-    "set_except_segments",
-    "rollup_flag_status",
-    "cube_flag_status",
-    "pivot_linestatus",
-    "scalar_subquery_above_avg",
-    "topn_orders_by_price",
-    "distinct_counts",
-    "window_topk_per_brand",
-    "window_running_total",
-    "window_lag_lead_events",
-    "window_rank_ntile",
-    "events_type_stats",
-    "window_sliding_30m",
-    "events_json_extract",
-    "events_pivot_by_type",
-    "kv_last_writer_wins",
-    "kv_point_lookup",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "knn_bruteforce_cosine",
-    "ann_ivf_cosine",
-    "embedding_norm_stats",
-    "ann_lsh_cosine",
-    "ann_pq_adc",
-    "dedup_near_survivors",
-    "ngram_vocab_mining",
-    # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
-    "events_hourly_anomaly",
-    "asof_join_click_purchase",
-    "dedup_connected_components",
-    "kmeans_lloyd_round",
 )
 
 
