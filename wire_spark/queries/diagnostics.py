@@ -11,6 +11,7 @@ measure-side.)
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
@@ -498,3 +499,159 @@ def referential_integrity_audit(spark, sf_dir):
                           "customer->nation"))
         .orderBy("edge")
     )
+
+
+# --------------------------------------------------------------------
+# CUSUM changepoint detection over hourly event-rate series
+# --------------------------------------------------------------------
+
+# The integer trick: the CUSUM deviation path against the uniform-rate
+# null is prefix_k - k*S/n; multiplied through by n it becomes
+# n*prefix_k - k*S — exact BIGINTs, so the argmax (the changepoint
+# estimate) is bit-reproducible with no float anywhere.
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pathed AS (
+  SELECT event_type, hr, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS k,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), stat AS (
+  SELECT event_type, hr, n, s,
+         n * pk - k * s AS dev,
+         abs(n * pk - k * s) AS adev
+  FROM pathed
+), ranked AS (
+  SELECT event_type, hr, n, s, dev, adev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY adev DESC, hr) AS rn
+  FROM stat
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+       n AS n_hours, s AS total_events,
+       dev AS cusum_dev, adev AS cusum_abs
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("events_changepoint_cusum", oracle=_CUSUM_ORACLE, bench=True,
+          doc="CUSUM changepoint per event type: the hour where the "
+              "cumulative deviation from a uniform rate peaks, "
+              "integer-exact")
+def events_changepoint_cusum(spark, sf_dir):
+    """Where did the rate change? For each event type, the CUSUM
+    statistic locates the hour at which the cumulative count path
+    deviates most from the uniform-rate null — the standard
+    changepoint estimator for "when did this feed's behavior shift",
+    complementing z-score anomalies (events_hourly_anomaly flags
+    single outlier hours; CUSUM finds sustained level shifts).
+
+    Cross-engine exactness: the deviation path is scaled through by
+    n (n*prefix - k*total), keeping every statistic a BIGINT — the
+    argmax needs no float and the tiebreak (earliest hour) is total.
+    Scale shape: one shuffle to hourly counts (map-combinable), then
+    windows partitioned BY TYPE over the hour series — per-key data
+    is bounded by the calendar (hours), not the event volume, so the
+    window never sees raw rows. Peak selection is a rank-1 filter
+    (WindowGroupLimit).
+    """
+    e = T(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = W.partitionBy("event_type")
+    wo = wp.orderBy("hr")
+    pathed = hourly.select(
+        "event_type", "hr", "c",
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("pk"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("c").over(wp).alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    stat = pathed.select(
+        "event_type", "hr", "n", "s",
+        (F.col("n") * F.col("pk") - F.col("k") * F.col("s")).alias("dev"),
+        F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("s")).alias("adev"),
+    )
+    ranked = stat.withColumn(
+        "rn", F.row_number().over(wp.orderBy(F.desc("adev"), F.asc("hr"))))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss")
+            .alias("changepoint_hour"),
+            F.col("n").alias("n_hours"),
+            F.col("s").alias("total_events"),
+            F.col("dev").alias("cusum_dev"),
+            F.col("adev").alias("cusum_abs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# burstiness: Fano factor of hourly counts per event type
+# --------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sx,
+         CAST(sum(c * c) AS BIGINT) AS sx2
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n AS n_hours, sx AS total_events,
+       ((n * sx2 - sx * sx) * 10000) // (n * sx) AS fano_1e4
+FROM s ORDER BY event_type
+"""
+
+
+@register("events_fano_burstiness", oracle=_FANO_ORACLE, bench=True,
+          doc="Fano factor (variance/mean of hourly counts) per event "
+              "type: burstiness vs Poisson, exact integer fixed point")
+def events_fano_burstiness(spark, sf_dir):
+    """Is the feed Poisson-ish or bursty? The Fano factor
+    (variance-to-mean ratio of hourly counts) reads ~1e4 fixed-point
+    1.0 for a Poisson process, far above it for bursty/clustered
+    arrivals, below for metronomic ones — the one-number dispersion
+    gauge behind capacity planning and bot detection.
+
+    Exactness: var/mean collapses to (n*Sx2 - Sx^2) / (n*Sx) over
+    integer sufficient statistics — single integer division at 1e4
+    scale, no float anywhere. Scale shape: the same one-shuffle
+    sufficient-statistics pattern as events_linear_trend; the hourly
+    pre-aggregation is map-combinable and the per-type rollup is
+    group-count sized.
+    """
+    e = T(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sx2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("sx").alias("total_events"),
+        F.expr("((n * sx2 - sx * sx) * 10000) div (n * sx)").alias("fano_1e4"),
+    ).orderBy("event_type")
