@@ -834,3 +834,100 @@ def layout_zorder_audit(spark, sf_dir):
         )
         .orderBy("strategy")
     )
+
+
+# --------------------------------------------------------------------
+# revenue concentration: Gini coefficient + top-decile share
+# --------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT custkey, r,
+         CAST(row_number() OVER (ORDER BY r, custkey) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(r) OVER () AS BIGINT) AS s
+  FROM rev
+), agg AS (
+  SELECT max(n) AS n, max(s) AS s,
+         CAST(sum(rk * r) AS BIGINT) AS srx,
+         CAST(sum(CASE WHEN rk * 10 > 9 * max_n THEN r ELSE 0 END) AS BIGINT)
+           AS top10,
+         CAST(sum(CASE WHEN rk * 100 > 99 * max_n THEN r ELSE 0 END) AS BIGINT)
+           AS top1
+  FROM (SELECT *, max(n) OVER () AS max_n FROM ranked)
+)
+SELECT n AS n_customers,
+       CAST(floor((2 * srx - (n + 1) * s) * 1000000.0 / (n * s)) AS BIGINT)
+         AS gini_1e6,
+       (top10 * 10000) // s AS top10_share_bp,
+       (top1 * 10000) // s AS top1_share_bp
+FROM agg
+"""
+
+
+@register("revenue_concentration_gini", oracle=_GINI_ORACLE, bench=True,
+          doc="revenue inequality: exact Gini coefficient and "
+              "top-10%/top-1% customer revenue shares via "
+              "histogram-navigated ranking")
+def revenue_concentration_gini(spark, sf_dir):
+    """How concentrated is revenue across customers? The Gini
+    coefficient from the closed form G = (2*sum(i*x_i) - (n+1)*S) /
+    (n*S) over ascending-ranked revenues, plus the top-decile and
+    top-percentile shares — the skew facts behind both business
+    dashboards and data-skew planning (a 0.9-Gini key column WILL
+    need salting).
+
+    Scale shape: the rank every customer needs does NOT come from a
+    global sort — revenues bucket by fixed width, bucket counts
+    cumulate on the small bucket table, and rank = bucket's
+    cumulative offset + within-bucket row_number (windows touch one
+    bucket at a time; the oracle uses the global-sort verification
+    form). Revenue is exact integer cents; the single Gini division
+    runs on exact BIGINTs with a deterministic floor.
+    """
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
+             .alias("r"))
+    )
+    bkt = F.expr("r div 10000000")  # 100k-currency buckets, ~1k buckets
+    ev = rev.withColumn("bkt", bkt)
+    hist = ev.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "bkt", (F.sum("c").over(wb) - F.col("c")).alias("cum_before"))
+    ranked = (
+        ev.join(F.broadcast(cum), "bkt")
+        .withColumn("rk", F.col("cum_before")
+                    + F.row_number().over(
+                        W.partitionBy("bkt").orderBy("r", "custkey")))
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+    )
+    agg = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum(F.col("rk") * F.col("r")).alias("srx"),
+            F.sum(F.when(F.col("rk") * 10 > 9 * F.col("n"), F.col("r"))
+                  .otherwise(F.lit(0))).alias("top10"),
+            F.sum(F.when(F.col("rk") * 100 > 99 * F.col("n"), F.col("r"))
+                  .otherwise(F.lit(0))).alias("top1"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.expr("CAST(floor((2 * srx - (n + 1) * s) * 1000000.0 / (n * s)) "
+               "AS BIGINT)").alias("gini_1e6"),
+        F.expr("(top10 * 10000) div s").alias("top10_share_bp"),
+        F.expr("(top1 * 10000) div s").alias("top1_share_bp"),
+    )
