@@ -763,3 +763,54 @@ def test_streaming_kmv_merge_parity_across_batches(spark, tmp_path):
     expect = (K - 1) * (1 << 48) // hashes[K - 1]
     assert final.n_held == K
     assert final.estimate == expect
+
+
+def test_streaming_funnel_stage_machine(spark, tmp_path):
+    """Streaming funnel: strict-order stage advancement with per-step
+    budgets, carried across micro-batches; non-next-step and
+    out-of-budget events are ignored; terminal stage sticks."""
+    from wire_spark.streaming.funnel_stream import funnel_stages
+
+    H = 3_600_000_000
+    src = str(tmp_path / "funnel_in")
+    # user 1: view -> click(in 1h) in batch 1; purchase arrives batch 2
+    # user 2: click before any view (ignored), view, then click TOO LATE
+    b1 = [
+        {"user_id": 1, "event_type": "view", "eu": 1000},
+        {"user_id": 1, "event_type": "click", "eu": 1000 + H // 2},
+        {"user_id": 2, "event_type": "click", "eu": 500},
+        {"user_id": 2, "event_type": "view", "eu": 2000},
+    ]
+    b2 = [
+        {"user_id": 1, "event_type": "purchase", "eu": 1000 + H // 2 + 10},
+        {"user_id": 1, "event_type": "purchase", "eu": 1000 + H // 2 + 20},
+        {"user_id": 2, "event_type": "click", "eu": 2000 + 2 * H},
+    ]
+    _write_jsonl(os.path.join(src, "b1.json"), b1)
+    stream = _file_stream(spark, src).select("user_id", "event_type", "eu")
+    collected: list = []
+
+    def run_drain():
+        q = (
+            funnel_stages(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    got1 = sorted((r.user_id, r.stage, r.at_us) for r in collected)
+    # user 1 reached stages 1 and 2; user 2 only stage 1 (early click
+    # ignored — strict order)
+    assert got1 == [(1, 1, 1000), (1, 2, 1000 + H // 2), (2, 1, 2000)]
+
+    collected.clear()
+    _write_jsonl(os.path.join(src, "b2.json"), b2)
+    run_drain()
+    got2 = sorted((r.user_id, r.stage, r.at_us, r.anchor_us)
+                  for r in collected)
+    # user 1 converts on the FIRST purchase (second is past terminal);
+    # user 2's click is outside the 1h budget of its view anchor
+    assert got2 == [(1, 3, 1000 + H // 2 + 10, 1000 + H // 2)]
