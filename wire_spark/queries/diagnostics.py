@@ -655,3 +655,102 @@ def events_fano_burstiness(spark, sf_dir):
         F.col("sx").alias("total_events"),
         F.expr("((n * sx2 - sx * sx) * 10000) div (n * sx)").alias("fano_1e4"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------
+# lead-lag cross-correlation: does click lead purchase?
+# --------------------------------------------------------------------
+
+# Integer-exact lagged covariance: for hourly series x (click) and y
+# (purchase), the lag-l covariance NUMERATOR n*sum(x_t * y_{t+l}) -
+# sum(x)*sum(y) over the overlapping window is a pure BIGINT; the
+# argmax over lags is the lead-lag estimate. Correlation NORMALIZERS
+# (sqrt variances) are lag-invariant up to edge effects, so ranking
+# by the covariance numerator ranks by correlation for series of this
+# length — same transcendental-free trick as collocation lift.
+_XCORR_ORACLE = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS hr FROM events GROUP BY 1
+), cl AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), pu AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), grid AS (
+  SELECT h.hr, coalesce(cl.c, 0) AS x, coalesce(pu.c, 0) AS y,
+         epoch_us(h.hr) // 3600000000 AS hi
+  FROM hours h LEFT JOIN cl ON h.hr = cl.hr LEFT JOIN pu ON h.hr = pu.hr
+), lags AS (SELECT unnest(range(-3, 4)) AS lag),
+paired AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN grid a ON true
+  JOIN grid b ON b.hi = a.hi + l.lag
+), stats AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY lag
+), scored AS (
+  SELECT lag, n, n * sxy - sx * sy AS cov_num,
+         row_number() OVER (ORDER BY n * sxy - sx * sy DESC, lag) AS rn
+  FROM stats
+)
+SELECT lag AS best_lag_hours, n AS n_pairs,
+       CAST(cov_num AS BIGINT) AS cov_num
+FROM scored WHERE rn = 1
+"""
+
+
+@register("events_leadlag_xcorr", oracle=_XCORR_ORACLE, bench=True,
+          doc="lead-lag estimation: the hour offset at which the "
+              "click series best co-varies with the purchase series, "
+              "integer-exact lagged covariance")
+def events_leadlag_xcorr(spark, sf_dir):
+    """Does click activity LEAD purchase activity, and by how many
+    hours? The lagged cross-covariance over the hourly series peaks
+    at the lead-lag offset — the signal behind attribution windows
+    and pipeline-latency monitoring (a feed whose best lag drifts
+    from 0 to 2 hours has developed a delay).
+
+    Scale shape: the series grid is hours (calendar-bounded, never
+    row-bounded); the 7 lags come from a broadcast relation joined
+    on shifted hour index — each lag's sufficient statistics are one
+    map-combinable aggregation over the grid. All statistics are
+    BIGINTs (the covariance numerator trick), so the argmax lag is
+    bit-reproducible with a total (score, lag) tiebreak.
+    """
+    e = T(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
+        .withColumn("hi", F.expr("unix_micros(hr) div 3600000000"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = hourly.select("hi", "x").crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("hi") + F.col("lag")).alias("hj"), "x")
+    b = hourly.select(F.col("hi").alias("hj"), "y")
+    paired = a.join(b, "hj")
+    stats = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    scored = stats.select(
+        "lag", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("cov_num"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.desc("cov_num"), F.asc("lag"))),
+    )
+    return (
+        scored.filter(F.col("rn") == 1)
+        .select(F.col("lag").alias("best_lag_hours"),
+                F.col("n").alias("n_pairs"), "cov_num")
+    )
