@@ -111,18 +111,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "layout_zorder_audit",
     "rollup_time_lattice",
     "sketch_hll_merge",
+    "events_changepoint_cusum",
+    "events_fano_burstiness",
+    "revenue_concentration_gini",
+    "events_leadlag_xcorr",
     # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
     "events_hourly_anomaly",
     "asof_join_click_purchase",
     "dedup_connected_components",
     "kmeans_lloyd_round",
-    # -- 6 oldest-evidence greens (latest row = r02) --
+    # -- 2 oldest-evidence greens (latest row = r02) --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "join_broadcast_brand_volume",
-    "semi_join_big_spenders",
-    "anti_join_no_urgent_orders",
-    "outer_join_nation_suppliers",
 )
 
 
