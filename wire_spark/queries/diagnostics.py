@@ -754,3 +754,76 @@ def events_leadlag_xcorr(spark, sf_dir):
         .select(F.col("lag").alias("best_lag_hours"),
                 F.col("n").alias("n_pairs"), "cov_num")
     )
+
+
+# --------------------------------------------------------------------
+# p-chart: supplier return rates under binomial control limits
+# --------------------------------------------------------------------
+
+# Statistical process control without a single float: the k-sigma
+# binomial test |p_i - pbar| > k*sqrt(pbar*(1-pbar)/n_i) squares and
+# cross-multiplies into (r_i*N - R*n_i)^2 > k^2 * R*(N-R) * n_i —
+# exact BIGINTs end-to-end (the sqrt disappears), so the control
+# flags are bit-reproducible.
+_PCHART_ORACLE = """
+WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(sum(n_items) AS BIGINT) AS nn,
+         CAST(sum(n_returns) AS BIGINT) AS rr
+  FROM s
+)
+SELECT s.suppkey, s.n_items, s.n_returns,
+       (s.n_returns * 10000) // s.n_items AS rate_bp,
+       CASE WHEN (s.n_returns * tot.nn - tot.rr * s.n_items)
+                 * (s.n_returns * tot.nn - tot.rr * s.n_items)
+                 > 4 * tot.rr * (tot.nn - tot.rr) * s.n_items
+            THEN 1 ELSE 0 END AS oc2,
+       CASE WHEN (s.n_returns * tot.nn - tot.rr * s.n_items)
+                 * (s.n_returns * tot.nn - tot.rr * s.n_items)
+                 > 9 * tot.rr * (tot.nn - tot.rr) * s.n_items
+            THEN 1 ELSE 0 END AS oc3
+FROM s, tot
+ORDER BY s.suppkey
+"""
+
+
+@register("supplier_return_pchart", oracle=_PCHART_ORACLE, bench=True,
+          doc="p-chart: per-supplier return rates against 2- and "
+              "3-sigma binomial control limits, float-free")
+def supplier_return_pchart(spark, sf_dir):
+    """Which suppliers' return rates are OUTSIDE what binomial chance
+    around the corpus rate explains? The classic p-chart from
+    statistical process control, with the k-sigma limit evaluated as
+    a squared, cross-multiplied integer inequality — small suppliers
+    automatically get wider limits (the n_i in the bound), which is
+    exactly the correction naive rate-ranking lacks.
+
+    Scale shape: one map-combinable groupBy to per-supplier counts,
+    one 1-row broadcast of corpus totals, and the control test is a
+    scalar integer predicate per supplier row. Magnitudes stay in
+    BIGINT through (r_i*N)^2 at every test SF (r_i*N < 2^31 here).
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returns"),
+    )
+    tot = s.agg(F.sum("n_items").alias("nn"), F.sum("n_returns").alias("rr"))
+    dev = "(n_returns * nn - rr * n_items)"
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "suppkey", "n_items", "n_returns",
+            F.expr("(n_returns * 10000) div n_items").alias("rate_bp"),
+            F.expr(f"CASE WHEN {dev} * {dev} > 4 * rr * (nn - rr) * n_items "
+                   "THEN 1 ELSE 0 END").alias("oc2"),
+            F.expr(f"CASE WHEN {dev} * {dev} > 9 * rr * (nn - rr) * n_items "
+                   "THEN 1 ELSE 0 END").alias("oc3"),
+        )
+        .orderBy("suppkey")
+    )
