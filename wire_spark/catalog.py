@@ -115,14 +115,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_fano_burstiness",
     "revenue_concentration_gini",
     "events_leadlag_xcorr",
+    "supplier_return_pchart",
+    "customer_rfm_segments",
     # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
     "events_hourly_anomaly",
     "asof_join_click_purchase",
     "dedup_connected_components",
     "kmeans_lloyd_round",
-    # -- 2 oldest-evidence greens (latest row = r02) --
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
 )
 
 
