@@ -396,3 +396,28 @@ def test_gram_matrix_shuffles_only_partials(spark, sf_dir):
     # groupBy plus the final ordering — never a row-granular exchange
     df = _df(spark, sf_dir, "embedding_gram_matrix")
     assert count_shuffles(df) <= 2
+
+
+def test_bm25_is_single_corpus_shuffle(spark, sf_dir):
+    # BM25 reduces the corpus in ONE conditional aggregation; the
+    # remaining exchanges handle the 1-row marginals and the top-k —
+    # the token relation itself must not shuffle twice
+    df = _df(spark, sf_dir, "search_bm25_ranked")
+    assert count_shuffles(df) <= 3
+    assert has_take_ordered(df)
+
+
+def test_cusum_peak_is_window_group_limit(spark, sf_dir):
+    # per-type peak selection must plan as a rank-1 WindowGroupLimit,
+    # not a full sort + filter
+    df = _df(spark, sf_dir, "events_changepoint_cusum")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_pchart_single_shuffle_plus_broadcast(spark, sf_dir):
+    # per-supplier counts are one map-combinable groupBy; corpus
+    # totals ride a broadcast — the fact relation shuffles once
+    df = _df(spark, sf_dir, "supplier_return_pchart")
+    assert count_shuffles(df) <= 2
+    assert has_broadcast_join(df)

@@ -809,10 +809,13 @@ def supplier_return_pchart(spark, sf_dir):
     BIGINT through (r_i*N)^2 at every test SF (r_i*N < 2^31 here).
     """
     li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    # eagerly materialized: both the corpus-total aggregate and the
+    # scoring branch consume this supplier-grain relation — without
+    # the checkpoint each branch would rescan lineitem
     s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returns"),
-    )
+    ).localCheckpoint(eager=True)
     tot = s.agg(F.sum("n_items").alias("nn"), F.sum("n_returns").alias("rr"))
     dev = "(n_returns * nn - rr * n_items)"
     return (

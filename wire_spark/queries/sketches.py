@@ -1011,7 +1011,7 @@ def sketch_hll_merge(spark, sf_dir):
     merged = hll_est(shard_rnk.groupBy("reg").agg(F.max("m").alias("m")))
     # per-shard estimates: same grid/agg per event_type, then sum
     sfull = (
-        ev.select("event_type").distinct().crossJoin(grid)
+        ev.select("event_type").distinct().crossJoin(F.broadcast(grid))
         .join(shard_rnk, ["event_type", "reg"], "left")
         .select("event_type", F.coalesce("m", F.lit(0)).alias("m"))
     )
