@@ -729,6 +729,7 @@ def events_leadlag_xcorr(spark, sf_dir):
             F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
         )
         .withColumn("hi", F.expr("unix_micros(hr) div 3600000000"))
+        .localCheckpoint(eager=True)  # probe + build sides share it
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
     a = hourly.select("hi", "x").crossJoin(F.broadcast(lags)).select(

@@ -544,11 +544,15 @@ def basket_brand_pairs(spark, sf_dir):
     """
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # eagerly materialized: FOUR consumers (total, marginals, both
+    # sides of the pair self-join) — basket relation is order-grain,
+    # so the checkpoint is bounded and saves three lineitem scans
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("orderkey"),
                 F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nn = ob.agg(F.countDistinct("orderkey").alias("n"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
@@ -895,6 +899,7 @@ def revenue_concentration_gini(spark, sf_dir):
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
              .alias("r"))
+        .localCheckpoint(eager=True)  # histogram + rank branches share it
     )
     bkt = F.expr("r div 10000000")  # 100k-currency buckets, ~1k buckets
     ev = rev.withColumn("bkt", bkt)
@@ -997,7 +1002,7 @@ def customer_rfm_segments(spark, sf_dir):
         F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)")).alias("m"),
         F.expr("max(unix_micros(o_orderdate)) div 86400000000")
         .alias("last_day"),
-    )
+    ).localCheckpoint(eager=True)  # totals + three rankings share it
     mx = base.agg(F.max("last_day").alias("today"),
                   F.count(F.lit(1)).alias("n"))
     scored = (

@@ -873,7 +873,9 @@ def sketch_selfjoin_size(spark, sf_dir):
     the oracle-checkable special case. Integer end-to-end.
     """
     e = T(spark, sf_dir, "events")
-    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)  # exact-F2 + sketch branches share it
     exact = counts.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
     depths = spark.range(_F2_D).select(F.col("id").cast("int").alias("d"))
     cells = (
