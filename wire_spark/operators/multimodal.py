@@ -125,11 +125,15 @@ def frame_offsets(df: DataFrame, n_frames_col: str = "n_frames", every: int = 4)
 
 def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize metadata (target dims preserving aspect ratio) as typed
-    columns; the pixel work would live in a decode-capable kernel."""
-    scale = F.least(
-        F.lit(1.0),
-        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")),
-    )
-    return df.withColumn("target_w", (F.col("width") * scale).cast("int")).withColumn(
-        "target_h", (F.col("height") * scale).cast("int")
-    )
+    columns; the pixel work would live in a decode-capable kernel.
+
+    Integer-exact: target = (side * max_side) div longest when the
+    image exceeds the bound, unchanged otherwise — float scaling
+    would round differently across engines at floor boundaries."""
+    g = F.greatest(F.col("width"), F.col("height"))
+    def tgt(side):
+        return F.when(g <= max_side, F.col(side)).otherwise(
+            F.expr(f"({side} * {max_side}) div greatest(width, height)")
+        ).cast("int")
+    return (df.withColumn("target_w", tgt("width"))
+              .withColumn("target_h", tgt("height")))

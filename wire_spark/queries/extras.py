@@ -317,3 +317,71 @@ def sessionized_top_users(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------
+# multimodal frame-sampling + resize plan (composed, oracle-stated)
+# --------------------------------------------------------------------
+
+_FRAME_PLAN_ORACLE = """
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1        AS width,
+         (octet_length(encode(text)) * 7) % 480 + 1  AS height,
+         octet_length(encode(text)) % 16 + 1         AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, width, height,
+         unnest(range(0, n_frames, 4)) AS frame_idx
+  FROM meta
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+                 ELSE (width * 224) // greatest(width, height) END AS INT)
+         AS target_w,
+       CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+                 ELSE (height * 224) // greatest(width, height) END AS INT)
+         AS target_h
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_plan", oracle=_FRAME_PLAN_ORACLE,
+          doc="composed media pipeline plan: decode metadata -> "
+              "every-4th-frame sampling -> aspect-preserving resize "
+              "targets, all typed columns")
+def multimodal_frame_plan(spark, sf_dir):
+    """The full pre-processing PLAN a video/image ingestion pipeline
+    executes per asset — decode metadata, sample every 4th frame,
+    compute aspect-preserving resize targets — with the Spark side
+    running the real operator composition (mapInPandas decode ->
+    sequence/explode frame sampling -> integer resize arithmetic)
+    and the oracle stating the stub kernel in closed form. When a
+    codec lands in the env only the decode kernel changes; the
+    sampling/resize plumbing verified here is the part that must
+    scale.
+
+    Scale shape: decode is Arrow-batched mapInPandas (the one
+    Python stage); frame explosion is a JVM sequence (bounded by
+    n_frames, never data-dependent joins); resize targets are pure
+    integer column arithmetic — (side * 224) div longest — so the
+    plan hash-matches cross-engine with no float rounding.
+    """
+    from wire_spark.operators.multimodal import (
+        attach_media, decode_media, frame_offsets, resize_plan)
+
+    d = T(spark, sf_dir, "documents")
+    decoded = decode_media(attach_media(d, "text"), id_col="doc_id")
+    planned = resize_plan(frame_offsets(decoded, every=4), max_side=224)
+    return (
+        planned.select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            "target_w", "target_h",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
