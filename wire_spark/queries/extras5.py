@@ -1031,3 +1031,74 @@ def customer_rfm_segments(spark, sf_dir):
         .orderBy(F.desc("n_customers"), "segment")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------
+# trade-flow matrix: supplier nation x customer nation revenue
+# --------------------------------------------------------------------
+
+_TRADE_ORACLE = """
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+              AS BIGINT) AS rev4
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+)
+SELECT supp_nation, cust_nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev4) AS BIGINT) / 10000.0 AS revenue
+FROM flows
+GROUP BY supp_nation, cust_nation
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 30
+"""
+
+
+@register("trade_flow_matrix", oracle=_TRADE_ORACLE, bench=True,
+          doc="full nation-to-nation revenue matrix (q7 generalized "
+              "to all pairs), top flows")
+def trade_flow_matrix(spark, sf_dir):
+    """The complete supplier-nation x customer-nation revenue matrix
+    — TPC-H q7 asks for one nation pair; real trade analysis wants
+    the whole matrix and its top corridors. One query, all pairs,
+    no per-pair re-scans.
+
+    Scale shape: ONE fact-fact shuffle join (lineitem-orders on
+    the order key — orders is order-grain, never broadcastable at
+    scale) and every true dimension (customer, supplier, nation x2)
+    broadcast; the 625-cell aggregation partial-aggregates map-side
+    so the final shuffle carries cells, not line items. Revenue
+    is fixed-point-summed so the hash is order-independent; top
+    flows via partial top-k.
+    """
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0) "
+               "AS BIGINT)").alias("rev4"))
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                   F.col("n_name").alias("cust_nation"))),
+              F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                   F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sk"))
+    )
+    return (
+        flows.groupBy("supp_nation", "cust_nation")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             (F.sum("rev4") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
+        .limit(30)
+    )
