@@ -596,8 +596,11 @@ def events_survival_hazard(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("unix_micros(ts)").alias("eu"))
     mx = e.agg(F.max("eu").alias("m"))
+    # user-grain, consumed by both the first-purchase join and the
+    # censoring rollup — materialize once
     s = (e.filter(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("eu").alias("s_ts")))
+         .groupBy("user_id").agg(F.min("eu").alias("s_ts"))
+         .localCheckpoint(eager=True))
     fp = (
         e.filter(F.col("event_type") == "purchase")
         .join(s, "user_id")

@@ -673,9 +673,14 @@ def embedding_power_iteration(spark, sf_dir):
                 "v": acc.ravel(),
             })
 
+    # eagerly materialized: THREE consumers (start vector, both
+    # matrix-vector products) would otherwise each re-run the Python
+    # gram partials over the full embedding table; the checkpoint is
+    # dimension^2 rows
     A = (
         e.mapInPandas(gram_full, "i LONG, j LONG, v LONG")
         .groupBy("i", "j").agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
     )
     v0 = A.filter(F.col("i") == F.col("j")).select("i", F.col("v").alias("x"))
     v1 = (
