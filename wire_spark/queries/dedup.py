@@ -1266,3 +1266,75 @@ def text_ngram_novelty(spark, sf_dir):
         .orderBy("novelty_bp", "doc_id")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------
+# dedup cost model: candidate-pair counts per stop-shingle cap
+# --------------------------------------------------------------------
+
+_DEDUP_COST_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1) ]) AS shingle
+  FROM w
+), dfh AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+), caps AS (SELECT unnest([5, 25, 100, 1000]) AS cap),
+tot AS (SELECT CAST(sum(df) AS BIGINT) AS mass,
+               CAST(count(*) AS BIGINT) AS n_shingles FROM dfh)
+SELECT c.cap,
+       CAST(count(CASE WHEN d.df <= c.cap THEN 1 END) AS BIGINT)
+         AS n_shingles_kept,
+       CAST(sum(CASE WHEN d.df <= c.cap
+                     THEN d.df * (d.df - 1) // 2 ELSE 0 END) AS BIGINT)
+         AS candidate_pairs,
+       (CAST(sum(CASE WHEN d.df <= c.cap THEN d.df ELSE 0 END) AS BIGINT)
+          * 10000) // t.mass AS mass_kept_bp
+FROM dfh d, caps c, tot t
+GROUP BY c.cap, t.mass
+ORDER BY c.cap
+"""
+
+
+@register("dedup_cost_model", oracle=_DEDUP_COST_ORACLE, bench=True,
+          doc="stop-shingle cap planner: predicted candidate-pair "
+              "count and kept shingle mass per cap, from the df "
+              "histogram alone")
+def dedup_cost_model(spark, sf_dir):
+    """Choose the stop-shingle cap BEFORE paying for the join: the
+    exact-Jaccard candidate count is sum over kept shingles of
+    C(df, 2), so the df histogram alone predicts the join's cost at
+    each cap, alongside how much shingle evidence survives. This is
+    the planning query behind dedup_jaccard_capped's knob — at
+    100 TB you run this (one cheap aggregation) and pick the largest
+    cap whose predicted candidates fit the cluster, instead of
+    discovering a 10^12-pair join the hard way.
+
+    Scale shape: one map-combinable groupBy to the df histogram, a
+    4-row cap relation crosses it broadcast-side, and the rollup is
+    4 groups. Everything integer (pair counts, kept-mass basis
+    points).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    dfh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    caps = spark.createDataFrame([(5,), (25,), (100,), (1000,)], "cap INT")
+    tot = dfh.agg(F.sum("df").alias("mass"))
+    return (
+        dfh.crossJoin(F.broadcast(caps))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cap", "mass")
+        .agg(
+            F.count(F.when(F.col("df") <= F.col("cap"), 1))
+            .alias("n_shingles_kept"),
+            F.sum(F.when(F.col("df") <= F.col("cap"),
+                         F.expr("df * (df - 1) div 2")).otherwise(F.lit(0)))
+            .alias("candidate_pairs"),
+            F.expr("(sum(CASE WHEN df <= cap THEN df ELSE 0 END) * 10000) "
+                   "div first(mass)").alias("mass_kept_bp"),
+        )
+        .drop("mass")
+        .orderBy("cap")
+    )
