@@ -205,11 +205,32 @@ def continuous_latency(spark, warmup_s: float = 5.0, measure_s: float = 10.0) ->
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: flagship subset reported per-query in the FINAL compact line (the
+#: full 125-query dict overflowed the driver's stdout-tail capture in
+#: rounds 1-6 -> ``parsed: null``; the complete dict now goes to
+#: BENCH_DETAIL.json instead).
+_COMPACT_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "knn_bruteforce_cosine",
+    "text_quality_score",
+    "window_session_10m",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("wire-spark-bench")
+    # keep executor-thread shutdown chatter (interrupt stack traces from
+    # the continuous query) out of the output the driver tails
+    spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_registry()
     headline = {name: q for name, q in registry.items() if q.bench}
@@ -218,18 +239,9 @@ def main() -> None:
     # session init (the driver compares steady-state throughput)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name, q in headline.items():
-        try:
-            # best-of-2: steady-state wall time, robust to one-off
-            # JIT/GC/page-cache jitter in the shared local JVM
-            t1 = run_query(q.fn, spark, sf_dir)
-            t2 = run_query(q.fn, spark, sf_dir)
-            timings[name] = round(min(t1, t2), 3)
-        except Exception as e:  # keep benching; report the failure
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
-
+    # ---- streaming profiles FIRST, so their shutdown (especially the
+    # continuous query's executor-interrupt traces) is fully drained
+    # long before the final JSON line prints ----
     try:
         stream = stream_throughput(spark, sf_dir)
     except Exception as e:
@@ -247,22 +259,55 @@ def main() -> None:
     except Exception as e:
         cont = {"error": str(e)}
         print(f"BENCH CONTINUOUS ERROR: {e}", file=sys.stderr)
+    time.sleep(2.0)  # let continuous-epoch executor threads finish dying
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        try:
+            # best-of-2: steady-state wall time, robust to one-off
+            # JIT/GC/page-cache jitter in the shared local JVM
+            t1 = run_query(q.fn, spark, sf_dir)
+            t2 = run_query(q.fn, spark, sf_dir)
+            timings[name] = round(min(t1, t2), 3)
+        except Exception as e:  # keep benching; report the failure
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time, sum over bench set",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "stream": stream,
-                "stream_latency": latency,
-                "continuous_latency": cont,
-            }
-        )
+    detail = {
+        "metric": "headline query wall time, sum over bench set",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "stream": stream,
+        "stream_latency": latency,
+        "continuous_latency": cont,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"BENCH DETAIL WRITE ERROR: {e}", file=sys.stderr)
+
+    # Tear the session down BEFORE printing: spark.stop() joins the
+    # executor threads, so any lingering shutdown stack traces land
+    # ahead of the JSON line instead of after it (the r01-r06 failure
+    # mode — the driver tails stdout and parsed the trace, not the line).
+    spark.stop()
+    time.sleep(1.0)
+    compact = dict(detail)
+    compact["queries"] = {
+        k: timings[k] for k in _COMPACT_QUERIES if k in timings
+    }
+    compact["n_queries"] = len(timings)
+    compact["n_errors"] = sum(1 for t in timings.values() if t < 0)
+    compact["detail_file"] = "BENCH_DETAIL.json"
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

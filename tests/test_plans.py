@@ -119,12 +119,16 @@ def test_funnel_joins_on_composite_time_bucket(spark, sf_dir):
 
 def test_sequence_packing_no_global_window(spark, sf_dir):
     # the prefix sum is two-pass (bucket totals + within-bucket
-    # window): the plan must contain no SinglePartition exchange —
-    # the one-task global running sum is exactly the 100 TB killer
+    # window). The only permitted SinglePartition exchange is the
+    # offset cumsum over the BUCKET-GRAIN aggregate (n/_PACK_BUCKET
+    # narrow rows); the corpus-grain running sum must window within
+    # buckets — a one-task global running sum is the 100 TB killer.
     from wire_spark.plans import formatted_plan
 
     df = _df(spark, sf_dir, "sequence_packing_plan")
-    assert "Exchange SinglePartition" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "windowspecdefinition(bkt" in plan  # corpus window is per-bucket
 
 
 def test_tfidf_broadcasts_vocabulary_model(spark, sf_dir):
@@ -420,4 +424,36 @@ def test_pchart_single_shuffle_plus_broadcast(spark, sf_dir):
     # totals ride a broadcast — the fact relation shuffles once
     df = _df(spark, sf_dir, "supplier_return_pchart")
     assert count_shuffles(df) <= 2
+    assert has_broadcast_join(df)
+
+
+def test_sf_scaled_tables_have_no_forced_broadcast_hint():
+    # customer/part/supplier grow linearly with scale factor: a forced
+    # F.broadcast() on them overrides autoBroadcastJoinThreshold and
+    # OOMs at 100x. Only bounded relations (nation, region, scalar /
+    # tiny aggregates) may carry explicit hints. Guard the source.
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "wire_spark" / "queries"
+    bad = []
+    pat = re.compile(r"F\.broadcast\((c|s|p|cust|custs|supp|part)[),.]")
+    for f in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line):
+                bad.append(f"{f.name}:{i}: {line.strip()}")
+    assert not bad, "forced broadcast of SF-scaled table:\n" + "\n".join(bad)
+
+
+def test_q10_broadcast_is_threshold_driven(spark, sf_dir):
+    # after dropping the forced hints, the SAME broadcast plan must
+    # still appear at small SF — chosen by AQE/autoBroadcastJoinThreshold
+    # from measured sizes, not forced. At 100 TB the threshold flips the
+    # same query to a shuffled hash join instead of OOMing.
+    df = _df(spark, sf_dir, "q10_returned_items")
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcast_is_threshold_driven(spark, sf_dir):
+    df = _df(spark, sf_dir, "q5_local_supplier_volume")
     assert has_broadcast_join(df)

@@ -61,67 +61,67 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 6 window (final): EVERY never-driver-checked query —
-# the 6 round-5 additions, the 8 early-round-6 additions, and the 26
-# late-round-6 additions (all hostile-session verified at sf0.01
-# locally) — then 4 r04 re-checks and 6 of the oldest r02-stale
-# greens.  After this round only stale-evidence refreshes remain
-# (r02/r04 cohorts -> r07/r08).
+# order.  Round 7 window: the 3 queries that have NEVER held a driver
+# row (added in round 6's final hours, after the r06 snapshot), then
+# the 40 queries whose newest green is round 2 (5 rounds stale), then
+# 7 from the r04-stale cohort — preferring the TPC-H shapes whose
+# broadcast hints changed this round (q10/q14/q15/q17/q18) so the
+# plan change gets fresh driver evidence.  Remaining r04-stale greens
+# rotate in next round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 6 never driver-checked (added in round 5) --
-    "text_gopher_quality_rules",
-    "ann_recall_audit",
-    "curation_token_budget_plan",
-    "dedup_incremental_lsh",
-    "curation_interleave_schedule",
-    "profile_documents_columns",
-    # -- 8 never driver-checked (added early round 6) --
-    "graph_pagerank_weighted",
-    "graph_pagerank_personalized",
-    "percentile_order_value_bucketed",
-    "text_bpe_pair_counts",
-    "dedup_survivors_central",
-    "knn_label_agreement",
-    "text_bpe_second_merge",
-    "sample_dedup_weighted",
-    # -- 26 never driver-checked (added late round 6) --
-    "graph_triangle_count",
-    "dedup_lsh_quality_audit",
-    "range_join_order_bursts",
-    "text_vocab_growth",
-    "record_linkage_customers",
-    "events_linear_trend",
-    "rollup_plus_tail_merge",
-    "embedding_gram_matrix",
-    "basket_brand_pairs",
-    "sketch_kmv_distinct",
-    "sketch_countmin_freq",
-    "segment_p90_spenders",
-    "events_drift_audit",
-    "sketch_selfjoin_size",
-    "referential_integrity_audit",
-    "text_ngram_novelty",
-    "embedding_power_iteration",
-    "graph_kcore_peel",
-    "events_funnel_3step",
-    "events_survival_hazard",
-    "search_conjunctive_terms",
-    "search_phrase_positional",
-    "search_bm25_ranked",
-    "layout_zorder_audit",
-    "rollup_time_lattice",
-    "sketch_hll_merge",
-    "events_changepoint_cusum",
-    "events_fano_burstiness",
-    "revenue_concentration_gini",
-    "events_leadlag_xcorr",
-    "supplier_return_pchart",
-    "customer_rfm_segments",
-    # -- 4 re-checks from the r04 cohort (ts-dependent / iterative) --
-    "events_hourly_anomaly",
-    "asof_join_click_purchase",
-    "dedup_connected_components",
-    "kmeans_lloyd_round",
+    # -- 3 never driver-checked (added after the r06 snapshot) --
+    "dedup_cost_model",
+    "multimodal_frame_plan",
+    "trade_flow_matrix",
+    # -- 40 stalest greens (last green: round 2) --
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "ann_pq_adc",
+    "anti_join_no_urgent_orders",
+    "cube_flag_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_near_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_counts",
+    "embedding_norm_stats",
+    "events_json_extract",
+    "events_pivot_by_type",
+    "events_type_stats",
+    "join_broadcast_brand_volume",
+    "knn_bruteforce_cosine",
+    "kv_last_writer_wins",
+    "kv_point_lookup",
+    "ngram_vocab_mining",
+    "outer_join_nation_suppliers",
+    "pivot_linestatus",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_flag_status",
+    "scalar_subquery_above_avg",
+    "semi_join_big_spenders",
+    "set_except_segments",
+    "set_intersect_segments",
+    "set_union_segments",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topn_orders_by_price",
+    "window_lag_lead_events",
+    "window_rank_ntile",
+    "window_running_total",
+    "window_sliding_30m",
+    "window_topk_per_brand",
+    # -- 7 r04-stale re-checks (broadcast-hint change coverage first) --
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "decontamination_overlap",
+    "dedup_components_lsh",
 )
 
 

@@ -214,7 +214,7 @@ ORDER BY a.cid
 """
 
 
-@register("kmeans_lloyd_two_rounds", oracle=_LLOYD2_ORACLE,
+@register("kmeans_lloyd_two_rounds", oracle=_LLOYD2_ORACLE, bench=True,
           doc="two chained Lloyd rounds (the convergence loop made "
               "concrete): cluster sizes + centroid norms after round 2")
 def kmeans_lloyd_two_rounds(spark, sf_dir):

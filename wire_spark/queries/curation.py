@@ -190,10 +190,16 @@ def sequence_packing_plan(spark, sf_dir):
     1. bucket docs by ``floor(doc_id / _PACK_BUCKET)`` (deterministic
        order-preserving ranges, no sampling-based range partitioner
        whose bounds could differ between passes);
-    2. aggregate per-bucket token totals (tiny: n_docs/_PACK_BUCKET
-       rows), cumsum them into per-bucket offsets on the driver;
+    2. aggregate per-bucket token totals and cumsum them into
+       per-bucket offsets with a window over the BUCKET-GRAIN relation
+       — n_docs/_PACK_BUCKET narrow rows through one task, never the
+       corpus, and nothing round-trips the driver;
     3. broadcast-join the offsets back and window WITHIN each bucket
        only — every partition does bounded work, no global sort.
+
+    At 100 TB, scale ``_PACK_BUCKET`` with the corpus (e.g. 1e6
+    docs/bucket → ~10k offset rows at 10B docs) so both the offset
+    window and its broadcast stay trivially bounded.
 
     Fill ratios audit padding waste."""
     d = T(spark, sf_dir, "documents")
@@ -202,13 +208,15 @@ def sequence_packing_plan(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.floor(F.col("doc_id") / F.lit(_PACK_BUCKET)).cast("long").alias("bkt"),
     )
-    # pass 1: per-bucket totals -> driver-side cumulative offsets
-    totals = lens.groupBy("bkt").agg(F.sum("n_tokens").alias("t")).orderBy("bkt").collect()
-    running, offsets = 0, []
-    for r in totals:
-        offsets.append((r["bkt"], running))
-        running += r["t"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "bkt long, bkt_offset long")
+    # pass 1: per-bucket totals -> exclusive cumsum over the bucket
+    # grain (one narrow column through a deliberate single-partition
+    # window — n_docs/_PACK_BUCKET rows, not the corpus)
+    totals = lens.groupBy("bkt").agg(F.sum("n_tokens").alias("t"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off_df = totals.select(
+        "bkt",
+        F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("bkt_offset"),
+    )
     # pass 2: within-bucket running sum + broadcast bucket offset
     w = W.partitionBy("bkt").orderBy("doc_id")
     planned = (

@@ -830,7 +830,7 @@ def dedup_components_lsh(spark, sf_dir):
 _COMPONENTS_STAR_ORACLE = _COMPONENTS_LSH_ORACLE
 
 
-@register("dedup_components_star", oracle=_COMPONENTS_STAR_ORACLE,
+@register("dedup_components_star", oracle=_COMPONENTS_STAR_ORACLE, bench=True,
           doc="near-dup clustering via large-star/small-star CC over "
               "MinHash-LSH edges (O(log n) rounds, diameter-independent)")
 def dedup_components_star(spark, sf_dir):

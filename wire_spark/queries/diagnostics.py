@@ -764,8 +764,12 @@ def events_leadlag_xcorr(spark, sf_dir):
 # Statistical process control without a single float: the k-sigma
 # binomial test |p_i - pbar| > k*sqrt(pbar*(1-pbar)/n_i) squares and
 # cross-multiplies into (r_i*N - R*n_i)^2 > k^2 * R*(N-R) * n_i —
-# exact BIGINTs end-to-end (the sqrt disappears), so the control
-# flags are bit-reproducible.
+# exact integers end-to-end (the sqrt disappears), so the control
+# flags are bit-reproducible. The squared terms outgrow int64 once
+# r_i*N reaches ~3e9 (~sf1), so both sides widen to 128-bit-class
+# exact integers first — DECIMAL(19,0)->DECIMAL(38,0) products in
+# Spark, HUGEINT in DuckDB; identical integer comparisons, headroom
+# to ~1e38 (past sf1e5 ~ 100 TB).
 _PCHART_ORACLE = """
 WITH s AS (
   SELECT l_suppkey AS suppkey,
@@ -780,13 +784,13 @@ WITH s AS (
 )
 SELECT s.suppkey, s.n_items, s.n_returns,
        (s.n_returns * 10000) // s.n_items AS rate_bp,
-       CASE WHEN (s.n_returns * tot.nn - tot.rr * s.n_items)
-                 * (s.n_returns * tot.nn - tot.rr * s.n_items)
-                 > 4 * tot.rr * (tot.nn - tot.rr) * s.n_items
+       CASE WHEN CAST(s.n_returns * tot.nn - tot.rr * s.n_items AS HUGEINT)
+                 * CAST(s.n_returns * tot.nn - tot.rr * s.n_items AS HUGEINT)
+                 > 4 * CAST(tot.rr AS HUGEINT) * (tot.nn - tot.rr) * s.n_items
             THEN 1 ELSE 0 END AS oc2,
-       CASE WHEN (s.n_returns * tot.nn - tot.rr * s.n_items)
-                 * (s.n_returns * tot.nn - tot.rr * s.n_items)
-                 > 9 * tot.rr * (tot.nn - tot.rr) * s.n_items
+       CASE WHEN CAST(s.n_returns * tot.nn - tot.rr * s.n_items AS HUGEINT)
+                 * CAST(s.n_returns * tot.nn - tot.rr * s.n_items AS HUGEINT)
+                 > 9 * CAST(tot.rr AS HUGEINT) * (tot.nn - tot.rr) * s.n_items
             THEN 1 ELSE 0 END AS oc3
 FROM s, tot
 ORDER BY s.suppkey
@@ -806,8 +810,11 @@ def supplier_return_pchart(spark, sf_dir):
 
     Scale shape: one map-combinable groupBy to per-supplier counts,
     one 1-row broadcast of corpus totals, and the control test is a
-    scalar integer predicate per supplier row. Magnitudes stay in
-    BIGINT through (r_i*N)^2 at every test SF (r_i*N < 2^31 here).
+    scalar integer predicate per supplier row. The deviation itself
+    fits BIGINT far past 100 TB (r_i per supplier is SF-invariant),
+    but its SQUARE does not (~sf1), so the comparison widens to
+    DECIMAL(19,0) operands — Spark's scale-0 decimal products are
+    exact 128-bit-class integers, mirrored by HUGEINT in the oracle.
     """
     li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
     # eagerly materialized: both the corpus-total aggregate and the
@@ -818,15 +825,17 @@ def supplier_return_pchart(spark, sf_dir):
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returns"),
     ).localCheckpoint(eager=True)
     tot = s.agg(F.sum("n_items").alias("nn"), F.sum("n_returns").alias("rr"))
-    dev = "(n_returns * nn - rr * n_items)"
+    dev = "CAST(n_returns * nn - rr * n_items AS DECIMAL(19,0))"
+    var = ("CAST(rr AS DECIMAL(19,0)) * CAST(nn - rr AS DECIMAL(19,0)) "
+           "* CAST(n_items AS DECIMAL(19,0))")
     return (
         s.crossJoin(F.broadcast(tot))
         .select(
             "suppkey", "n_items", "n_returns",
             F.expr("(n_returns * 10000) div n_items").alias("rate_bp"),
-            F.expr(f"CASE WHEN {dev} * {dev} > 4 * rr * (nn - rr) * n_items "
+            F.expr(f"CASE WHEN {dev} * {dev} > 4 * {var} "
                    "THEN 1 ELSE 0 END").alias("oc2"),
-            F.expr(f"CASE WHEN {dev} * {dev} > 9 * rr * (nn - rr) * n_items "
+            F.expr(f"CASE WHEN {dev} * {dev} > 9 * {var} "
                    "THEN 1 ELSE 0 END").alias("oc3"),
         )
         .orderBy("suppkey")

@@ -479,9 +479,15 @@ def embedding_gram_matrix(spark, sf_dir):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             # floor each row's outer product in fixed point, THEN sum:
-            # exact integers commute under any batch/partition split
-            P = np.floor(np.einsum("ri,rj->rij", X, X) * 1e6).astype(np.int64)
-            acc += P.sum(axis=0)
+            # exact integers commute under any batch/partition split.
+            # Chunked (512 rows): the rows x 64 x 64 float64 einsum
+            # intermediate plus its int64 copy would peak ~650 MB/task
+            # at a 10k-row Arrow batch — chunking caps it at ~32 MB
+            # while the per-row floor (hence the result) is unchanged.
+            for lo in range(0, len(X), 512):
+                Xc = X[lo:lo + 512]
+                P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
+                acc += P.sum(axis=0)
             seen = True
         if seen:
             yield pd.DataFrame({
@@ -548,7 +554,7 @@ def basket_brand_pairs(spark, sf_dir):
     # sides of the pair self-join) — basket relation is order-grain,
     # so the checkpoint is bounded and saves three lineitem scans
     ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("orderkey"),
                 F.col("p_brand").alias("brand"))
         .distinct()
@@ -587,11 +593,12 @@ def basket_brand_pairs(spark, sf_dir):
 # Iterative linear algebra as relational ops: the matrix lives as an
 # (i, j, v) relation, matrix-vector products are join+groupBy, and two
 # products from the ones vector give the Rayleigh-quotient estimate of
-# the dominant eigenvalue. Every value is an exact BIGINT; the one
-# mid-course rescale divides by 1024 — a power of two, so the
-# floor(x/1024.0) double op is EXACT and engine-identical even for
-# negative entries (integer `div` would disagree with DuckDB's
-# floor-division there).
+# the dominant eigenvalue. Every value is an exact BIGINT except the
+# one mid-course rescale, floor(x * 4096.0 / m) with m = max|x| — a
+# data-dependent double division, NOT exact in general; cross-engine
+# parity holds because both engines evaluate the identical IEEE-754
+# double expression (and SQL floor matches for negative inputs, where
+# integer `div` truncation would disagree with DuckDB).
 _POWER_ORACLE = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 pr AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
@@ -646,8 +653,10 @@ def embedding_power_iteration(spark, sf_dir):
     a 4096-row relation — iteration cost is independent of corpus
     size once the Gram partials are reduced, which is why power/
     Lanczos methods are THE distributed spectral tools. The rescale
-    divides by 2^10 so the floor stays exact for any sign; all other
-    arithmetic is BIGINT, making the estimate bit-reproducible.
+    floor(x * 4096.0 / m) divides by the data-dependent max|x| — both
+    engines evaluate that identical double expression (see the block
+    comment above the oracle); all other arithmetic is BIGINT, making
+    the estimate bit-reproducible.
     """
     import numpy as np
     import pandas as pd
@@ -663,8 +672,12 @@ def embedding_power_iteration(spark, sf_dir):
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            P = np.floor(np.einsum("ri,rj->rij", X, X) * 1e6).astype(np.int64)
-            acc += P.sum(axis=0)
+            # chunked einsum: bounds the rows x 64 x 64 intermediate
+            # (see gram_partial in embedding_gram_matrix)
+            for lo in range(0, len(X), 512):
+                Xc = X[lo:lo + 512]
+                P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
+                acc += P.sum(axis=0)
             seen = True
         if seen:
             yield pd.DataFrame({
@@ -1075,8 +1088,10 @@ def trade_flow_matrix(spark, sf_dir):
 
     Scale shape: ONE fact-fact shuffle join (lineitem-orders on
     the order key — orders is order-grain, never broadcastable at
-    scale) and every true dimension (customer, supplier, nation x2)
-    broadcast; the 625-cell aggregation partial-aggregates map-side
+    scale); nation x2 is the only bounded dimension. Customer and
+    supplier grow with SF, so they carry no forced broadcast hint —
+    AQE broadcasts them under the threshold and shuffles at 100 TB.
+    The 625-cell aggregation partial-aggregates map-side
     so the final shuffle carries cells, not line items. Revenue
     is fixed-point-summed so the hash is order-independent; top
     flows via partial top-k.
@@ -1091,8 +1106,8 @@ def trade_flow_matrix(spark, sf_dir):
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     flows = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
                                    F.col("n_name").alias("cust_nation"))),
               F.col("c_nationkey") == F.col("ck"))

@@ -9,10 +9,14 @@ and prune columns into the parquet scan, and so small dimension tables
 are broadcast (no shuffle of the fact table for those joins).
 
 Scale notes: every groupBy keys on low-cardinality columns (bounded
-state), joins against `part`/`customer`/`nation`/`region` are
-broadcast-hinted (at 100 TB the fact table never shuffles for them),
-and top-n uses orderBy+limit which Spark executes as a partial
-per-partition top-k + single-reducer merge (TakeOrderedAndProject).
+state). Only genuinely bounded relations (`nation`, `region`, scalar
+aggregates) carry explicit broadcast hints; `customer`/`part`/
+`supplier` grow linearly with scale factor, so their join strategy is
+left to AQE + autoBroadcastJoinThreshold — broadcast at test SFs
+(they fit the 10 MB threshold), shuffled hash join at 100 TB where a
+forced hint would OOM. Top-n uses orderBy+limit which Spark executes
+as a partial per-partition top-k + single-reducer merge
+(TakeOrderedAndProject).
 """
 
 from __future__ import annotations
@@ -99,11 +103,12 @@ def q3_shipping_priority(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    # customer is tiny relative to lineitem: broadcast it so the fact
-    # table only shuffles once (on l_orderkey) at scale.
+    # customer is small relative to lineitem but grows with SF: no
+    # forced hint — AQE broadcasts it under the threshold and falls
+    # back to a shuffled hash join at scale.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -140,7 +145,7 @@ ORDER BY r.r_name, n.n_name
 
 
 @register("q5_local_supplier_volume", oracle=_Q5_ORACLE, bench=True,
-          doc="TPC-H Q5-shape multi-join, broadcast dims")
+          doc="TPC-H Q5-shape multi-join, threshold-broadcast dims")
 def q5_local_supplier_volume(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(
@@ -151,13 +156,15 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
-    # Dims (customer, supplier, nation, region) broadcast; lineitem
-    # shuffles only on l_orderkey to meet orders.
+    # nation/region are bounded (25/5 rows) — hint-free here because
+    # they already fall far under the broadcast threshold; customer and
+    # supplier scale with SF, so AQE picks broadcast vs shuffled hash
+    # join by measured size. Lineitem shuffles only on l_orderkey.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -186,12 +193,12 @@ ORDER BY p.p_brand
 
 
 @register("join_broadcast_brand_volume", oracle=_BRAND_ORACLE,
-          doc="broadcast hash join fact x dim, agg by brand")
+          doc="fact x dim hash join (threshold-broadcast), agg by brand")
 def join_broadcast_brand_volume(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),

@@ -814,7 +814,7 @@ ORDER BY qid, rn
 """
 
 
-@register("ann_ivfpq_adc", oracle=_ivfpq_oracle(),
+@register("ann_ivfpq_adc", oracle=_ivfpq_oracle(), bench=True,
           doc="IVF-PQ: probe top-2 IVF cells, rank members by PQ "
               "asymmetric distance — the production ANN composition")
 def ann_ivfpq_adc(spark, sf_dir):

@@ -397,7 +397,7 @@ def bloom_join_prune(spark, sf_dir):
         hit = test if hit is None else (hit & test)
     cand = probe.filter(hit).select("o_orderkey", "o_custkey")
     matched = cand.join(
-        F.broadcast(build.withColumnRenamed("c_custkey", "bk")),
+        build.withColumnRenamed("c_custkey", "bk"),
         cand.o_custkey == F.col("bk"),
         "left",
     )
@@ -777,7 +777,7 @@ def segment_p90_spenders(spark, sf_dir):
                                           "o_totalprice")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     oc = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(F.col("c_mktsegment").alias("seg"),
                 F.col("o_totalprice").alias("price"),
                 F.col("o_orderkey").alias("k"))

@@ -82,8 +82,8 @@ def q7_nation_volume(spark, sf_dir):
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -123,7 +123,7 @@ def q10_returned_items(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -172,7 +172,7 @@ def q14_promo_revenue(spark, sf_dir):
         / F.sum(rev_i)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (F.floor(ratio * F.lit(10000.0)) / F.lit(10000.0)).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -208,7 +208,7 @@ def q18_large_orders(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("qty_raw"))
         .filter(F.col("qty_raw") > 150)
@@ -243,7 +243,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 
 def q19_disjunctive_filter(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    j = l.join(p, p.p_partkey == l.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -476,7 +476,7 @@ def q16_supplier_counts(spark, sf_dir):
     )
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -556,8 +556,10 @@ ORDER BY o_year
 def q8_market_share(spark, sf_dir):
     """Both the numerator and denominator are integer-domain volume
     sums (floor(x*1e4) addends — exact in any order), so the share is
-    one deterministic division per year. All dims broadcast; the only
-    fact shuffle is lineitem-orders."""
+    one deterministic division per year. Bounded dims (nation, region)
+    carry explicit broadcast hints; customer/supplier grow with SF, so
+    their join strategy is left to AQE + autoBroadcastJoinThreshold
+    (broadcast at small SF, shuffled hash join at 100 TB)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -568,10 +570,10 @@ def q8_market_share(spark, sf_dir):
     v = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)).cast("long")
     vol = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rk"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
         .select(F.year("o_orderdate").alias("o_year"), v.alias("v"), "supp_nation")
     )
@@ -624,8 +626,8 @@ def q9_profit_by_nation(spark, sf_dir):
     ).cast("long")
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg((F.sum(amount) / F.lit(10000.0)).alias("profit"))
@@ -664,7 +666,7 @@ def q11_important_parts(spark, sf_dir):
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
     pv = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("long")).alias("val_i"))
@@ -711,7 +713,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_i") == F.col("max_i"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", (F.col("rev_i") / F.lit(10000.0)).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -752,7 +754,7 @@ def q20_heavy_part_suppliers(spark, sf_dir):
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
     )
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     return (
@@ -823,7 +825,7 @@ def q21_sole_late_supplier(spark, sf_dir):
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late.join(multi, "l_orderkey")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
