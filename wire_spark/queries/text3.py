@@ -502,3 +502,112 @@ def text_bpe_second_merge(spark, sf_dir):
         .orderBy(F.desc("n_pair"), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Jensen-Shannon divergence: per-source unigram drift vs the corpus
+# --------------------------------------------------------------------
+
+# The mixing-weight / drift gate for pretraining corpora: how far each
+# source's unigram distribution sits from the corpus mixture, in nats.
+# JS(P,Q) = (KL(P||M) + KL(Q||M)) / 2 with M = (P+Q)/2 — symmetric,
+# bounded by ln 2, zero iff identical. Cross-engine parity follows the
+# repo's ln() idiom: every p*ln(p/m) addend is floored into integer
+# MICRO-nats first (both engines evaluate the textually identical
+# double expression), so the per-source sum is exact-integer and
+# order-independent; the final JS floors at 4dp.
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cst
+  FROM tok GROUP BY source, token
+), srcs AS (
+  SELECT source, CAST(sum(cst) AS BIGINT) AS ns,
+         CAST(count(*) AS BIGINT) AS vocab_used
+  FROM st GROUP BY source
+), vocab AS (
+  SELECT token, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY token
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab_total
+  FROM vocab
+), grid AS (
+  SELECT s.source, s.ns, s.vocab_used, t.vocab_total, v.ct, t.n,
+         COALESCE(st.cst, 0) AS cst
+  FROM srcs s CROSS JOIN vocab v CROSS JOIN tot t
+  LEFT JOIN st ON st.source = s.source AND st.token = v.token
+), add6 AS (
+  SELECT source, ns, vocab_used, vocab_total,
+    CASE WHEN cst > 0 THEN CAST(floor((cst * 1.0e0 / ns)
+      * ln((cst * 1.0e0 / ns) / ((cst * 1.0e0 / ns + ct * 1.0e0 / n) / 2.0e0))
+      * 1000000.0e0) AS BIGINT) ELSE 0 END
+    + CAST(floor((ct * 1.0e0 / n)
+      * ln((ct * 1.0e0 / n) / ((cst * 1.0e0 / ns + ct * 1.0e0 / n) / 2.0e0))
+      * 1000000.0e0) AS BIGINT) AS a6
+  FROM grid
+)
+SELECT source, ns AS n_tokens, vocab_used, vocab_total,
+       floor(sum(a6) / 200.0e0) / 10000.0e0 AS js4
+FROM add6
+GROUP BY source, ns, vocab_used, vocab_total
+ORDER BY source
+"""
+
+
+@register("corpus_js_divergence", oracle=_JSD_ORACLE, bench=True,
+          doc="Jensen-Shannon divergence of each source's unigram "
+              "distribution vs the corpus mixture — the drift/mixing "
+              "gate, micro-nat fixed-point")
+def corpus_js_divergence(spark, sf_dir):
+    """Which sources have drifted from the corpus distribution? The
+    per-source JS divergence in nats — the symmetric, ln(2)-bounded
+    distance that mixing-weight tuning, ablation selection, and
+    ingest drift alarms all key on (KL alone is infinite on any
+    source-only token; JS never is).
+
+    Scale shape: two map-combinable token-count groupBys (source x
+    token, then token), and the scoring relation is the
+    vocab x n_sources GRID — bounded by vocabulary size, never by
+    corpus size; absent (source, token) cells enter with p=0 via the
+    grid's left join, which is what makes the q-side mass correct.
+    At 100 TB the grid shuffles on token (vocab-grain); source
+    marginals and corpus totals ride broadcasts. Addends are floored
+    to integer micro-nats before summation (textually identical IEEE
+    double expressions in both engines), so the aggregation is exact
+    and partitioning-independent."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
+    srcs = st.groupBy("source").agg(
+        F.sum("cst").alias("ns"), F.count(F.lit(1)).alias("vocab_used"))
+    vocab = st.groupBy("token").agg(F.sum("cst").alias("ct"))
+    tot = vocab.agg(F.sum("ct").alias("n"), F.count(F.lit(1)).alias("vocab_total"))
+    grid = (
+        F.broadcast(srcs).crossJoin(vocab).crossJoin(F.broadcast(tot))
+        .join(st, ["source", "token"], "left")
+        .withColumn("cst", F.coalesce(F.col("cst"), F.lit(0)))
+    )
+    # e0 literals force DOUBLE (not DECIMAL) in BOTH SQL dialects, so
+    # the addend is the textually identical IEEE expression everywhere;
+    # the final floor divides an exact integer by 200.0 (micro-half-nats
+    # -> 4dp nats), which no double rounding can push across an integer
+    a6 = (
+        "CASE WHEN cst > 0 THEN CAST(floor((cst * 1.0e0 / ns) "
+        "* ln((cst * 1.0e0 / ns) / ((cst * 1.0e0 / ns + ct * 1.0e0 / n) / 2.0e0)) "
+        "* 1000000.0e0) AS BIGINT) ELSE 0 END "
+        "+ CAST(floor((ct * 1.0e0 / n) "
+        "* ln((ct * 1.0e0 / n) / ((cst * 1.0e0 / ns + ct * 1.0e0 / n) / 2.0e0)) "
+        "* 1000000.0e0) AS BIGINT)"
+    )
+    return (
+        grid.withColumn("a6", F.expr(a6))
+        .groupBy("source", "ns", "vocab_used", "vocab_total")
+        .agg(F.sum("a6").alias("s6"))
+        .select(
+            "source", F.col("ns").alias("n_tokens"), "vocab_used",
+            "vocab_total",
+            F.expr("floor(s6 / 200.0e0) / 10000.0e0").alias("js4"),
+        )
+        .orderBy("source")
+    )
