@@ -68,14 +68,19 @@ def text_langid_trigram_trained(spark, sf_dir):
     (ties break to the alphabetically-first language; profile-less
     docs fall back to 'unk'). Output: the confusion matrix.
 
-    Scale shape: trigram counts shuffle on (lang, tri) with map-side
-    combine; the top-50-per-lang window is WindowGroupLimit-bounded
-    (rank filter, bounded key set); the trained profile is
-    languages x 50 rows — broadcast into the scoring join so the
-    document side never reshuffles on the trigram; the per-doc argmax
-    partitions by doc_id. Training data = classification data here
-    (self-classification), which is the deterministic-oracle form;
-    train/test splitting composes with `train_val_test_split`."""
+    Scale shape: ONE trigram explode feeds both phases — the per-doc
+    trigram-count relation (map-combined shuffle on (doc_id, tri),
+    eagerly materialized for its two consumers) yields the training
+    counts by a second, already-tiny (lang, tri) aggregation AND the
+    per-doc distinct trigrams for scoring, instead of re-exploding
+    the corpus per branch. The top-50-per-lang window is
+    WindowGroupLimit-bounded (rank filter, bounded key set); the
+    trained profile is languages x 50 rows — broadcast into the
+    scoring join so the document side never reshuffles on the
+    trigram; the per-doc argmax partitions by doc_id. Training data =
+    classification data here (self-classification), which is the
+    deterministic-oracle form; train/test splitting composes with
+    `train_val_test_split`."""
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("t")
     )
@@ -86,14 +91,23 @@ def text_langid_trigram_trained(spark, sf_dir):
             F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
         ).alias("tri"),
     )
-    cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc trigram counts: the single corpus-sized pass, shared by
+    # training (summed to (lang, tri)) and classification (distinct
+    # trigrams per doc) — without the checkpoint each branch would
+    # re-explode every document
+    dtc = (
+        tri.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = dtc.groupBy("lang", "tri").agg(F.sum("c").alias("c"))
     wl = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
     prof = (
         cnt.withColumn("r", F.row_number().over(wl))
         .filter(F.col("r") <= 50)
         .select(F.col("lang").alias("plang"), "tri")
     )
-    dtri = tri.select("doc_id", "tri").distinct()
+    dtri = dtc.select("doc_id", "tri")
     ov = (
         dtri.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "plang")
