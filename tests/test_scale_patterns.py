@@ -90,3 +90,40 @@ def test_jaccard_stop_shingle_cap_guards_candidates(spark, sf_dir):
     assert sorted(map(tuple, default.collect())) == sorted(map(tuple, uncapped.collect()))
     # candidate pairs can only shrink under a cap
     assert capped.count() <= uncapped.count()
+
+
+def test_aqe_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """The documented graduation path from the oracle-checkable
+    bloom_join_prune: past ~50k build keys its 2^20-bit explicit
+    bitmap saturates and AQE's runtime bloom filter takes over
+    (native sizing, no plan literal). Pin that the engine actually
+    injects it: with a shuffled join whose build side is selective,
+    the probe-side scan must carry a might_contain(bloom_filter_agg)
+    filter — at 100 TB this is what keeps the orders shuffle from
+    carrying rows no BUILDING customer can match. Thresholds are
+    lowered only because the test tables are tiny; at real scale the
+    defaults (10 MB creation side / 10 GB application side) fire on
+    their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ).select("c_custkey")
+        o = load_table(spark, sf_dir, "orders")
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -335,8 +335,11 @@ def bloom_join_prune(spark, sf_dir):
     aggregates — so it adds one cheap pass. Past ~50k build keys the
     2^20 cap saturates; there you graduate to AQE's runtime bloom
     pruning (spark.sql.optimizer.runtime.bloomFilter, native sizing,
-    not oracle-checkable — this query is its oracle-checkable twin)
-    or a Broadcast variable instead of a plan literal.
+    not oracle-checkable — this query is its oracle-checkable twin;
+    the engine's injection of might_contain on the probe scan is
+    pinned in tests/test_scale_patterns.py::
+    test_aqe_runtime_bloom_filter_prunes_probe_side) or a Broadcast
+    variable instead of a plan literal.
 
     The bitmap is collected to the driver as nbits/64 longs (at most
     16384 words = 128 KiB — the same order as a broadcast-join hash
