@@ -103,7 +103,12 @@ def test_aqe_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     carrying rows no BUILDING customer can match. Thresholds are
     lowered only because the test tables are tiny; at real scale the
     defaults (10 MB creation side / 10 GB application side) fire on
-    their own."""
+    their own.
+
+    The build predicate is MACHINERY, not BUILDING, deliberately:
+    bloom_join_prune .cache()s the BUILDING-customer fragment, and if
+    an earlier test ran it the cache manager would substitute an
+    InMemoryTableScan here — which InjectRuntimeFilter skips."""
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -114,7 +119,7 @@ def test_aqe_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         for k, v in confs.items():
             spark.conf.set(k, v)
         c = load_table(spark, sf_dir, "customer").filter(
-            F.col("c_mktsegment") == "BUILDING"
+            F.col("c_mktsegment") == "MACHINERY"
         ).select("c_custkey")
         o = load_table(spark, sf_dir, "orders")
         j = o.join(c, o.o_custkey == c.c_custkey).groupBy().count()

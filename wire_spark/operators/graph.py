@@ -93,19 +93,25 @@ def connected_components(
                 sym.join(labels, sym.b == labels.id)
                 .select(F.col("a").alias("id"), F.col("comp"))
             )
+            # the round's one aggregation carries BOTH the new label
+            # (min over self + neighbors) and the previous label (the
+            # self row is tagged), so convergence below is a narrow
+            # scan of this already-materialized relation — not the
+            # extra shuffle join per round it used to be (each avoided
+            # job also saves a scheduler round-trip on a real cluster)
             new_labels = _persist_round(  # truncate lineage per round
-                labels.union(neighbor_labels)
+                labels.withColumn("is_self", F.lit(True))
+                .unionByName(neighbor_labels.withColumn("is_self", F.lit(False)))
                 .groupBy("id")
-                .agg(F.min("comp").alias("comp"))
+                .agg(
+                    F.min("comp").alias("comp"),
+                    F.min(F.when(F.col("is_self"), F.col("comp"))).alias("old_comp"),
+                )
             )
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
             )
-            labels = new_labels
+            labels = new_labels.select("id", "comp")
             if changed == 0:
                 break
         return labels
@@ -156,6 +162,7 @@ def connected_components_star(
             )
             .distinct()
         )
+        cnt_e = -1  # unknown until a round counts it; forces round 1 on
         for _ in range(max_iter):
             # large-star: every neighbor w > n links to min(N(n) ∪ {n})
             sym = e.select("u", "v").union(
@@ -189,13 +196,18 @@ def connected_components_star(
                 .distinct()
             )
             new_e = persist(small)
-            changed = (
-                new_e.exceptAll(e).limit(1).count()
-                + e.exceptAll(new_e).limit(1).count()
-            )
-            e = new_e
-            if changed == 0:
+            # Convergence: both relations are DISTINCT canonical edge
+            # sets, so |new_e| == |e| with new_e \ e == empty implies
+            # equality. Counts are remembered round-over-round (no
+            # recount of e), and the exceptAll shuffle only runs on
+            # count-stable rounds — during the shrinking phase (most
+            # rounds) convergence costs one cheap count job, not two
+            # set-difference shuffles.
+            cnt_new = new_e.count()
+            if cnt_new == cnt_e and new_e.exceptAll(e).limit(1).count() == 0:
+                e = new_e
                 break
+            cnt_e, e = cnt_new, new_e
         # fixpoint: e is a union of stars (node -> component min)
         labels = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
         return (
