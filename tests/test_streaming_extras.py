@@ -814,3 +814,97 @@ def test_streaming_funnel_stage_machine(spark, tmp_path):
     # user 1 converts on the FIRST purchase (second is past terminal);
     # user 2's click is outside the 1h budget of its view anchor
     assert got2 == [(1, 3, 1000 + H // 2 + 10, 1000 + H // 2)]
+
+
+def test_streaming_windowed_js_divergence_batch_parity(spark, tmp_path):
+    """Chained windowed aggregations in one append-mode query: every
+    CLOSED window's JS divergence against a static reference profile
+    must equal the batch evaluation of the same formula on the same
+    window buckets (float tolerance: collect_list fold order is
+    nondeterministic); the trailing window emits nothing."""
+    import math
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.drift_stream import (
+        reference_profile,
+        windowed_js_divergence,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    profile = reference_profile(docs).cache()
+    profile.count()
+
+    # synthetic event time: one doc per minute from a fixed epoch
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        {
+            "ts": (base + dt.timedelta(minutes=int(r.doc_id))).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "text": r.text,
+        }
+        for r in docs.collect()
+    ]
+    src = str(tmp_path / "drift_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"), "text"
+    )
+    q = (
+        windowed_js_divergence(
+            stream, profile, window="1 hour", watermark="30 minutes"
+        )
+        .writeStream.format("memory").queryName("drift")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "drift_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start: (r.n_tokens, r.js)
+        for r in spark.sql("SELECT * FROM drift").collect()
+    }
+
+    # batch expectation: same windows, same formula, closed windows only
+    tok = spark.createDataFrame(rows, "ts STRING, text STRING").select(
+        F.to_timestamp("ts").alias("ts"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cutoff = tok.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("c")
+    ).first().c
+    wc = (
+        tok.groupBy(F.window("ts", "1 hour").alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(profile, "token", "left")
+        .withColumn("q", F.coalesce("q", F.lit(0.0)))
+        .collect()
+    )
+    from collections import defaultdict
+    by_w = defaultdict(list)
+    for r in wc:
+        by_w[(r.w.start, r.w.end)].append((r.c, r.q))
+    expected = {}
+    for (ws, we), pairs in by_w.items():
+        if we > cutoff:
+            continue  # unclosed trailing window
+        ns = sum(c for c, _ in pairs)
+        qp = sum(qv for _, qv in pairs)
+        s = 0.0
+        for c, qv in pairs:
+            p = c / ns
+            m = (p + qv) / 2.0
+            s += p * math.log(p / m)
+            if qv > 0.0:
+                s += qv * math.log(qv / m)
+        expected[ws] = (ns, 0.5 * (s + math.log(2.0) * (1.0 - qp)))
+    assert set(got) == set(expected)
+    for ws, (ns, js) in expected.items():
+        gns, gjs = got[ws]
+        assert gns == ns, (ws, gns, ns)
+        assert abs(gjs - js) < 1e-9, (ws, gjs, js)
+    # sanity: self-distribution windows score well under the ln(2) bound
+    assert all(0.0 <= js < math.log(2.0) for _, js in got.values())
