@@ -82,3 +82,31 @@ def test_param_coercion_rules(spark):
         bind([2**64])  # out of int64 range
     row = execute_sql(spark, "SELECT :b AS blob_col", {"b": [104, 105]}).collect()[0]
     assert bytes(row.blob_col) == b"hi"
+
+
+def test_feature_extract_shares_and_strict(spark, sf_dir):
+    """The feature kernel's long-form output reconstructs each doc's
+    exact byte histogram (shares are floor(c*1e4/n) integers that sum
+    to <= 1e4), and strict mode raises at the documented stub
+    boundary."""
+    from collections import Counter
+
+    from wire_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_media(docs, "text")
+    rows = extract_features(media).collect()
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bkt] = r.share_1e4
+    assert set(by_doc) == set(src)
+    for did, blob in src.items():
+        expect = Counter(b % 16 for b in blob)
+        got = by_doc[did]
+        assert set(got) == set(expect)
+        for bkt, c in expect.items():
+            assert got[bkt] == c * 10_000 // len(blob)
+        assert sum(got.values()) <= 10_000
+    with pytest.raises(NotImplementedError):
+        extract_features(media, strict=True)

@@ -137,3 +137,64 @@ def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
         ).cast("int")
     return (df.withColumn("target_w", tgt("width"))
               .withColumn("target_h", tgt("height")))
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bkt", T.IntegerType()),
+        T.StructField("share_1e4", T.LongType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int = 16, strict: bool = False
+) -> DataFrame:
+    """Feature-extract kernel over a ``media_t`` column: a 16-bucket
+    byte-value histogram per media blob, emitted long-form as
+    (doc_id, bkt, share_1e4) with share_1e4 = floor(count * 1e4 /
+    n_bytes) — exact integers, so downstream aggregation is
+    partitioning-independent and hash-reproducible.
+
+    This is the deterministic stand-in for a real content embedding
+    (CLIP/mel-spectrogram/etc. — ``strict=True`` raises at the same
+    documented boundary as :func:`decode_media`); the Spark-side
+    plumbing it exercises is the real thing: binary Arrow batches in,
+    vectorized numpy per batch, typed long-form features out, no
+    per-row Python. Absent buckets emit no row (their share is 0).
+
+    Scale notes: output is <= n_buckets rows per media item (feature
+    grain, not byte grain); the kernel never materializes more than
+    one Arrow batch. Join/aggregate downstream on (doc_id) or (bkt)
+    — both bounded keys.
+    """
+    if strict and not _HAVE_PIL:
+        raise NotImplementedError(
+            "real media feature extraction requires a decode/embedding "
+            "library, not present in this environment; use strict=False "
+            "for the deterministic byte-histogram stand-in"
+        )
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bkts, shares = [], [], []
+            for did, blob in zip(pdf[id_col], pdf["media"]):
+                b = bytes(blob or b"")
+                if not b:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8) % n_buckets
+                cnt = np.bincount(arr, minlength=n_buckets)
+                nz = np.nonzero(cnt)[0]
+                ids.extend([did] * len(nz))
+                bkts.extend(int(x) for x in nz)
+                shares.extend(
+                    int(c) * 10_000 // len(b) for c in cnt[nz]
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "bkt": bkts, "share_1e4": shares}
+            )
+
+    flat = df.select(F.col(id_col), F.col("media_t.media").alias("media"))
+    return flat.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -385,3 +385,73 @@ def multimodal_frame_plan(spark, sf_dir):
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------
+# multimodal feature extraction — the Arrow-batched feature kernel,
+# aggregated to a per-source mean feature profile
+# --------------------------------------------------------------------
+
+_FEATURE_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, source, text, len(text) AS n,
+         unnest(range(1, len(text) + 1)) AS i
+  FROM documents WHERE len(text) > 0
+), hist AS (
+  SELECT doc_id, source, n,
+         ord(substring(text, i, 1)) % 16 AS bkt,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pos GROUP BY doc_id, source, n, bkt
+), share AS (
+  SELECT doc_id, source, bkt, (c * 10000) // n AS s FROM hist
+), nd AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT sh.source, CAST(sh.bkt AS BIGINT) AS bkt, nd.n_docs,
+       CAST(sum(sh.s) // nd.n_docs AS BIGINT) AS mean_share_1e4
+FROM share sh JOIN nd USING (source)
+GROUP BY sh.source, sh.bkt, nd.n_docs
+ORDER BY sh.source, sh.bkt
+"""
+
+
+@register("multimodal_feature_stats", oracle=_FEATURE_ORACLE,
+          doc="media feature-extract kernel (Arrow-batched byte "
+              "histogram stand-in) aggregated to per-source mean "
+              "feature profiles, exact fixed-point")
+def multimodal_feature_stats(spark, sf_dir):
+    """The feature-extraction leg of the multimodal family (decode /
+    feature-extract / resize / frame-sample): every media blob runs
+    through the Arrow-batched ``extract_features`` kernel — the
+    deterministic byte-histogram stand-in for a content embedding,
+    with the REAL mapInPandas plumbing (binary batches in, vectorized
+    numpy, typed long-form features out) — then features aggregate to
+    a per-source mean profile, the fingerprint that catches a source
+    whose media payloads changed encoder or got corrupted.
+
+    Scale shape: kernel output is <= 16 rows per asset (feature
+    grain); the doc->source attachment is a doc-grain equi-join; the
+    profile aggregation keys on (source, bkt) — bounded. Per-doc
+    shares are exact integers (floor(c*1e4/n)), so the mean (integer
+    div by the broadcast per-source doc count) hash-matches
+    cross-engine under any partitioning. When a real embedding lands,
+    only the kernel body changes; grain and plumbing hold."""
+    from wire_spark.operators.multimodal import extract_features
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feats = extract_features(attach_media(d, "text"), id_col="doc_id")
+    nd = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        feats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bkt")
+        .agg(F.sum("share_1e4").alias("ssum"))
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            F.col("bkt").cast("long").alias("bkt"),
+            "n_docs",
+            F.expr("ssum div n_docs").alias("mean_share_1e4"),
+        )
+        .orderBy("source", "bkt")
+    )
