@@ -132,3 +132,71 @@ def test_aqe_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_write_bounds_file_extents_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustered write vs a single-column-sorted write, judged
+    by the REAL parquet footer statistics a scan would prune with.
+    The classic trade: the price-sorted layout prunes price
+    predicates best but is USELESS on its second dimension — a
+    custkey-only slab intersects every linear file, while z-ordered
+    files are bounded Morton tiles and most of them skip. On the
+    first dimension z-order stays bounded (a tile column), merely not
+    optimal."""
+    import pyarrow.parquet as pq
+
+    from wire_spark.operators.layout import zorder_write
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        o.repartitionByRange(n_files, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(linear)
+    )
+    zorder_write(o, zpath, "o_totalprice", "o_custkey", n_files=n_files)
+
+    lo = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+    # ~20% slab on custkey ONLY (price unconstrained), mid-range
+    px = (lo[0], lo[1])
+    py = (lo[2] + (lo[3] - lo[2]) * 0.4, lo[2] + (lo[3] - lo[2]) * 0.6)
+
+    def files_touched(path):
+        import glob
+        touched, total = 0, 0
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins = {"o_totalprice": None, "o_custkey": None}
+            maxs = {"o_totalprice": None, "o_custkey": None}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            total += 1
+            if (
+                mins["o_totalprice"] <= px[1] and maxs["o_totalprice"] >= px[0]
+                and mins["o_custkey"] <= py[1] and maxs["o_custkey"] >= py[0]
+            ):
+                touched += 1
+        return touched, total
+
+    lt, ln = files_touched(linear)
+    zt, zn = files_touched(zpath)
+    assert ln >= n_files - 2 and zn >= n_files - 2  # both actually split
+    # linear layout: every price-sorted file spans all custkeys -> the
+    # custkey slab touches them ALL. z-order: only the tile rows whose
+    # custkey extent overlaps the slab.
+    assert lt == ln, (lt, ln)
+    assert zt < lt, (zt, lt)
+    assert zt <= zn // 2, (zt, zn)  # prunes at least half the files

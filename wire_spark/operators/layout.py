@@ -1,0 +1,89 @@
+"""At-rest layout operators: Z-order (Morton) clustered writes.
+
+The write-path counterpart of the ``layout_zorder_audit`` catalog
+query (queries/extras5.py): physically cluster a table on the
+interleaved bits of two dimensions so parquet min/max file statistics
+prune multi-dimensional range queries — the OPTIMIZE ZORDER of
+Delta/Iceberg, expressed with stock Spark primitives
+(repartitionByRange + sortWithinPartitions on the Morton key).
+
+Why it matters at 100 TB: a table range-partitioned on ONE column
+prunes only that column's predicates; any selective filter on a
+second dimension scans every file. Z-ordering bounds each file's
+extent in BOTH dimensions (each file covers a ~square tile of the
+2-D space), so a box query touches O(perimeter) files instead of all
+of them. Verified with real parquet footer statistics in
+tests/test_scale_patterns.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Interleave the low ``bits`` of two non-negative int columns
+    into a single Z-order key (x gets even bit positions, y odd) —
+    pure JVM bit arithmetic, whole-stage-codegen friendly."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 10,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of
+    (``col_x``, ``col_y``).
+
+    Both columns are min/max-scaled into [0, 2^bits) grid cells (two
+    scalar aggregates — one tiny job — broadcast back as literals),
+    interleaved into a Morton key, then range-partitioned into
+    ``n_files`` output files and sorted within each. Range
+    partitioning gives files disjoint Morton intervals, i.e. bounded
+    tiles in the (x, y) plane, which is exactly what makes the
+    per-file min/max footer statistics selective on BOTH columns.
+
+    At scale: the scaling pass is one map-combinable aggregate; the
+    clustered write is one range shuffle (sampling-based bounds) plus
+    a per-partition sort — the same cost class as any global
+    ``orderBy`` write, and a one-time cost the layout amortizes over
+    every subsequent pruned query.
+    """
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).first()
+    cells = (1 << bits) - 1
+
+    def scaled(c: str, lo, hi) -> Column:
+        span = float(hi - lo) if hi != lo else 1.0
+        return F.least(
+            F.lit(cells),
+            F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * F.lit(cells + 1)).cast(
+                "long"
+            ),
+        )
+
+    (
+        df.withColumn(
+            "__z",
+            morton_key(scaled(col_x, lo_x, hi_x), scaled(col_y, lo_y, hi_y), bits),
+        )
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -416,7 +416,7 @@ ORDER BY sh.source, sh.bkt
 """
 
 
-@register("multimodal_feature_stats", oracle=_FEATURE_ORACLE,
+@register("multimodal_feature_stats", oracle=_FEATURE_ORACLE, bench=True,
           doc="media feature-extract kernel (Arrow-batched byte "
               "histogram stand-in) aggregated to per-source mean "
               "feature profiles, exact fixed-point")

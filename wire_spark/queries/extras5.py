@@ -800,7 +800,11 @@ def layout_zorder_audit(spark, sf_dir):
     leaves the other at full range (queries filtering the other
     column prune nothing); the Morton prefix keeps both spans
     moderate, which is exactly why lakehouse OPTIMIZE ZORDER exists.
-    This is the measure-side tool you run before choosing a layout.
+    This is the measure-side tool you run before choosing a layout;
+    the WRITE side is ``operators/layout.py::zorder_write``
+    (repartitionByRange + sortWithinPartitions on the Morton key),
+    whose file-extent pruning is asserted against real parquet footer
+    statistics in tests/test_scale_patterns.py.
 
     Scale shape: the Morton code is pure bit arithmetic (JVM codegen,
     no UDF) and prefix bucketing is a div — no global sort anywhere,
