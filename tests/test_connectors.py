@@ -784,3 +784,73 @@ def test_queue_factory_injected_source_needs_no_broker_config(spark, tmp_path):
                      config={"_source": src_obj, "schema": "k BIGINT"})
     ).read(spark)   # no queue_url/region/poller in config — must not raise
     assert df.isStreaming
+
+
+def test_mongodb_source_changelog_replay_end_to_end(spark, tmp_path):
+    """type=mongodb with changelog_path replays a spooled change-stream
+    log (the reference's snapshot+CDC contract, mongo.go:146-309) as a
+    checkpointed stream of CDC envelopes; folding it through apply_cdc
+    yields the collection's resolved state. Without a changelog and
+    without pymongo the factory raises the documented gate."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from wire_spark.model import SourceConfig
+    from wire_spark.sources import data_source_factory
+    from wire_spark.transforms.cdc import apply_cdc
+
+    log_dir = str(tmp_path / "changelog")
+    os.makedirs(log_dir)
+    envelopes = [
+        {"resume_token": "t1", "operation_type": "insert", "document_id": "d1",
+         "full_document": '{"a":1}', "db": "db", "coll": "c",
+         "wall_time": "2024-03-01T10:00:00", "cluster_time": 100},
+        {"resume_token": "t2", "operation_type": "update", "document_id": "d1",
+         "full_document": '{"a":2}', "db": "db", "coll": "c",
+         "updated_fields": '{"a":2}', "wall_time": "2024-03-01T10:00:01",
+         "cluster_time": 101},
+        {"resume_token": "t3", "operation_type": "insert", "document_id": "d2",
+         "full_document": '{"b":1}', "db": "db", "coll": "c",
+         "wall_time": "2024-03-01T10:00:02", "cluster_time": 102},
+        {"resume_token": "t4", "operation_type": "delete", "document_id": "d2",
+         "db": "db", "coll": "c", "wall_time": "2024-03-01T10:00:03",
+         "cluster_time": 103},
+    ]
+    with open(os.path.join(log_dir, "log0.json"), "w") as f:
+        for e in envelopes:
+            f.write(_json.dumps(e) + "\n")
+
+    src = data_source_factory(
+        SourceConfig(name="m", type="mongodb", key="k",
+                     config={"changelog_path": log_dir})
+    )
+    stream = src.read(spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("mongo_cdc")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM mongo_cdc")
+    assert got.count() == 4
+    state = {r.document_id: r.full_document for r in apply_cdc(got).collect()}
+    assert state == {"d1": '{"a":2}'}  # d2 deleted, d1 folded to last write
+
+    # batch path (LoadInitialData analog) reads the same log one-shot
+    batch = data_source_factory(
+        SourceConfig(name="m", type="mongodb", key="k",
+                     config={"changelog_path": log_dir}),
+        streaming=False,
+    ).read(spark)
+    assert not batch.isStreaming and batch.count() == 4
+
+    # live-cluster path is env-gated with a clear remediation message
+    with pytest.raises(NotImplementedError, match="changelog_path"):
+        data_source_factory(
+            SourceConfig(name="m", type="mongodb", key="k",
+                         config={"uri": "mongodb://nowhere"})
+        ).read(spark)

@@ -86,6 +86,41 @@ class DataSource:
         if t == "kafka":
             reader = spark.readStream.format("kafka").options(**kafka_read_options(c))
             return reader.load()
+        if t == "mongodb":
+            # The reference's primary source (mongo.go): change-stream
+            # CDC + initial snapshot. Two paths:
+            # - ``changelog_path``: replay a change-stream log (the
+            #   CDC envelope as JSON-lines — what a mongo tailer
+            #   spools; transforms/cdc.py folds it to state). Covers
+            #   snapshot+stream in one stream like the file source.
+            # - live cluster (``uri``): needs pymongo/the Spark Mongo
+            #   connector, absent in this container — documented gate.
+            if "changelog_path" in c:
+                from wire_spark.transforms.cdc import CDC_SCHEMA
+
+                reader = (
+                    (spark.readStream if self.streaming else spark.read)
+                    .format("json").schema(CDC_SCHEMA)
+                )
+                if self.streaming:
+                    reader = reader.option(
+                        "maxFilesPerTrigger", c.get("max_files_per_trigger", "100")
+                    )
+                return reader.load(c["changelog_path"])
+            try:
+                import pymongo  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    "live mongodb source requires pymongo / the Spark Mongo "
+                    "connector (absent in this environment); configure "
+                    "'changelog_path' to replay a spooled change-stream log "
+                    "instead (same CDC envelope, transforms/cdc.py)"
+                ) from None
+            raise NotImplementedError(
+                "live mongodb change-stream tailing is not wired in this "
+                "build; spool the change stream to JSON-lines and use "
+                "'changelog_path'"
+            )
         if t in ("http", "webhook"):
             # push ingestion: embedded webhook endpoint spooling to a
             # landing dir the file stream tails (the reference README
@@ -129,6 +164,6 @@ class DataSource:
 def data_source_factory(cfg: SourceConfig, streaming: bool = True) -> DataSource:
     """config.go:250-268 analog (validation up front, read lazily)."""
     if cfg.type not in ("file", "json", "text", "parquet", "rate", "kafka",
-                        "http", "webhook", "sqs", "rabbitmq"):
+                        "mongodb", "http", "webhook", "sqs", "rabbitmq"):
         raise ValueError(f"unknown source type: {cfg.type!r}")
     return DataSource(cfg, streaming=streaming)
