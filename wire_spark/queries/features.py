@@ -618,3 +618,113 @@ def source_contamination_matrix(spark, sf_dir):
         .select("source_a", "source_b", "n_pairs", "n_a", "n_b")
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------
+# distributed logistic-regression gradient step — iterative ML as
+# relational algebra (the model-training endpoint of the pipeline)
+# --------------------------------------------------------------------
+
+# One full batch-gradient-descent step of logistic regression (predict
+# lang='en' from token/char counts), then the NEXT step's gradient and
+# loss — the training loop made concrete the same way
+# embedding_power_iteration unrolls power iteration. Exactness plan:
+# step-1 gradients at w=0 are pure integers (p=0.5 exactly); step-1
+# weights are exact rationals g_j/(4*n*1e4) (lr=1/2e4), so every
+# step-2 margin is ONE double division of an int64 numerator --
+# engine-identical; sigmoid/log addends floor to micro-units before
+# integer summation (the repo's ln()/exp() idiom); final ratios use
+# exact integer division (loss) and floor(x/100.0e0) (gradients,
+# exact because the numerator is an integer far from ulp boundaries).
+_LOGREG_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         CAST(n_chars AS BIGINT) AS x2
+  FROM documents
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((2 * y - 1) * x1) AS BIGINT) AS g1,
+         CAST(sum((2 * y - 1) * x2) AS BIGINT) AS g2,
+         CAST(sum(2 * y - 1) AS BIGINT) AS gb
+  FROM d
+), m AS (
+  SELECT d.y, d.x1, d.x2, g.n, g.g1, g.g2, g.gb,
+         (g.g1 * d.x1 + g.g2 * d.x2 + g.gb)
+           / (4.0e0 * g.n * 10000.0e0) AS mi
+  FROM d, g
+), p AS (
+  SELECT y, x1, x2, n, g1, g2, gb,
+         1.0e0 / (1.0e0 + exp(-mi)) AS pi
+  FROM m
+), a AS (
+  SELECT n, g1, g2, gb,
+    CAST(floor(-(y * ln(pi) + (1 - y) * ln(1.0e0 - pi)) * 1000000.0e0)
+         AS BIGINT) AS l6,
+    CAST(floor((pi - y) * x1 * 1000000.0e0) AS BIGINT) AS q1_6,
+    CAST(floor((pi - y) * x2 * 1000000.0e0) AS BIGINT) AS q2_6
+  FROM p
+)
+SELECT n, g1, g2, gb,
+       CAST(sum(l6) // (n * 100) AS BIGINT) AS loss2_1e4,
+       CAST(floor(sum(q1_6) / (n * 100.0e0)) AS BIGINT) AS grad2_x1_1e4,
+       CAST(floor(sum(q2_6) / (n * 100.0e0)) AS BIGINT) AS grad2_x2_1e4
+FROM a GROUP BY n, g1, g2, gb
+"""
+
+
+@register("quality_logreg_step", oracle=_LOGREG_ORACLE, bench=True,
+          doc="one exact batch logistic-regression step (predict "
+              "lang=en from token/char counts): integer step-1 "
+              "gradient, rational weights, micro-unit step-2 "
+              "loss+gradient — distributed training as relational ops")
+def quality_logreg_step(spark, sf_dir):
+    """The training loop an LLM-data pipeline ultimately feeds,
+    executed BY the pipeline engine: one full-batch logistic-
+    regression gradient step (features: token count, char count,
+    bias; label: lang='en'), then the next step's loss and gradient.
+    Every further epoch is this same shape repeated — one corpus scan
+    producing a feature-dimension-sized aggregate, with the weight
+    vector broadcast back — which is why data-parallel GD scales to
+    any corpus the scan scales to.
+
+    Exactness: at w=0 the sigmoid is exactly 1/2, so the step-1
+    gradient is a pure integer relation; with lr = 1/2e4 the step-1
+    weights are exact rationals whose step-2 margins are one int64/
+    double division per row (engine-identical); sigmoid/log addends
+    floor to micro-units before integer summation. All per-row math
+    is JVM built-ins inside whole-stage codegen — no UDFs anywhere
+    in a gradient step."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((2 * F.col("y") - 1) * F.col("x1")).alias("g1"),
+        F.sum((2 * F.col("y") - 1) * F.col("x2")).alias("g2"),
+        F.sum(2 * F.col("y") - 1).alias("gb"),
+    )
+    m = d.crossJoin(F.broadcast(g)).withColumn(
+        "mi",
+        F.expr("(g1 * x1 + g2 * x2 + gb) / (4.0e0 * n * 10000.0e0)"),
+    )
+    p = m.withColumn("pi", F.expr("1.0e0 / (1.0e0 + exp(-mi))"))
+    a = p.select(
+        "n", "g1", "g2", "gb",
+        F.expr("CAST(floor(-(y * ln(pi) + (1 - y) * ln(1.0e0 - pi)) "
+               "* 1000000.0e0) AS BIGINT)").alias("l6"),
+        F.expr("CAST(floor((pi - y) * x1 * 1000000.0e0) AS BIGINT)").alias("q1_6"),
+        F.expr("CAST(floor((pi - y) * x2 * 1000000.0e0) AS BIGINT)").alias("q2_6"),
+    )
+    return (
+        a.groupBy("n", "g1", "g2", "gb")
+        .agg(
+            F.expr("CAST(sum(l6) div (n * 100) AS BIGINT)").alias("loss2_1e4"),
+            F.expr("CAST(floor(sum(q1_6) / (n * 100.0e0)) AS BIGINT)")
+            .alias("grad2_x1_1e4"),
+            F.expr("CAST(floor(sum(q2_6) / (n * 100.0e0)) AS BIGINT)")
+            .alias("grad2_x2_1e4"),
+        )
+    )
