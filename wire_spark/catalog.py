@@ -69,13 +69,14 @@ _QUERY_MODULES = (
 # plan change gets fresh driver evidence.  Remaining r04-stale greens
 # rotate in next round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 6 never driver-checked (3 post-r06-snapshot + 3 new in r07) --
+    # -- 7 never driver-checked (3 post-r06-snapshot + 4 new in r07) --
     "dedup_cost_model",
     "multimodal_frame_plan",
     "trade_flow_matrix",
     "corpus_js_divergence",
     "multimodal_feature_stats",
     "quality_logreg_step",
+    "model_auc_rank",
     # -- 40 stalest greens (last green: round 2) --
     "ann_ivf_cosine",
     "ann_lsh_cosine",
@@ -117,11 +118,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_sliding_30m",
     "window_topk_per_brand",
-    # -- 4 r04-stale re-checks (broadcast-hint change coverage first) --
+    # -- 3 r04-stale re-checks (broadcast-hint change coverage first) --
     "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
 )
 
 

@@ -728,3 +728,90 @@ def quality_logreg_step(spark, sf_dir):
             .alias("grad2_x2_1e4"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# exact ROC-AUC via score histogram — model evaluation without a
+# global sort (the rank-sum/Mann-Whitney identity on grouped counts)
+# --------------------------------------------------------------------
+
+# AUC of "token count predicts lang='en'", computed EXACTLY from the
+# per-score histogram: AUC = sum_s [ neg_below(s)*pos(s)
+# + pos(s)*neg(s)/2 ] / (P*N). Doubling the numerator keeps every
+# term an integer (tie midranks are half-integers); the final ratio
+# widens to DECIMAL/HUGEINT (the supplier_return_pchart discipline)
+# because P*N outgrows int64 past ~sf3000. No row-grain sort or
+# window anywhere: the only window runs over the SCORE-grain
+# histogram (bounded by distinct score values, not corpus size).
+_AUC_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+  FROM documents
+), h AS (
+  SELECT s,
+         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS pos_c,
+         CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS neg_c
+  FROM d GROUP BY s
+), c AS (
+  SELECT s, pos_c, neg_c,
+         CAST(COALESCE(sum(neg_c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS neg_below
+  FROM h
+), tot AS (
+  SELECT CAST(sum(pos_c) AS BIGINT) AS p, CAST(sum(neg_c) AS BIGINT) AS n
+  FROM h
+)
+SELECT tot.p AS n_pos, tot.n AS n_neg,
+       CAST(CAST(sum(c.pos_c * (2 * c.neg_below + c.neg_c)) AS HUGEINT)
+            * 10000 // (2 * CAST(tot.p AS HUGEINT) * tot.n) AS BIGINT)
+         AS auc_1e4
+FROM c, tot
+GROUP BY tot.p, tot.n
+"""
+
+
+@register("model_auc_rank", oracle=_AUC_ORACLE, bench=True,
+          doc="exact ROC-AUC (Mann-Whitney rank-sum with tie "
+              "midranks) from the per-score histogram — no row-grain "
+              "sort, 128-bit-exact final ratio")
+def model_auc_rank(spark, sf_dir):
+    """The evaluation metric for every scoring rule the pipeline
+    produces (quality scores, dup scores, classifier margins): exact
+    ROC-AUC of token count predicting lang='en', via the rank-sum
+    identity on the SCORE HISTOGRAM. A naive AUC ranks all rows (a
+    global sort — the 100 TB killer); the histogram form needs one
+    map-combinable groupBy on the integer score plus a window over
+    the score-grain relation (bounded by distinct scores), and ties
+    get their exact midrank credit by construction.
+
+    Doubled numerator keeps all rank credit integral; the final
+    ratio runs in DECIMAL(38,0)/HUGEINT (P*N exceeds int64 past
+    ~sf3000 — same widening as supplier_return_pchart), then floors
+    to 4dp as an exact integer division."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
+    )
+    h = d.groupBy("s").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = h.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_c").over(w), F.lit(0))
+    )
+    tot = h.agg(F.sum("pos_c").alias("p"), F.sum("neg_c").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(pos_c * (2 * neg_below + neg_c)) AS DECIMAL(19,0)) "
+                "* 10000 div (2 * CAST(p AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) "
+                "AS BIGINT)"
+            ).alias("auc_1e4"),
+        )
+        .select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "auc_1e4")
+    )
