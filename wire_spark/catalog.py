@@ -61,13 +61,14 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 7 window: the 3 queries that have NEVER held a driver
-# row (added in round 6's final hours, after the r06 snapshot), then
-# the 40 queries whose newest green is round 2 (5 rounds stale), then
-# 7 from the r04-stale cohort — preferring the TPC-H shapes whose
-# broadcast hints changed this round (q10/q14/q15/q17/q18) so the
-# plan change gets fresh driver evidence.  Remaining r04-stale greens
-# rotate in next round.
+# order.  Round 7 window (50 slots): 7 never-driver-checked queries
+# (3 added after the r06 snapshot — dedup_cost_model,
+# multimodal_frame_plan, trade_flow_matrix — plus the 4 new round-7
+# queries), then the 40 queries whose newest green is round 2
+# (5 rounds stale), then 3 from the r04-stale cohort — TPC-H shapes
+# whose broadcast hints changed this round, so the plan change gets
+# fresh driver evidence.  The remaining ~33 r04-stale greens (q16-q22
+# et al.) rotate in round 8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 7 never driver-checked (3 post-r06-snapshot + 4 new in r07) --
     "dedup_cost_model",
