@@ -70,7 +70,7 @@ _QUERY_MODULES = (
 # fresh driver evidence.  The remaining ~33 r04-stale greens (q16-q22
 # et al.) rotate in round 8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 7 never driver-checked (3 post-r06-snapshot + 4 new in r07) --
+    # -- 8 never driver-checked (3 post-r06-snapshot + 5 new in r07) --
     "dedup_cost_model",
     "multimodal_frame_plan",
     "trade_flow_matrix",
@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_feature_stats",
     "quality_logreg_step",
     "model_auc_rank",
+    "metric_bootstrap_ci",
     # -- 40 stalest greens (last green: round 2) --
     "ann_ivf_cosine",
     "ann_lsh_cosine",
@@ -119,10 +120,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_sliding_30m",
     "window_topk_per_brand",
-    # -- 3 r04-stale re-checks (broadcast-hint change coverage first) --
+    # -- 2 r04-stale re-checks (broadcast-hint change coverage first) --
     "q10_returned_items",
     "q14_promo_revenue",
-    "q15_top_supplier",
 )
 
 

@@ -815,3 +815,130 @@ def model_auc_rank(spark, sf_dir):
         )
         .select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "auc_1e4")
     )
+
+
+# --------------------------------------------------------------------
+# bootstrap confidence interval — metric error bars by deterministic
+# Poisson resampling (the distributed bootstrap)
+# --------------------------------------------------------------------
+
+# Error bars for any corpus metric without resampling rows: each of 32
+# bootstrap replicates assigns every doc a Poisson(1) weight derived
+# from md5(doc_id, replicate) through the inverse CDF (integer
+# micro-probability thresholds — identical CASE ladder both engines),
+# so a replicate's mean is an exact integer ratio and the whole
+# procedure is reproducible bit-for-bit. This is how you put a CI on
+# "mean tokens/doc" (or dup rate, quality score...) at 100 TB: one
+# scan exploded x32, map-combinable partial sums per replicate, and
+# the order statistics run over 32 rows.
+_BOOTSTRAP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+), r AS (
+  SELECT unnest(range(0, 32)) AS rep
+), u AS (
+  SELECT d.doc_id, d.x, r.rep,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)
+              || ':' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS u6
+  FROM d, r
+), w AS (
+  SELECT rep, x,
+         CASE WHEN u6 < 367879 THEN 0
+              WHEN u6 < 735759 THEN 1
+              WHEN u6 < 919699 THEN 2
+              WHEN u6 < 981012 THEN 3
+              WHEN u6 < 996340 THEN 4
+              WHEN u6 < 999406 THEN 5
+              ELSE 6 END AS wt
+  FROM u
+), reps AS (
+  SELECT rep,
+         CAST(sum(wt * x) * 10000 // sum(wt) AS BIGINT) AS mean_1e4
+  FROM w GROUP BY rep HAVING sum(wt) > 0
+), ranked AS (
+  SELECT mean_1e4,
+         row_number() OVER (ORDER BY mean_1e4, rep) AS rn,
+         count(*) OVER () AS m
+  FROM reps
+), full_mean AS (
+  SELECT CAST(sum(x) * 10000 // count(*) AS BIGINT) AS mean_1e4 FROM d
+)
+SELECT full_mean.mean_1e4 AS mean_1e4,
+       max(CASE WHEN ranked.rn = 2 THEN ranked.mean_1e4 END) AS ci_lo_1e4,
+       max(CASE WHEN ranked.rn = ranked.m - 1 THEN ranked.mean_1e4 END)
+         AS ci_hi_1e4,
+       max(ranked.m) AS n_replicates
+FROM ranked, full_mean
+GROUP BY full_mean.mean_1e4
+"""
+
+
+@register("metric_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE, bench=True,
+          doc="bootstrap CI for mean tokens/doc: 32 deterministic "
+              "Poisson(1)-weighted replicates (md5 inverse-CDF), "
+              "exact integer replicate means, 2nd/31st order stats")
+def metric_bootstrap_ci(spark, sf_dir):
+    """Every metric the pipeline reports (mean quality, dup rate,
+    tokens/doc) needs an error bar before it drives a decision; the
+    Poisson bootstrap provides one in a single distributed pass. Each
+    (doc, replicate) pair draws a Poisson(1) weight from the md5 hash
+    through an integer inverse-CDF ladder — deterministic, so the CI
+    is reproducible and oracle-checkable — and each replicate's mean
+    is an exact fixed-point integer ratio.
+
+    Scale shape: the x32 replicate explosion is a broadcast-grid
+    crossJoin (rows x 32, map-combinable partial sums keyed on rep);
+    replicate means are 32 rows, so the order statistics (2nd and
+    31st = the ~95% percentile interval) cost nothing. Larger
+    replicate counts trade linearly more scan work for tighter
+    quantile resolution."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("x")
+    )
+    reps_grid = spark.range(0, 32).select(F.col("id").cast("long").alias("rep"))
+    u = d.crossJoin(F.broadcast(reps_grid)).withColumn(
+        "u6",
+        md5_long(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("rep").cast("string"))
+        ) % 1_000_000,
+    )
+    wt = (
+        F.when(F.col("u6") < 367879, 0)
+        .when(F.col("u6") < 735759, 1)
+        .when(F.col("u6") < 919699, 2)
+        .when(F.col("u6") < 981012, 3)
+        .when(F.col("u6") < 996340, 4)
+        .when(F.col("u6") < 999406, 5)
+        .otherwise(6)
+    )
+    reps = (
+        u.withColumn("wt", wt)
+        .groupBy("rep")
+        .agg(F.sum(F.col("wt") * F.col("x")).alias("swx"),
+             F.sum("wt").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("rep", F.expr("CAST(swx * 10000 div sw AS BIGINT)").alias("mean_1e4"))
+    )
+    ranked = reps.select(
+        "mean_1e4",
+        F.row_number().over(W.orderBy("mean_1e4", "rep")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    full_mean = d.agg(
+        F.expr("CAST(sum(x) * 10000 div count(*) AS BIGINT)").alias("mean_1e4")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean).withColumnRenamed("mean_1e4", "fm"))
+        .groupBy("fm")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_1e4"))).alias("ci_lo_1e4"),
+            F.max(F.when(F.col("rn") == F.col("m") - 1, F.col("mean_1e4")))
+            .alias("ci_hi_1e4"),
+            F.max("m").alias("n_replicates"),
+        )
+        .select(F.col("fm").alias("mean_1e4"), "ci_lo_1e4", "ci_hi_1e4",
+                "n_replicates")
+    )
