@@ -61,13 +61,13 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 7 window (50 slots): 7 never-driver-checked queries
+# order.  Round 7 window (50 slots): 8 never-driver-checked queries
 # (3 added after the r06 snapshot — dedup_cost_model,
-# multimodal_frame_plan, trade_flow_matrix — plus the 4 new round-7
+# multimodal_frame_plan, trade_flow_matrix — plus the 5 new round-7
 # queries), then the 40 queries whose newest green is round 2
-# (5 rounds stale), then 3 from the r04-stale cohort — TPC-H shapes
+# (5 rounds stale), then 2 from the r04-stale cohort — TPC-H shapes
 # whose broadcast hints changed this round, so the plan change gets
-# fresh driver evidence.  The remaining ~33 r04-stale greens (q16-q22
+# fresh driver evidence.  The remaining ~34 r04-stale greens (q15-q22
 # et al.) rotate in round 8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 8 never driver-checked (3 post-r06-snapshot + 5 new in r07) --
