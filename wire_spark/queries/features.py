@@ -942,3 +942,86 @@ def metric_bootstrap_ci(spark, sf_dir):
         .select(F.col("fm").alias("mean_1e4"), "ci_lo_1e4", "ci_hi_1e4",
                 "n_replicates")
     )
+
+
+# --------------------------------------------------------------------
+# calibration bins (reliability diagram) for the step-1 classifier
+# --------------------------------------------------------------------
+
+# Does predicted probability match observed frequency? Decile-bin the
+# step-1 logistic scores (the same exact-rational margins as
+# quality_logreg_step) and compare each bin's mean predicted p against
+# its empirical positive rate — the reliability diagram behind every
+# calibration (Platt/isotonic) decision. Bin ids come from the
+# engine-identical double p, per-row p floors to micro-units before
+# summation, and the empirical rate is an exact integer ratio.
+_CALIB_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         CAST(n_chars AS BIGINT) AS x2
+  FROM documents
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((2 * y - 1) * x1) AS BIGINT) AS g1,
+         CAST(sum((2 * y - 1) * x2) AS BIGINT) AS g2,
+         CAST(sum(2 * y - 1) AS BIGINT) AS gb
+  FROM d
+), p AS (
+  SELECT d.y,
+         1.0e0 / (1.0e0 + exp(-((g.g1 * d.x1 + g.g2 * d.x2 + g.gb)
+           / (4.0e0 * g.n * 10000.0e0)))) AS pi
+  FROM d, g
+)
+SELECT CAST(floor(pi * 10.0e0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_bin,
+       CAST(sum(CAST(floor(pi * 1000000.0e0) AS BIGINT))
+            // (count(*) * 100) AS BIGINT) AS mean_p_1e4,
+       CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_rate_1e4
+FROM p
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("model_calibration_bins", oracle=_CALIB_ORACLE, bench=True,
+          doc="reliability diagram: decile bins of the step-1 "
+              "logistic scores, mean predicted p vs exact empirical "
+              "positive rate per bin")
+def model_calibration_bins(spark, sf_dir):
+    """Calibration audit for the pipeline's classifier scores: decile
+    bins of predicted probability versus the observed positive rate —
+    AUC says the ranking is right, this says the PROBABILITIES are.
+    Shares quality_logreg_step's exactness plan (integer step-1
+    gradient, exact-rational margins, engine-identical sigmoid); bin
+    membership uses the identical double, per-bin means floor to
+    micro-units first, and the empirical rate is pure integer
+    division. Scale: one scan into a <=10-row aggregate with the
+    weight relation broadcast."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((2 * F.col("y") - 1) * F.col("x1")).alias("g1"),
+        F.sum((2 * F.col("y") - 1) * F.col("x2")).alias("g2"),
+        F.sum(2 * F.col("y") - 1).alias("gb"),
+    )
+    p = d.crossJoin(F.broadcast(g)).withColumn(
+        "pi",
+        F.expr("1.0e0 / (1.0e0 + exp(-((g1 * x1 + g2 * x2 + gb) "
+               "/ (4.0e0 * n * 10000.0e0))))"),
+    )
+    return (
+        p.groupBy(F.expr("CAST(floor(pi * 10.0e0) AS BIGINT)").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bin"),
+            F.expr("CAST(sum(CAST(floor(pi * 1000000.0e0) AS BIGINT)) "
+                   "div (count(1) * 100) AS BIGINT)").alias("mean_p_1e4"),
+            F.expr("CAST(sum(y) * 10000 div count(1) AS BIGINT)")
+            .alias("pos_rate_1e4"),
+        )
+        .orderBy("bin")
+    )
