@@ -61,16 +61,15 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 7 window (50 slots): 9 never-driver-checked queries
-# (3 added after the r06 snapshot — dedup_cost_model,
-# multimodal_frame_plan, trade_flow_matrix — plus the 6 new round-7
+# order.  Round 7 window (50 slots): 10 never-driver-checked
+# queries (3 added after the r06 snapshot — dedup_cost_model,
+# multimodal_frame_plan, trade_flow_matrix — plus the 7 new round-7
 # queries), then the 40 queries whose newest green is round 2
-# (5 rounds stale), then q10 from the r04-stale cohort (a broadcast-
-# hint-changed TPC-H shape, for fresh driver evidence of the plan
-# change).  The remaining ~35 r04-stale greens (q14-q22 et al.)
-# rotate in round 8.
+# (5 rounds stale).  The ~36 r04-stale greens (q10-q22 et al.,
+# including the broadcast-hint-changed TPC-H shapes — all re-proven
+# by the local oracle gate this round) rotate in round 8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 9 never driver-checked (3 post-r06-snapshot + 6 new in r07) --
+    # -- 10 never driver-checked (3 post-r06-snapshot + 7 new in r07) --
     "dedup_cost_model",
     "multimodal_frame_plan",
     "trade_flow_matrix",
@@ -80,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "model_auc_rank",
     "metric_bootstrap_ci",
     "model_calibration_bins",
+    "kanonymity_audit",
     # -- 40 stalest greens (last green: round 2) --
     "ann_ivf_cosine",
     "ann_lsh_cosine",
@@ -121,8 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_sliding_30m",
     "window_topk_per_brand",
-    # -- 1 r04-stale re-check (broadcast-hint change coverage) --
-    "q10_returned_items",
 )
 
 

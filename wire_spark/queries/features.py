@@ -1025,3 +1025,86 @@ def model_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit — disclosure-risk governance on quasi-identifiers
+# --------------------------------------------------------------------
+
+# Before a table (or the training corpus derived from it) leaves the
+# boundary, governance asks: how many individuals are re-identifiable
+# from quasi-identifiers alone? Group customers by the QI tuple
+# (mktsegment, nationkey, acctbal sign), bucket the equivalence-class
+# sizes into the standard k bands, and report classes + rows at risk
+# per band. k=1 rows are population-unique (directly re-identifiable);
+# k<5 is the common release threshold.
+_KANON_ORACLE = """
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey, bal_sign
+), banded AS (
+  SELECT CASE WHEN k = 1 THEN 'k=1 unique'
+              WHEN k < 5 THEN 'k=2-4'
+              WHEN k < 10 THEN 'k=5-9'
+              ELSE 'k>=10' END AS k_band,
+         k
+  FROM classes
+), tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM banded)
+SELECT b.k_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(b.k) AS BIGINT) AS n_rows,
+       CAST(sum(b.k) * 10000 // tot.n AS BIGINT) AS row_share_1e4
+FROM banded b, tot
+GROUP BY b.k_band, tot.n
+ORDER BY b.k_band
+"""
+
+
+@register("kanonymity_audit", oracle=_KANON_ORACLE, bench=True,
+          doc="k-anonymity disclosure-risk audit: equivalence-class "
+              "sizes over quasi-identifiers, banded into the standard "
+              "k thresholds with rows-at-risk shares")
+def kanonymity_audit(spark, sf_dir):
+    """The release gate for any table leaving the pipeline: group by
+    the quasi-identifier tuple (segment, nation, balance sign), and
+    report how many equivalence classes — and what share of rows —
+    fall in each k band. k=1 rows are population-unique; a k<5 band
+    above ~0 usually blocks release or forces generalization
+    (coarser QI buckets), which this same query re-audits.
+
+    Scale shape: one map-combinable groupBy on the QI tuple (class
+    grain), then a 4-row band aggregate with the 1-row total
+    broadcast — the audit costs one scan regardless of table size,
+    and every ratio is exact integer fixed-point."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_sign"),
+    )
+    classes = c.groupBy("c_mktsegment", "c_nationkey", "bal_sign").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    banded = classes.select(
+        F.when(F.col("k") == 1, "k=1 unique")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("k_band"),
+        "k",
+    )
+    tot = banded.agg(F.sum("k").alias("n"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("k_band", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            "k_band", "n_classes", "n_rows",
+            F.expr("CAST(n_rows * 10000 div n AS BIGINT)").alias("row_share_1e4"),
+        )
+        .orderBy("k_band")
+    )
