@@ -200,3 +200,39 @@ def test_zorder_write_bounds_file_extents_both_dims(spark, sf_dir, tmp_path):
     assert lt == ln, (lt, ln)
     assert zt < lt, (zt, lt)
     assert zt <= zn // 2, (zt, zn)  # prunes at least half the files
+
+
+def test_generalization_ladder_reaches_k(spark, sf_dir):
+    """k-anonymity remediation: the ladder walks from the preferred
+    fine-grained release to coarser encodings and stops at the first
+    level meeting the threshold; the returned frame's QI columns are
+    actually generalized and every equivalence class satisfies k."""
+    import pytest
+
+    from wire_spark.operators.privacy import generalize_to_k, min_class_size
+
+    c = load_table(spark, sf_dir, "customer")
+    ladder = [
+        # level 0: near-raw — balance to the cent makes tiny classes
+        {"seg": F.col("c_mktsegment"), "nat": F.col("c_nationkey"),
+         "bal": F.round("c_acctbal", 0)},
+        # level 1: balance to coarse 1000-wide bands
+        {"seg": F.col("c_mktsegment"), "nat": F.col("c_nationkey"),
+         "bal": F.floor(F.col("c_acctbal") / 1000)},
+        # level 2: drop balance entirely
+        {"seg": F.col("c_mktsegment"), "nat": F.col("c_nationkey"),
+         "bal": F.lit("*")},
+        # level 3: segment only (nation suppressed too)
+        {"seg": F.col("c_mktsegment"), "nat": F.lit("*"), "bal": F.lit("*")},
+    ]
+    assert min_class_size(c, ladder[0]) < 5  # level 0 genuinely leaks
+    level, out = generalize_to_k(c, ladder, k=5)
+    assert level > 0
+    got_k = (
+        out.groupBy("seg", "nat", "bal").count()
+        .agg(F.min("count").alias("mk")).first().mk
+    )
+    assert got_k >= 5
+    assert set(out.columns) >= {"seg", "nat", "bal", "c_custkey"}
+    with pytest.raises(ValueError):
+        generalize_to_k(c, [ladder[0]], k=5)  # unreachable k raises
