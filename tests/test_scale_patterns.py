@@ -282,3 +282,38 @@ def test_compaction_and_retention_lifecycle(spark, sf_dir, tmp_path):
         F.date_format("ts", "yyyy-MM-dd") >= cutoff
     ).count()
     assert kept.count() == expected_kept
+
+
+def test_data_contract_gate_single_pass(spark, sf_dir):
+    """The publish gate: every expectation's pass rate computed in one
+    aggregation; hard rules fail on any violation, soft rules tolerate
+    their configured noise; NULL predicate results count as failures."""
+    from wire_spark.operators.contracts import Expectation, validate
+
+    o = load_table(spark, sf_dir, "orders")
+    result = validate(o, [
+        Expectation("key_not_null", F.col("o_orderkey").isNotNull()),
+        Expectation("price_positive", F.col("o_totalprice") > 0),
+        Expectation("status_domain",
+                    F.col("o_orderstatus").isin("O", "F", "P")),
+        # deliberately impossible hard rule -> must fail the gate
+        Expectation("price_over_million", F.col("o_totalprice") > 1_000_000),
+        # same rule as a soft expectation with a generous threshold
+        Expectation("price_over_million_soft",
+                    F.col("o_totalprice") > 1_000_000, min_pass_rate=0.0),
+    ])
+    assert result.n_rows == o.count()
+    assert result.rules["key_not_null"] == (result.n_rows, 1.0)
+    assert result.rules["price_positive"][1] == 1.0
+    assert result.failed == ["price_over_million"]
+    assert not result.ok
+
+    # NULLs fail conservatively: a null-valued comparison is a failure
+    with_null = o.withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice"))
+    )
+    r2 = validate(with_null, [Expectation("maybe_pos", F.col("maybe") > 0,
+                                          min_pass_rate=0.6)])
+    n_even = with_null.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert r2.rules["maybe_pos"][0] == n_even  # odd keys (NULL) failed
+    assert r2.failed == ["maybe_pos"] if n_even / r2.n_rows < 0.6 else r2.ok
