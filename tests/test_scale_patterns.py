@@ -317,3 +317,134 @@ def test_data_contract_gate_single_pass(spark, sf_dir):
     n_even = with_null.filter(F.col("o_orderkey") % 2 == 0).count()
     assert r2.rules["maybe_pos"][0] == n_even  # odd keys (NULL) failed
     assert r2.failed == ["maybe_pos"] if n_even / r2.n_rows < 0.6 else r2.ok
+
+
+def test_compact_files_crash_recovery_each_step(spark, sf_dir, tmp_path):
+    """Kill-at-every-step lifecycle for compact_files: whatever
+    stranded state a crash leaves (stale tmp; table renamed away but
+    new data not yet swapped in; both old and new present), the next
+    call heals it and completes — the table is readable with the full
+    row count after every recovery."""
+    import glob as _g
+    import shutil
+
+    from wire_spark.operators.maintenance import compact_files
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_rows = o.count()
+    frag = str(tmp_path / "t")
+
+    def reset():
+        o.repartition(32).write.mode("overwrite").parquet(frag)
+
+    # crash state 1: stale ._compact_tmp from a run that died mid-write
+    reset()
+    o.coalesce(1).write.mode("overwrite").parquet(frag + "._compact_tmp")
+    n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
+    assert spark.read.parquet(frag).count() == n_rows
+    assert not os.path.exists(frag + "._compact_tmp")
+    assert not os.path.exists(frag + "._compact_old")
+
+    # crash state 2: died between the two renames — table stranded at
+    # ._compact_old, path missing, complete rewrite sitting in tmp
+    reset()
+    o.coalesce(1).write.mode("overwrite").parquet(frag + "._compact_tmp")
+    os.rename(frag, frag + "._compact_old")
+    n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
+    assert spark.read.parquet(frag).count() == n_rows  # original restored, recompacted
+    assert n == len(_g.glob(os.path.join(frag, "part-*.parquet")))
+
+    # crash state 3: died after the second rename, before cleanup —
+    # new table live, old husk left behind
+    reset()
+    shutil.copytree(frag, frag + "._compact_old")
+    n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
+    assert spark.read.parquet(frag).count() == n_rows
+    assert not os.path.exists(frag + "._compact_old")
+
+
+def test_expire_partitions_crash_safe_and_reader_invisible(spark, sf_dir, tmp_path):
+    """Retention drops a partition by atomic rename-then-delete: a
+    stranded ._expired_ husk (crash mid-rmtree) is invisible to Spark
+    readers (dot-prefix) and healed by the next call."""
+    from wire_spark.operators.maintenance import expire_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    part = str(tmp_path / "events_by_day")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+       .write.partitionBy("day").mode("overwrite").parquet(part))
+    days = sorted(
+        e.split("=", 1)[1] for e in os.listdir(part) if e.startswith("day=")
+    )
+    cutoff = days[len(days) // 2]
+
+    # simulate a crash mid-delete: partition renamed to its husk but
+    # not removed — Spark must NOT see it as table data
+    victim = f"day={days[0]}"
+    os.rename(os.path.join(part, victim),
+              os.path.join(part, "._expired_" + victim))
+    visible = spark.read.parquet(part)
+    assert str(visible.select(F.min("day")).first()[0]) == days[1]
+
+    dropped = expire_partitions(part, "day", keep_from=cutoff)
+    # the husk was healed (not re-reported), the rest dropped by value
+    assert dropped == [d for d in days[1:] if d < cutoff]
+    assert not any(e.startswith("._expired_") for e in os.listdir(part))
+    kept = spark.read.parquet(part)
+    assert str(kept.select(F.min("day")).first()[0]) == cutoff
+
+
+def test_data_contract_rejects_duplicate_names_and_reserved(spark, sf_dir):
+    """A release gate must not silently corrupt pass rates: duplicate
+    rule names raise up front, and a rule literally named '__n' is
+    fine because internal aliases are positional."""
+    import pytest
+
+    from wire_spark.operators.contracts import Expectation, validate
+
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="duplicate"):
+        validate(o, [
+            Expectation("r", F.col("o_orderkey").isNotNull()),
+            Expectation("r", F.col("o_totalprice") > 0),
+        ])
+    # '__n' as a user-facing rule name cannot collide with the count
+    r = validate(o, [Expectation("__n", F.col("o_orderkey").isNotNull())])
+    assert r.ok and r.rules["__n"] == (r.n_rows, 1.0)
+
+
+def test_zorder_write_null_cells_and_all_null_column(spark, sf_dir, tmp_path):
+    """NULL cluster values must not produce NULL Morton keys: null
+    rows land in the top tile (layout still prunable), and an
+    all-NULL cluster column raises instead of writing an unprunable
+    table."""
+    import pytest
+
+    from wire_spark.operators.layout import zorder_write
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # poke NULLs into both dimensions on disjoint row subsets
+    holey = (
+        o.withColumn("o_totalprice",
+                     F.when(F.col("o_orderkey") % 97 == 0, None)
+                      .otherwise(F.col("o_totalprice")))
+         .withColumn("o_custkey",
+                     F.when(F.col("o_orderkey") % 101 == 0, None)
+                      .otherwise(F.col("o_custkey")))
+    )
+    zpath = str(tmp_path / "z_nulls")
+    zorder_write(holey, zpath, "o_totalprice", "o_custkey", n_files=8)
+    back = spark.read.parquet(zpath)
+    assert back.count() == o.count()  # no rows lost to NULL keys
+    n_null = holey.filter(F.col("o_totalprice").isNull()
+                          | F.col("o_custkey").isNull()).count()
+    assert back.filter(F.col("o_totalprice").isNull()
+                       | F.col("o_custkey").isNull()).count() == n_null
+
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_write(o.withColumn("dead", F.lit(None).cast("long")),
+                     str(tmp_path / "z_dead"), "o_totalprice", "dead")

@@ -47,22 +47,34 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> ContractResult:
     Scale: one scan, partial-aggregated map-side; the result is one
     row however many rules the contract has. Run it per partition /
     per ingest batch and gate the publish step on ``result.ok``.
+
+    Rule names must be unique (duplicates would make the aggregate
+    columns ambiguous and silently corrupt pass rates); internally
+    each rule is aliased by POSITION (``__rule_0``, ``__rule_1``, …)
+    so a rule named ``__n`` — or anything else — can never collide
+    with the row-count column.  Duplicate names raise ``ValueError``
+    up front rather than gating a release on garbage.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    seen: set[str] = set()
     for e in expectations:
+        if e.name in seen:
+            raise ValueError(f"duplicate expectation name: {e.name!r}")
+        seen.add(e.name)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, e in enumerate(expectations):
         aggs.append(
             F.sum(
                 F.when(e.predicate.isNull(), 0)
                 .when(e.predicate, 1)
                 .otherwise(0)
-            ).alias(e.name)
+            ).alias(f"__rule_{i}")
         )
     row = df.agg(*aggs).first()
     n = int(row["__n"])
     rules: dict[str, tuple[int, float]] = {}
     failed: list[str] = []
-    for e in expectations:
-        n_pass = int(row[e.name] or 0)
+    for i, e in enumerate(expectations):
+        n_pass = int(row[f"__rule_{i}"] or 0)
         rate = (n_pass / n) if n else 1.0
         rules[e.name] = (n_pass, rate)
         if rate < e.min_pass_rate:

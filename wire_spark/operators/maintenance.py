@@ -8,6 +8,14 @@ pays file-open + footer-read per file and the scheduler pays one task
 per file. Compaction rewrites a directory to ~target-sized files
 (one pass, no shuffle beyond a coalesce); retention drops expired
 date partitions by PATH, never scanning the data being deleted.
+
+Crash model (both ops are single-writer; see each docstring for the
+concurrent-reader caveat): every on-disk intermediate state is named
+with a reserved marker (``._compact_tmp`` / ``._compact_old`` /
+``._expired_`` — all invisible to Spark/Hadoop readers, which skip
+dot-prefixed paths), and every entry point first HEALS any stranded
+marker from a previous crashed run, so a kill at any step leaves the
+table either fully old or fully new after the next call.
 """
 
 from __future__ import annotations
@@ -18,12 +26,45 @@ import shutil
 
 from pyspark.sql import SparkSession
 
+_TMP_SUFFIX = "._compact_tmp"
+_OLD_SUFFIX = "._compact_old"
+_EXPIRED_PREFIX = "._expired_"
+
 
 def _dir_bytes(path: str) -> int:
     return sum(
         os.path.getsize(f)
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+
+
+def _heal_compact_state(path: str) -> None:
+    """Recover from a compact_files run that died mid-swap.
+
+    The swap sequence is: write ``tmp`` -> rename(path, old) ->
+    rename(tmp, path) -> rmtree(old).  A crash can therefore strand
+    exactly one of three states, each detectable from which paths
+    exist:
+
+    * ``tmp`` only extra (crash before/during write or before the
+      first rename): the table at ``path`` is intact — drop ``tmp``.
+    * ``old`` exists, ``path`` missing (crash between the renames):
+      the original is intact at ``old`` — rename it back, drop any
+      ``tmp`` (it may be a complete rewrite, but the conservative
+      heal restores the ORIGINAL; the re-run recompacts).
+    * ``old`` and ``path`` both exist (crash after the second rename,
+      before cleanup): the NEW table is live at ``path`` — drop
+      ``old``.
+    """
+    tmp = path.rstrip("/") + _TMP_SUFFIX
+    old = path.rstrip("/") + _OLD_SUFFIX
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)          # new table live; old is garbage
+        else:
+            os.rename(old, path)        # restore the original
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)              # incomplete/stale rewrite
 
 
 def compact_files(
@@ -36,27 +77,38 @@ def compact_files(
     ``ceil(total_bytes / target_file_bytes)`` files (min 1); returns
     the new file count.
 
-    The rewrite is read -> coalesce(n) -> write-to-temp -> atomic
-    swap, so a failure mid-rewrite leaves the original intact.
-    ``coalesce`` (not repartition) avoids a shuffle: existing
-    partitions merge down. Pass ``sort_within_by`` to restore a
-    clustering (e.g. the z-order key) within the compacted files —
-    that adds only a per-partition sort, still no shuffle.
+    The rewrite is heal-stranded-state -> read -> coalesce(n) ->
+    write-to-temp -> swap.  A crash at ANY step leaves a state the
+    next call heals (see ``_heal_compact_state``): the table is never
+    lost, and a re-run completes the compaction.  ``coalesce`` (not
+    repartition) avoids a shuffle: existing partitions merge down.
+    Pass ``sort_within_by`` to restore a clustering (e.g. the z-order
+    key) within the compacted files — that adds only a per-partition
+    sort, still no shuffle.
+
+    Concurrency caveat (single-writer op): the swap is two renames,
+    so a concurrent reader that lists ``path`` in the ~µs window
+    between them sees no directory and fails; one that resolved file
+    paths BEFORE the swap reads the old files until the ``rmtree``.
+    That is inherent to directory-swap on POSIX without
+    RENAME_EXCHANGE; a table format (Delta/Iceberg) removes it via
+    manifest pointers — run this op in the table's maintenance window.
 
     On a real cluster point ``path`` at one PARTITION directory and
     fan the calls out per partition (each call is one small job);
     compacting a whole 100 TB table through one session is an
     anti-pattern regardless of engine.
     """
+    _heal_compact_state(path)
     total = _dir_bytes(path)
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + "._compact_tmp"
+    tmp = path.rstrip("/") + _TMP_SUFFIX
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
+    old = path.rstrip("/") + _OLD_SUFFIX
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -76,10 +128,23 @@ def expire_partitions(
     the expired data is never read, so retention on a 100 TB table
     costs a directory listing plus unlinks. String comparison is
     correct for ISO dates (yyyy-MM-dd), the layout produced by
-    ``date_format``-partitioned writes. The swap is per-partition:
-    a crash mid-run leaves some expired partitions present (re-run to
-    finish), never a partially-deleted partition visible as valid.
+    ``date_format``-partitioned writes.
+
+    Each drop is rename-then-delete: the partition dir is atomically
+    renamed to ``._expired_<col>=<value>`` (dot-prefixed — Spark and
+    Hadoop readers skip it, so the partition disappears from the
+    table in ONE atomic step) and only then recursively removed.  A
+    crash mid-``rmtree`` therefore never leaves a half-deleted
+    partition visible as valid data; the stranded ``._expired_*``
+    husk is healed at the start of the next call.  Concurrent readers
+    that resolved file paths before the rename may still fail on
+    deleted files mid-scan — single-writer, maintenance-window op,
+    same caveat as ``compact_files``.
     """
+    # heal husks from a previous run that died mid-delete
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(_EXPIRED_PREFIX):
+            shutil.rmtree(os.path.join(path, entry))
     dropped = []
     prefix = f"{partition_col}="
     for entry in sorted(os.listdir(path)):
@@ -87,6 +152,8 @@ def expire_partitions(
             continue
         value = entry[len(prefix):]
         if value < keep_from:
-            shutil.rmtree(os.path.join(path, entry))
+            husk = os.path.join(path, _EXPIRED_PREFIX + entry)
+            os.rename(os.path.join(path, entry), husk)  # atomic hide
+            shutil.rmtree(husk)
             dropped.append(value)
     return dropped

@@ -786,10 +786,12 @@ def model_auc_rank(spark, sf_dir):
     the score-grain relation (bounded by distinct scores), and ties
     get their exact midrank credit by construction.
 
-    Doubled numerator keeps all rank credit integral; the final
-    ratio runs in DECIMAL(38,0)/HUGEINT (P*N exceeds int64 past
-    ~sf3000 — same widening as supplier_return_pchart), then floors
-    to 4dp as an exact integer division."""
+    Doubled numerator keeps all rank credit integral; the numerator
+    ACCUMULATES in DECIMAL(38,0) (a summand is cast before the sum —
+    the running total is ~2*P*N, which wraps int64 past ~sf3000,
+    exactly where the DuckDB oracle's HUGEINT sum stays exact), and
+    the final ratio divides in DECIMAL(38,0)/HUGEINT, then floors to
+    4dp as an exact integer division."""
     d = T(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
@@ -808,7 +810,7 @@ def model_auc_rank(spark, sf_dir):
         .groupBy("p", "n")
         .agg(
             F.expr(
-                "CAST(CAST(sum(pos_c * (2 * neg_below + neg_c)) AS DECIMAL(19,0)) "
+                "CAST(sum(CAST(pos_c AS DECIMAL(38,0)) * (2 * neg_below + neg_c)) "
                 "* 10000 div (2 * CAST(p AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) "
                 "AS BIGINT)"
             ).alias("auc_1e4"),
