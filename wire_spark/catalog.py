@@ -61,66 +61,72 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 7 window (50 slots): 10 never-driver-checked
-# queries (3 added after the r06 snapshot — dedup_cost_model,
-# multimodal_frame_plan, trade_flow_matrix — plus the 7 new round-7
-# queries), then the 40 queries whose newest green is round 2
-# (5 rounds stale).  The ~36 r04-stale greens (q10-q22 et al.,
-# including the broadcast-hint-changed TPC-H shapes — all re-proven
-# by the local oracle gate this round) rotate in round 8.
+# order.  Round 8 window (50 slots): any queries ADDED this round
+# (never driver-checked — listed first), then the 39 queries whose
+# newest green is round 4 (the stalest cohort, including the
+# broadcast-hint-changed TPC-H shapes q2/q4/q6-q22 whose driver
+# evidence predates the r7 hint removal, and the r7-rewritten
+# sequence_packing_plan's cohort-mates), then round-5 fills —
+# queries whose code changed after their r5 green
+# (sequence_packing_plan: driver-collect removed in r7) or that
+# anchor the iterative/bloom families re-audited this round.  After
+# this window lands, every registry query's newest green is <=3
+# rounds old.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 10 never driver-checked (3 post-r06-snapshot + 7 new in r07) --
-    "dedup_cost_model",
-    "multimodal_frame_plan",
-    "trade_flow_matrix",
-    "corpus_js_divergence",
-    "multimodal_feature_stats",
-    "quality_logreg_step",
-    "model_auc_rank",
-    "metric_bootstrap_ci",
-    "model_calibration_bins",
-    "kanonymity_audit",
-    # -- 40 stalest greens (last green: round 2) --
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "ann_pq_adc",
-    "anti_join_no_urgent_orders",
-    "cube_flag_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_near_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_counts",
-    "embedding_norm_stats",
-    "events_json_extract",
-    "events_pivot_by_type",
-    "events_type_stats",
-    "join_broadcast_brand_volume",
-    "knn_bruteforce_cosine",
-    "kv_last_writer_wins",
-    "kv_point_lookup",
-    "ngram_vocab_mining",
-    "outer_join_nation_suppliers",
-    "pivot_linestatus",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_flag_status",
-    "scalar_subquery_above_avg",
-    "semi_join_big_spenders",
-    "set_except_segments",
-    "set_intersect_segments",
-    "set_union_segments",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topn_orders_by_price",
-    "window_lag_lead_events",
-    "window_rank_ntile",
-    "window_running_total",
-    "window_sliding_30m",
-    "window_topk_per_brand",
+    # -- new in round 8 (never driver-checked) --
+    # (added incrementally this round; keep above the stale cohort)
+    # -- 39 stalest greens (last green: round 4) --
+    "agg_collect_sorted",
+    "ann_ivfpq_adc",
+    "decontamination_overlap",
+    "dedup_components_lsh",
+    "dedup_crossmodal_audit",
+    "dedup_winnowing_overlap",
+    "fuzzy_match_part_names",
+    "grouping_sets_mixed",
+    "kmeans_lloyd_two_rounds",
+    "multimodal_decode_meta",
+    "orders_by_month",
+    "percentile_order_value",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_heavy_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_rich_inactive",
+    "q2_min_cost_per_type",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "range_join_price_bands",
+    "sample_hash_documents",
+    "sessionized_top_users",
+    "string_functions_part",
+    "text_unigram_logprob",
+    "token_zipf",
+    "train_val_test_split",
+    "transform_uppercase",
+    "window_distribution_funcs",
+    # -- round-5 fills (dropped one-for-one as round-8 queries land) --
+    "sequence_packing_plan",
+    "bloom_join_prune",
+    "dedup_components_star",
+    "graph_pagerank_neardup",
+    "text_langid_trigram_trained",
+    "dedup_minhash_lsh",
+    "cdc_apply_state",
+    "q1_pricing_summary",
+    "q12_priority_classes",
+    "window_tumbling_hourly",
+    "window_session_10m",
 )
 
 
