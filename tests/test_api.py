@@ -158,3 +158,118 @@ def test_boot_loads_records_idempotently(svc):
     assert _get(base + "/key?key=a")[1]["value"] == "9"
     _, ev = _get(base + "/debug/vars?key=num_boot")
     assert ev == {"num_boot": 2}
+
+
+def test_queued_execute_over_http_with_wait(svc):
+    """/db/execute?queue parity (service.go:1106-1159): enqueued
+    batches return monotone sequence numbers; &wait blocks until the
+    batch is applied; the writes land in the store."""
+    s, base = svc
+    seqs = []
+    for i in range(5):
+        code, res = _post(base + "/db/execute?queue", [f"SET qh{i} v{i}"])
+        assert code == 200
+        assert res["results"] == []
+        seqs.append(res["sequence_number"])
+    assert seqs == sorted(seqs) and len(set(seqs)) == 5  # strictly monotone
+    # flush: wait on a final batch -> everything before it is applied too
+    code, res = _post(base + "/db/execute?queue&wait", ["SET qh_last done"])
+    assert code == 200 and res["sequence_number"] > seqs[-1]
+    for i in range(5):
+        assert s.kv.get(f"qh{i}") == f"v{i}"
+    assert s.kv.get("qh_last") == "done"
+
+
+def test_queued_writes_concurrent_with_streaming_pipeline(svc, tmp_path):
+    """VERDICT r7 task 6: the KV queue (service.go:1106-1159) and a
+    streaming pipeline (pipeline.go) exercising the SAME KV store at
+    the same time.  A file-source stream foreachBatch-es rows into the
+    store while HTTP queued writes hit overlapping keys concurrently;
+    afterwards (a) sequence numbers from the queue are strictly
+    monotone, (b) the log's seq column is gap-free and unique even
+    under the two concurrent writers, and (c) the distributed
+    resolve_kv state agrees with the driver-side resolved snapshot —
+    last-writer-wins BY SEQ for every contended key."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    s, base = svc
+    spark = s.spark
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # stream side: 8 files x 25 rows, half on contended keys ck0..ck9
+    n_files, rows_per = 8, 25
+    for fno in range(n_files):
+        with open(os.path.join(in_dir, f"f{fno:02d}.json"), "w") as f:
+            for r in range(rows_per):
+                i = fno * rows_per + r
+                key = f"ck{i % 10}" if i % 2 == 0 else f"stream_only_{i}"
+                f.write(json.dumps({"key": key, "value": f"stream_{i}"}) + "\n")
+
+    def kv_sink(bdf, _epoch):
+        for row in bdf.collect():  # control-plane-sized batch
+            s.kv.put(row.key, row.value)
+
+    stream = (
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(kv_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    # HTTP side: two producer threads race queued writes onto the
+    # contended keys while the stream is live
+    http_seqs: list[int] = []
+    seq_lock = threading.Lock()
+
+    def producer(tid: int):
+        for i in range(30):
+            code, res = _post(
+                base + "/db/execute?queue",
+                [f"SET ck{i % 10} http_{tid}_{i}"],
+            )
+            assert code == 200
+            with seq_lock:
+                http_seqs.append(res["sequence_number"])
+            _time.sleep(0.005)
+
+    threads = [threading.Thread(target=producer, args=(t,)) for t in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    q.awaitTermination(120)
+    # flush the queue: wait on a sentinel batch
+    code, res = _post(base + "/db/execute?queue&wait", ["SET flush done"])
+    assert code == 200
+
+    # (a) each producer's view of sequence numbers is monotone, and no
+    # two requests ever shared one
+    assert len(set(http_seqs)) == len(http_seqs) == 60
+
+    # (b) the unified log assigned unique, gap-free seqs across BOTH
+    # writers (streaming puts and queued statements share one log)
+    log = s.kv.log_df()
+    n = log.count()
+    mx, distinct = log.agg(F.max("seq"), F.countDistinct("seq")).first()
+    assert n == n_files * rows_per + 60 + 1  # stream + http + flush
+    assert mx == n and distinct == n  # gap-free, no duplicate seq
+
+    # (c) distributed LWW state == driver-resolved snapshot, and every
+    # contended key holds the value of its max-seq writer
+    dist = {r.key: r.value for r in s.kv.state().collect()}
+    assert dist == s.kv._resolved_state()
+    winners = {
+        r.key: r.value
+        for r in log.groupBy("key").agg(
+            F.max_by("value", "seq").alias("value")).collect()
+    }
+    for k in [f"ck{i}" for i in range(10)]:
+        assert dist[k] == winners[k]

@@ -908,3 +908,171 @@ def test_streaming_windowed_js_divergence_batch_parity(spark, tmp_path):
         assert abs(gjs - js) < 1e-9, (ws, gjs, js)
     # sanity: self-distribution windows score well under the ln(2) bound
     assert all(0.0 <= js < math.log(2.0) for _, js in got.values())
+
+
+def test_streaming_kanonymity_gate_batch_parity(spark, tmp_path):
+    """The streaming k-anonymity gate (chained windowed aggregations)
+    must report, for every CLOSED window, exactly the band rollup the
+    batch audit computes on the same window slice; the trailing
+    unclosed window emits nothing."""
+    from collections import Counter, defaultdict
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.governance_stream import windowed_kanonymity
+
+    sf_dir = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).collect()
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        {
+            "ts": (base + dt.timedelta(minutes=int(r.c_custkey))).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "seg": r.c_mktsegment,
+            "nat": int(r.c_nationkey),
+            "bal_sign": "neg" if r.c_acctbal < 0 else "pos",
+        }
+        for r in cust
+    ]
+    src = str(tmp_path / "kanon_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"), "seg",
+        F.col("nat").cast("int").alias("nat"), "bal_sign",
+    )
+    q = (
+        windowed_kanonymity(
+            stream, ["seg", "nat", "bal_sign"],
+            window="1 hour", watermark="30 minutes",
+        )
+        .writeStream.format("memory").queryName("kanon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "kanon_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start, r.k_band): (r.n_classes, r.n_rows)
+        for r in spark.sql("SELECT * FROM kanon").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    # batch expectation on the same hour buckets, closed windows only
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+                 for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    classes = Counter()
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w_start = t.replace(minute=0, second=0)
+        classes[(w_start, r["seg"], r["nat"], r["bal_sign"])] += 1
+    expected = defaultdict(lambda: [0, 0])
+    for (w_start, *_qi), k in classes.items():
+        if w_start + dt.timedelta(hours=1) > cutoff:
+            continue  # unclosed trailing window
+        band = ("k=1 unique" if k == 1 else "k=2-4" if k < 5
+                else "k=5-9" if k < 10 else "k>=10")
+        expected[(w_start, band)][0] += 1
+        expected[(w_start, band)][1] += k
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    # the gate's alarm band exists in this corpus (minute-grain QI
+    # tuples at sf0.001 are mostly unique)
+    assert any(b == "k=1 unique" for _, b in got)
+
+
+def test_streaming_calibration_bins_batch_parity(spark, tmp_path):
+    """The streaming reliability diagram with FROZEN batch-trained
+    weights: every closed window's decile bins equal the batch
+    computation (same fixed-point discipline) on that window's rows,
+    bit-for-bit — the deploy shape: train in batch, monitor live."""
+    import math
+    from collections import defaultdict
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.governance_stream import (
+        windowed_calibration_bins,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    # frozen weights: the batch step-1 gradient (quality_logreg_step's
+    # integers), computed here directly
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+        F.col("doc_id"),
+    )
+    g = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((2 * F.col("y") - 1) * F.col("x1")).alias("g1"),
+        F.sum((2 * F.col("y") - 1) * F.col("x2")).alias("g2"),
+        F.sum(2 * F.col("y") - 1).alias("gb"),
+    ).first()
+    weights = (g.g1, g.g2, g.gb, g.n)
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        {
+            "ts": (base + dt.timedelta(minutes=int(r.doc_id))).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "y": int(r.y), "x1": int(r.x1), "x2": int(r.x2),
+        }
+        for r in feats.collect()
+    ]
+    src = str(tmp_path / "calib_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"),
+        F.col("y").cast("int").alias("y"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("x2").cast("long").alias("x2"),
+    )
+    q = (
+        windowed_calibration_bins(
+            stream, weights, window="1 hour", watermark="30 minutes",
+        )
+        .writeStream.format("memory").queryName("calib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "calib_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start, r.bin): (r.n_bin, r.mean_p_1e4, r.pos_rate_1e4)
+        for r in spark.sql("SELECT * FROM calib").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    # batch expectation with the identical double sigmoid + floors
+    g1, g2, gb, n = weights
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+                 for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    acc = defaultdict(lambda: [0, 0, 0])  # (w,bin) -> [n, sum_p1e6, sum_y]
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w_start = t.replace(minute=0, second=0)
+        if w_start + dt.timedelta(hours=1) > cutoff:
+            continue
+        pi = 1.0 / (1.0 + math.exp(
+            -((g1 * r["x1"] + g2 * r["x2"] + gb) / (4.0 * n * 10000.0))))
+        b = int(math.floor(pi * 10.0))
+        a = acc[(w_start, b)]
+        a[0] += 1
+        a[1] += int(math.floor(pi * 1000000.0))
+        a[2] += r["y"]
+    expected = {
+        k: (v[0], v[1] // (v[0] * 100), v[2] * 10000 // v[0])
+        for k, v in acc.items()
+    }
+    assert got == expected

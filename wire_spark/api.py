@@ -10,6 +10,12 @@ Mirrors internal/http/service.go routes (:484-580):
 - ``POST /db/execute``           statements (SET/DELETE), rqlite
   request shape: JSON array of statement strings; response
   ``{"results": [{"rows_affected": n}], "time": t}``.
+  ``?queue`` switches to the queued-write path
+  (service.go:1106-1159 queuedExecute): statements are enqueued and
+  the response carries the batch ``sequence_number`` instead of
+  per-statement results; ``&wait`` blocks until the batch is applied
+  (``&timeout=<sec>``, default 30 — exceeded -> 408 "queue wait
+  timeout", the reference's StatusRequestTimeout).
 - ``POST /db/query``             GET statements -> QueryRows JSON
   (plain or ``?associative`` — encoding/json.go:27-160 shapes).
 - ``GET /status`` ``GET /readyz`` diagnostics (service.go:508-511).
@@ -65,6 +71,10 @@ class WireService:
         # calls); exposed verbatim through /debug/vars
         self._stats: dict[str, int] = {}
         self._stats_lock = threading.Lock()
+        # queued-write path: KV drain thread started lazily on the
+        # first /db/execute?queue request, stopped with the service
+        self._queue_lock = threading.Lock()
+        self._queue_started = False
 
     def _count(self, name: str) -> None:
         with self._stats_lock:
@@ -100,6 +110,37 @@ class WireService:
                 {"rows_affected": r.rows_affected} if r.error is None else {"error": r.error}
             )
         return {"results": results, "time": time.perf_counter() - t0}
+
+    def queued_execute(
+        self, statements: list[str], wait: bool = False, timeout: float = 30.0
+    ) -> dict:
+        """The rqlite queued-write path (service.go:1106-1159
+        queuedExecute + queue.Write): enqueue the whole request as one
+        batch and return its sequence number; the drain thread applies
+        batches in enqueue order, so sequence numbers are monotone with
+        apply order.  ``wait`` blocks until THIS batch is applied
+        (FlushChannel analog); a timeout raises ``TimeoutError``, which
+        the HTTP layer maps to 408 like the reference's
+        StatusRequestTimeout."""
+        self._count("num_queued_executions")
+        t0 = time.perf_counter()
+        with self._queue_lock:
+            if not self._queue_started:
+                self.kv.start_queue()
+                self._queue_started = True
+            seq = 0
+            for s in statements:
+                seq = self.kv.queue_execute(s)
+        if wait:
+            self._count("num_queued_executions_wait")
+            if not self.kv.queue_wait(seq, timeout=timeout):
+                self._count("num_queued_executions_wait_timeout")
+                raise TimeoutError("queue wait timeout")
+        return {
+            "results": [],
+            "sequence_number": seq,
+            "time": time.perf_counter() - t0,
+        }
 
     def query(self, statements: list[str], associative: bool = False) -> dict:
         t0 = time.perf_counter()
@@ -251,7 +292,17 @@ class WireService:
                     if u.path.startswith("/connector"):
                         self._send(200, service.create_pipeline(self._body()))
                     elif u.path == "/db/execute":
-                        self._send(200, service.execute(self._body()))
+                        if "queue" in qs:
+                            try:
+                                self._send(200, service.queued_execute(
+                                    self._body(),
+                                    wait="wait" in qs,
+                                    timeout=float(qs.get("timeout", ["30"])[0]),
+                                ))
+                            except TimeoutError as te:
+                                self._send(408, {"error": str(te)})
+                        else:
+                            self._send(200, service.execute(self._body()))
                     elif u.path == "/db/query":
                         self._send(
                             200,
@@ -293,4 +344,8 @@ class WireService:
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()
+        with self._queue_lock:
+            if self._queue_started:
+                self.kv.stop_queue()  # drains, then joins the thread
+                self._queue_started = False
         self.registry.close_all()

@@ -1,0 +1,143 @@
+"""Streaming governance: the per-window k-anonymity gate and the
+per-window calibration monitor — streaming siblings of the batch
+``kanonymity_audit`` and ``model_calibration_bins`` queries
+(queries/features.py), closing the batch/streaming parity story for
+the governance family.
+
+Why these exist: a release gate that runs nightly catches yesterday's
+leak.  Run the SAME audits over watermarked event-time windows on the
+ingest path and a disclosure-risk regression (a new source floods
+population-unique QI tuples) or a score-calibration drift (the
+classifier's probabilities detach from observed rates) raises within
+one window of landing.
+
+Shapes (both append-mode, emit only CLOSED windows, so every row is
+final):
+
+* k-anonymity — two chained windowed aggregations in one query (the
+  legal time-window chaining pattern shared with
+  ``drift_stream.windowed_js_divergence``): (window, QI tuple) ->
+  class size k, then window_time -> k-band rollup.  State for agg-1
+  is live-windows x distinct-QI-tuples (bounded by the QI domain and
+  the watermark horizon, never stream length); agg-2 holds one row
+  per live (window, band).
+* calibration — ONE windowed aggregation: rows are scored with a
+  FIXED weight vector (the batch ``quality_logreg_step`` output,
+  passed as integer literals — exactly the deploy shape: train in
+  batch, monitor in stream), decile-binned row-wise, then aggregated
+  per (window, bin).  Identical fixed-point discipline to the batch
+  query: per-row p floors to micro-units before summation and the
+  empirical rate is an exact integer ratio, so a closed window's row
+  equals the batch query's answer on the same slice bit-for-bit.
+
+Reference behavioral anchor: the reference declares stateful
+transformations on the ingest path (ROADMAP.md:100) but ships no
+governance ops; these follow SURVEY §2.6's stateful-transform
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_kanonymity(
+    stream: DataFrame,
+    qi_cols: list[str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, k_band, n_classes, n_rows)
+    — equivalence-class sizes over the quasi-identifier tuple, banded
+    into the standard k thresholds (k=1 unique / k=2-4 / k=5-9 /
+    k>=10).
+
+    Gate usage: alarm when the ``k=1 unique`` band's ``n_rows`` for a
+    closed window exceeds the release threshold.  Band shares are
+    left to the consumer (they need the window total, one more
+    grouping — cheap, but most gates only watch the k=1 band).
+    """
+    classes = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *qi_cols)
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    banded = classes.select(
+        "w",
+        F.when(F.col("k") == 1, "k=1 unique")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("k_band"),
+        "k",
+    )
+    rolled = banded.groupBy(
+        F.window(F.window_time("w"), window).alias("w2"), "k_band"
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    )
+    return rolled.select(
+        F.col("w2.start").alias("w_start"),
+        F.col("w2.end").alias("w_end"),
+        "k_band",
+        "n_classes",
+        "n_rows",
+    )
+
+
+def windowed_calibration_bins(
+    stream: DataFrame,
+    weights: tuple[int, int, int, int],
+    label_col: str = "y",
+    x1_col: str = "x1",
+    x2_col: str = "x2",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window and probability decile: (w_start, w_end,
+    bin, n_bin, mean_p_1e4, pos_rate_1e4) — the live reliability
+    diagram for a FROZEN scorer.
+
+    ``weights`` is the integer gradient tuple ``(g1, g2, gb, n)``
+    from the batch ``quality_logreg_step`` (features.py): scores are
+    ``sigmoid((g1*x1 + g2*x2 + gb) / (4 * n * 10000))`` — the exact
+    deployed model, so a closed window's bins are directly comparable
+    against the training-time ``model_calibration_bins`` rows and
+    against every other window (fixed weights; only the data moves).
+    """
+    g1, g2, gb, n = (int(v) for v in weights)
+    pi: Column = F.expr(
+        f"1.0e0 / (1.0e0 + exp(-(({g1}L * {x1_col} + {g2}L * {x2_col}"
+        f" + {gb}L) / (4.0e0 * {n}L * 10000.0e0))))"
+    )
+    scored = stream.withWatermark(ts_col, watermark).select(
+        ts_col,
+        F.col(label_col).alias("y"),
+        F.expr(
+            f"CAST(floor((1.0e0 / (1.0e0 + exp(-(({g1}L * {x1_col}"
+            f" + {g2}L * {x2_col} + {gb}L) / (4.0e0 * {n}L"
+            " * 10000.0e0))))) * 10.0e0) AS BIGINT)"
+        ).alias("bin"),
+        F.floor(pi * F.lit(1000000.0)).cast("long").alias("p_1e6"),
+    )
+    agg = scored.groupBy(F.window(ts_col, window).alias("w"), "bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.expr("CAST(sum(p_1e6) div (count(1) * 100) AS BIGINT)").alias(
+            "mean_p_1e4"
+        ),
+        F.expr("CAST(sum(y) * 10000 div count(1) AS BIGINT)").alias(
+            "pos_rate_1e4"
+        ),
+    )
+    return agg.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "bin",
+        "n_bin",
+        "mean_p_1e4",
+        "pos_rate_1e4",
+    )
