@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.graphq",
     "wire_spark.queries.extras5",
     "wire_spark.queries.search",
+    "wire_spark.queries.governance",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
@@ -74,7 +75,14 @@ _QUERY_MODULES = (
 # rounds old.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 8 (never driver-checked) --
-    # (added incrementally this round; keep above the stale cohort)
+    "ldiversity_audit",
+    "tcloseness_audit",
+    "contract_validation_report",
+    "quality_gini_stump",
+    "feature_mutual_information",
+    "dedup_containment",
+    "tokenizer_fertility",
+    "embedding_centroid_distance",
     # -- 39 stalest greens (last green: round 4) --
     "agg_collect_sorted",
     "ann_ivfpq_adc",
@@ -115,18 +123,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "transform_uppercase",
     "window_distribution_funcs",
-    # -- round-5 fills (dropped one-for-one as round-8 queries land) --
+    # -- round-5 fills (sequence_packing_plan first: its r7 rewrite
+    #    postdates its newest driver green) --
     "sequence_packing_plan",
     "bloom_join_prune",
     "dedup_components_star",
-    "graph_pagerank_neardup",
-    "text_langid_trigram_trained",
-    "dedup_minhash_lsh",
-    "cdc_apply_state",
-    "q1_pricing_summary",
-    "q12_priority_classes",
-    "window_tumbling_hourly",
-    "window_session_10m",
 )
 
 

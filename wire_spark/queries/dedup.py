@@ -1338,3 +1338,86 @@ def dedup_cost_model(spark, sf_dir):
         .drop("mass")
         .orderBy("cap")
     )
+
+
+# --------------------------------------------------------------------
+# containment (asymmetric near-dup: quotes, subsets, expansions)
+# --------------------------------------------------------------------
+
+# Jaccard misses SUBSET duplication by construction: a document fully
+# quoted inside one 4x its size has J = 1/4 (invisible at any usual
+# threshold) but containment C = |A∩B| / min(|A|,|B|) = 1.0.  This is
+# the dedup pass that catches quote-inflation, boilerplate wrappers,
+# and train/test contamination via excerpts — the asymmetric
+# complement of dedup_ngram_jaccard over the same shingle relation.
+_CONTAIN_ORACLE = _SHINGLES_CTE + """
+, dfp AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfp USING (shingle)
+  WHERE df <= 1000
+), csizes AS (
+  SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       floor(i * 10000.0e0 / least(s1.n, s2.n)) / 10000.0e0 AS containment,
+       floor(i * 10000.0e0 / (s1.n + s2.n - i)) / 10000.0e0 AS jaccard
+FROM inter
+JOIN csizes s1 ON d1 = s1.doc_id
+JOIN csizes s2 ON d2 = s2.doc_id
+WHERE i * 2 >= least(s1.n, s2.n)
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE, bench=True,
+          doc="asymmetric near-dup by shingle containment "
+              "C = |A∩B|/min(|A|,|B|) — catches subset/quote "
+              "duplication Jaccard structurally misses")
+def dedup_containment(spark, sf_dir):
+    """Subset-duplication detection: pairs whose smaller document's
+    shingle set is >= 50% contained in the other, reported with both
+    containment and Jaccard so the asymmetry is visible (high C, low
+    J = excerpt/wrapper; high C, high J = ordinary near-dup).
+
+    Scale path is dedup_ngram_jaccard's exactly: the pair join
+    shuffles on `shingle` with the df <= 1000 stop-shingle cap
+    bounding join fan-out at sum(min(df,cap)^2); sizes join back at
+    pair grain.  Both ratios are per-row floor-4dp (`t4`), exact in
+    both engines.  Reference parity: the reference ships no dedup
+    operator at all (SURVEY §2 gap-fill family)."""
+    sh = _shingle_df(spark, sf_dir)
+    w_df = W.partitionBy("shingle")
+    shc = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= 1000)
+        .drop("df")
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
+        .filter(F.col("i") * 2 >= F.least("n1", "n2"))
+        .select(
+            "d1", "d2",
+            F.expr("floor(i * 10000.0e0 / least(n1, n2)) / 10000.0e0")
+            .alias("containment"),
+            F.expr("floor(i * 10000.0e0 / (n1 + n2 - i)) / 10000.0e0")
+            .alias("jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )

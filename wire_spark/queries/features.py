@@ -1110,3 +1110,218 @@ def kanonymity_audit(spark, sf_dir):
         )
         .orderBy("k_band")
     )
+
+
+# --------------------------------------------------------------------
+# decision-stump training — exact best split by weighted Gini
+# --------------------------------------------------------------------
+
+# The distributed form of "train a depth-1 tree": every candidate
+# threshold's weighted Gini impurity from the SCORE HISTOGRAM (the
+# model_auc_rank relation), argmin by (score, threshold).  A naive
+# implementation sorts rows; this one needs one map-combinable
+# groupBy on the integer feature plus a window over the score-grain
+# relation.  All arithmetic is integer: the weighted-impurity
+# comparison runs as
+#   gini_1e4 = floor(2e4 * (Pl*Nl*nr + Pr*Nr*nl) / (nl*nr*n))
+# in DECIMAL(38,0)/HUGEINT (the product is ~n^3 — int64 wraps at
+# ~sf0.3-grade corpus sizes; 128-bit holds to ~10^11 rows at the 1e4
+# scale).
+_GINI_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+  FROM documents
+), h AS (
+  SELECT s,
+         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS pos_c,
+         CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS neg_c
+  FROM d GROUP BY s
+), c AS (
+  SELECT s,
+         CAST(sum(pos_c) OVER (ORDER BY s) AS HUGEINT) AS pl,
+         CAST(sum(neg_c) OVER (ORDER BY s) AS HUGEINT) AS nl
+  FROM h
+), tot AS (
+  SELECT CAST(sum(pos_c) AS HUGEINT) AS p, CAST(sum(neg_c) AS HUGEINT) AS q
+  FROM h
+), cand AS (
+  SELECT c.s, c.pl, c.nl,
+         tot.p - c.pl AS pr, tot.q - c.nl AS nr,
+         c.pl + c.nl AS n_left,
+         (tot.p - c.pl) + (tot.q - c.nl) AS n_right,
+         tot.p + tot.q AS n
+  FROM c, tot
+  WHERE (tot.p - c.pl) + (tot.q - c.nl) > 0
+)
+SELECT CAST(s AS BIGINT) AS split_at,
+       CAST((20000 * (pl * nl * n_right + pr * nr * n_left))
+            // (n_left * n_right * n) AS BIGINT) AS gini_1e4,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left,
+       CAST(pr AS BIGINT) AS pos_right
+FROM cand
+ORDER BY gini_1e4, split_at
+LIMIT 1
+"""
+
+
+@register("quality_gini_stump", oracle=_GINI_ORACLE, bench=True,
+          doc="exact depth-1 decision-tree training: best token-count "
+              "split by weighted Gini from the score histogram, "
+              "128-bit integer argmin")
+def quality_gini_stump(spark, sf_dir):
+    """Train the simplest possible quality classifier — a decision
+    stump "lang=en iff token count <= t" — EXACTLY: every candidate
+    threshold's weighted Gini impurity, argmin.  The pattern behind
+    every histogram-based tree learner (XGBoost/LightGBM grow trees
+    from exactly this relation): no row-grain sort, one groupBy on
+    the integer feature, prefix sums over the score-grain relation,
+    and an integer argmin that both engines resolve identically
+    (ties break toward the smaller threshold by construction).
+
+    Scale: the window runs over distinct feature values (bounded by
+    the feature's domain, not the corpus); products are ~n^3 so the
+    comparison runs in DECIMAL(38,0)/HUGEINT at the 1e4 fixed-point
+    scale — exact to ~10^11 rows."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
+    )
+    h = d.groupBy("s").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = h.select(
+        "s",
+        F.sum("pos_c").over(w).cast("decimal(38,0)").alias("pl"),
+        F.sum("neg_c").over(w).cast("decimal(38,0)").alias("nl"),
+    )
+    tot = h.agg(
+        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
+        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .withColumn("nr", F.col("q") - F.col("nl"))
+        .withColumn("n_left", F.col("pl") + F.col("nl"))
+        .withColumn("n_right", F.col("pr") + F.col("nr"))
+        .withColumn("n", F.col("p") + F.col("q"))
+        .filter(F.col("n_right") > 0)
+        .select(
+            F.expr(
+                "CAST((20000 * (pl * nl * n_right + pr * nr * n_left)) "
+                "div (n_left * n_right * n) AS BIGINT)"
+            ).alias("gini_1e4"),
+            F.col("s").alias("split_at"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("pr").cast("long").alias("pos_right"),
+        )
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                "gini_1e4", "split_at", "n_left", "n_right",
+                "pos_left", "pos_right",
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.split_at").alias("split_at"),
+        F.col("b.gini_1e4").alias("gini_1e4"),
+        F.col("b.n_left").alias("n_left"),
+        F.col("b.n_right").alias("n_right"),
+        F.col("b.pos_left").alias("pos_left"),
+        F.col("b.pos_right").alias("pos_right"),
+    )
+
+
+# --------------------------------------------------------------------
+# mutual information between a feature and the label
+# --------------------------------------------------------------------
+
+# Feature selection's first question: how much does knowing the
+# length band tell you about the language?  MI over the joint
+# (length-band, lang) grid — bounded by the two domains, never by
+# corpus size — with every addend floored to integer micro-nats
+# before summation (the corpus_js_divergence discipline: textually
+# identical IEEE double expressions in both engines, exact integer
+# aggregation, final floor that no double rounding can shift).
+_MI_ORACLE = """
+WITH d AS (
+  SELECT least(9, CAST(n_chars AS BIGINT) // 64) AS xb, lang
+  FROM documents
+), xy AS (
+  SELECT xb, lang, CAST(count(*) AS BIGINT) AS n_xy FROM d GROUP BY xb, lang
+), mx AS (
+  SELECT xb, CAST(sum(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY xb
+), my AS (
+  SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_xy) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells
+  FROM xy
+), addends AS (
+  SELECT CAST(floor((n_xy * 1.0e0 / n)
+              * ln((n_xy * 1.0e0 * n) / (n_x * 1.0e0 * n_y))
+              * 1000000.0e0) AS BIGINT) AS a6
+  FROM xy JOIN mx USING (xb) JOIN my USING (lang), tot
+)
+SELECT tot.n AS n_docs, tot.n_cells,
+       floor(greatest(sum(a6), 0) / 100.0e0) / 10000.0e0 AS mi4
+FROM addends, tot
+GROUP BY tot.n, tot.n_cells
+"""
+
+
+@register("feature_mutual_information", oracle=_MI_ORACLE, bench=True,
+          doc="mutual information between length band and language "
+              "over the bounded joint grid, micro-nat fixed-point")
+def feature_mutual_information(spark, sf_dir):
+    """How informative is a feature about the label?  MI(length band;
+    lang) in nats — the model-free dependence measure behind feature
+    selection and leakage audits (an MI spike between a "neutral"
+    feature and the label is how target leakage is caught before
+    training).
+
+    Scale shape: one map-combinable groupBy to the joint grid
+    (10 x n_langs cells), marginals as window sums over the grid
+    itself (cell-grain, no second scan), addends floored to integer
+    micro-nats before the exact sum — partitioning-independent and
+    engine-identical, same discipline as corpus_js_divergence."""
+    d = T(spark, sf_dir, "documents").select(
+        F.expr("least(9, CAST(n_chars AS BIGINT) div 64)").alias("xb"),
+        "lang",
+    )
+    xy = d.groupBy("xb", "lang").agg(F.count(F.lit(1)).alias("n_xy"))
+    wx = W.partitionBy("xb")
+    wy = W.partitionBy("lang")
+    grid = xy.select(
+        "n_xy",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+    )
+    tot = xy.agg(
+        F.sum("n_xy").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    a6 = (
+        "CAST(floor((n_xy * 1.0e0 / n) "
+        "* ln((n_xy * 1.0e0 * n) / (n_x * 1.0e0 * n_y)) "
+        "* 1000000.0e0) AS BIGINT)"
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("a6", F.expr(a6))
+        .groupBy("n", "n_cells")
+        .agg(F.sum("a6").alias("s6"))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            F.expr("floor(greatest(s6, 0) / 100.0e0) / 10000.0e0")
+            .alias("mi4"),
+        )
+    )

@@ -1069,3 +1069,103 @@ def knn_label_agreement(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------
+# label-centroid geometry (embedding drift / cohort separation)
+# --------------------------------------------------------------------
+
+# Pairwise distances between label centroids — the embedding-space
+# health check: collapsing pairs (dist -> 0) mean the labels are not
+# separable; a centroid drifting between ingest snapshots means the
+# upstream encoder changed.  Everything after the one data-sized
+# aggregation runs on the labels x dims grid (10 x 64 rows).
+#
+# Exactness: per-cell values are floored to integer micro-units
+# BEFORE summation (exact any-order integer sums); each centroid
+# coordinate is floor(sum/count) evaluated in double — the int64 ->
+# double conversion and the division round identically (IEEE) in
+# both engines, so the coordinate is deterministic even where sums
+# exceed 2^53; pair distances are then pure BIGINT (coordinates are
+# value-bounded ~1e6-scale regardless of row count, so the squared
+# sums never approach int64 at ANY corpus size).
+_CENTROID_ORACLE = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+x AS (
+  SELECT e.label, dims.i AS dim,
+         CAST(floor(e.v[dims.i] * 1000000.0e0) AS BIGINT) AS x6
+  FROM e, dims
+), s AS (
+  SELECT label, dim, CAST(sum(x6) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, dim
+), c AS (
+  SELECT label, dim,
+         CAST(floor(sx * 1.0e0 / n) AS BIGINT) AS c6, n
+  FROM s
+), pairs AS (
+  SELECT a.label AS l1, b.label AS l2,
+         CAST(sum((a.c6 - b.c6) * (a.c6 - b.c6)) AS BIGINT) AS ss,
+         CAST(max(a.n) AS BIGINT) AS n1, CAST(max(b.n) AS BIGINT) AS n2
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT l1, l2, n1, n2,
+       CAST(ss // 1000000 AS BIGINT) AS dist2_1e6
+FROM pairs
+ORDER BY l1, l2
+"""
+
+
+@register("embedding_centroid_distance", oracle=_CENTROID_ORACLE, bench=True,
+          doc="pairwise label-centroid distances in fixed-point — "
+              "embedding-space separation / encoder-drift audit")
+def embedding_centroid_distance(spark, sf_dir):
+    """Cohort geometry of the embedding space: the squared L2
+    distance between every pair of label centroids.  This is the
+    audit behind two production questions: are my classes separable
+    at all (near-zero pairs), and did the encoder silently change
+    between snapshots (all centroids moved).
+
+    Scale shape: posexplode to (label, dim) cells floored to integer
+    micro-units, ONE map-combinable groupBy to the labels x dims grid
+    (10 x 64 = 640 rows — bounded by schema, not data), then a
+    grid self-join on dim for the 45 pairs.  The only data-sized step
+    is the first aggregation; at 100 TB nothing else grows."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("d0", "xv"),
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("xv") * F.lit(1000000.0)).cast("long").alias("x6"),
+    )
+    s = e.groupBy("label", "dim").agg(
+        F.sum("x6").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    c = s.select(
+        "label", "dim", "n",
+        F.expr("CAST(floor(sx * 1.0e0 / n) AS BIGINT)").alias("c6"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(
+            F.sum(
+                (F.col("a.c6") - F.col("b.c6"))
+                * (F.col("a.c6") - F.col("b.c6"))
+            ).alias("ss"),
+            F.max(F.col("a.n")).alias("n1"),
+            F.max(F.col("b.n")).alias("n2"),
+        )
+        .select(
+            "l1", "l2", "n1", "n2",
+            F.expr("CAST(ss div 1000000 AS BIGINT)").alias("dist2_1e6"),
+        )
+        .orderBy("l1", "l2")
+    )

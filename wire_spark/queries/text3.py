@@ -611,3 +611,67 @@ def corpus_js_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# tokenizer fertility (chars per token, by language)
+# --------------------------------------------------------------------
+
+# The tokenizer-budget planner's first number: how many characters
+# does one (whitespace) token cost per language?  Languages with high
+# fertility under a given tokenizer eat the context window faster and
+# skew the token-weighted language mix away from the document-weighted
+# one — this query reports both, exactly.
+_FERTILITY_ORACLE = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+), tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM d)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.nt) AS BIGINT) AS n_tokens,
+       CAST(sum(d.nc) * 10000 // sum(d.nt) AS BIGINT) AS chars_per_token_1e4,
+       CAST(sum(d.nt) * 10000 // tot.t AS BIGINT) AS token_share_1e4
+FROM d, tot
+GROUP BY d.lang, tot.t
+ORDER BY d.lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE, bench=True,
+          doc="per-language chars-per-token fertility + token-mass "
+              "share, exact integer fixed-point")
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: characters per whitespace
+    token, plus each language's share of the corpus TOKEN mass (vs
+    its document share) — the two numbers a context-budget planner
+    and a mixing-weight tuner need before choosing per-language
+    sampling rates.
+
+    Scale: one scan, one map-combinable groupBy on lang (a tiny key
+    domain), the corpus total broadcast back as a 1-row frame; every
+    ratio is exact integer fixed-point on non-negative operands."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    )
+    tot = d.agg(F.sum("nt").alias("t"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("snc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_docs", "n_tokens",
+            F.expr("CAST(snc * 10000 div n_tokens AS BIGINT)")
+            .alias("chars_per_token_1e4"),
+            F.expr("CAST(n_tokens * 10000 div t AS BIGINT)")
+            .alias("token_share_1e4"),
+        )
+        .orderBy("lang")
+    )
