@@ -1076,3 +1076,54 @@ def test_streaming_calibration_bins_batch_parity(spark, tmp_path):
         for k, v in acc.items()
     }
     assert got == expected
+
+
+def test_streaming_contract_gate_quarantines_failing_batches(spark, tmp_path):
+    """The per-micro-batch contract gate: a batch violating a hard
+    rule is quarantined WHOLE (nothing from it reaches the published
+    table), clean batches pass through, and the audit log records
+    each batch's per-rule verdicts."""
+    from wire_spark.operators.contracts import Expectation
+    from wire_spark.streaming.governance_stream import contract_gate
+
+    src = str(tmp_path / "gate_in")
+    # file 1: clean; file 2: poisoned (a negative price) -> with
+    # maxFilesPerTrigger=1 each file is one batch
+    _write_jsonl(os.path.join(src, "a_clean.json"),
+                 [{"k": i, "price": 10.0 + i} for i in range(20)])
+    _write_jsonl(os.path.join(src, "b_poisoned.json"),
+                 [{"k": 100 + i, "price": (-5.0 if i == 3 else 42.0)}
+                  for i in range(20)])
+
+    good = str(tmp_path / "good")
+    bad = str(tmp_path / "bad")
+    audit = str(tmp_path / "audit")
+    rules = [
+        Expectation("key_not_null", F.col("k").isNotNull()),
+        Expectation("price_positive", F.col("price") > 0),
+    ]
+    stream = (
+        spark.readStream.schema("k BIGINT, price DOUBLE")
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(contract_gate(rules, good, bad, audit))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    good_rows = spark.read.parquet(good).collect()
+    bad_rows = spark.read.parquet(bad).collect()
+    assert sorted(r.k for r in good_rows) == list(range(20))
+    assert sorted(r.k for r in bad_rows) == list(range(100, 120))
+    a = spark.read.parquet(audit)
+    assert a.count() == 4  # 2 batches x 2 rules
+    verdicts = {(r.rule, r.ok) for r in a.collect()}
+    assert ("price_positive", False) in verdicts
+    assert ("key_not_null", True) in verdicts
+    # the failing batch's rate is 19/20
+    fail_row = a.filter(~F.col("ok")).first()
+    assert fail_row.n_pass == 19 and fail_row.n_rows == 20

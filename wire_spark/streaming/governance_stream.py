@@ -141,3 +141,60 @@ def windowed_calibration_bins(
         "mean_p_1e4",
         "pos_rate_1e4",
     )
+
+
+def contract_gate(
+    expectations,
+    pass_path: str,
+    quarantine_path: str,
+    audit_path: str | None = None,
+):
+    """foreachBatch gate: validate every micro-batch against a data
+    contract (``operators/contracts.Expectation`` list) and route the
+    WHOLE batch — contracts are batch-grain decisions — to
+    ``pass_path`` or ``quarantine_path`` as parquet appends.
+
+    This is the streaming face of ``contract_validation_report``: the
+    same one-aggregate validation plan runs per micro-batch (one
+    extra pass over data already in the batch — the cost class of a
+    ``count()``), and nothing reaches the published table unless the
+    batch passed.  Optionally appends a one-row-per-rule audit record
+    (batch id, rule, pass count, rate, verdict) to ``audit_path`` —
+    the queryable history a release review wants.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(contract_gate(rules, good, bad, audit))
+             .option("checkpointLocation", ck).start())
+
+    Exactly-once note: foreachBatch re-runs a batch after recovery
+    with the SAME batch_id; the audit append keys on batch_id so
+    replays are detectable downstream (parquet appends themselves are
+    at-least-once — a table format upgrades this to exactly-once, see
+    NOTES.md table-format probe).
+    """
+    from wire_spark.operators.contracts import validate
+
+    def gate(bdf, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        result = validate(bdf, expectations)
+        target = pass_path if result.ok else quarantine_path
+        bdf.write.mode("append").parquet(target)
+        if audit_path is not None:
+            spark = bdf.sparkSession
+            rows = [
+                (
+                    int(batch_id), name, int(n_pass), float(rate),
+                    name not in result.failed, int(result.n_rows),
+                )
+                for name, (n_pass, rate) in result.rules.items()
+            ]
+            spark.createDataFrame(
+                rows,
+                "batch_id LONG, rule STRING, n_pass LONG, "
+                "pass_rate DOUBLE, ok BOOLEAN, n_rows LONG",
+            ).write.mode("append").parquet(audit_path)
+
+    return gate
