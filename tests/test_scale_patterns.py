@@ -324,34 +324,50 @@ def test_compact_files_crash_recovery_each_step(spark, sf_dir, tmp_path):
     stranded state a crash leaves (stale tmp; table renamed away but
     new data not yet swapped in; both old and new present), the next
     call heals it and completes — the table is readable with the full
-    row count after every recovery."""
+    row count after every recovery.  Markers are dot-prefixed
+    SIBLINGS, so a whole-table reader of the parent never sees them
+    as partitions mid-rewrite."""
     import glob as _g
     import shutil
 
-    from wire_spark.operators.maintenance import compact_files
+    from wire_spark.operators.maintenance import (
+        _compact_markers,
+        compact_files,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     n_rows = o.count()
-    frag = str(tmp_path / "t")
+    # hive-style partition dir: the reader-invisibility check matters
+    # exactly here (a suffix-named marker would parse as a partition)
+    root = tmp_path / "tbl"
+    frag = str(root / "day=2024-01-01")
+    tmp_m, old_m = _compact_markers(frag)
+    assert os.path.basename(tmp_m).startswith(".")
+    assert os.path.basename(old_m).startswith(".")
 
     def reset():
         o.repartition(32).write.mode("overwrite").parquet(frag)
 
-    # crash state 1: stale ._compact_tmp from a run that died mid-write
+    # crash state 1: stale tmp marker from a run that died mid-write
     reset()
-    o.coalesce(1).write.mode("overwrite").parquet(frag + "._compact_tmp")
+    o.coalesce(1).write.mode("overwrite").parquet(tmp_m)
+    # the stranded marker is INVISIBLE to a whole-table read of the
+    # parent: exactly one partition value, exactly n_rows rows
+    whole = spark.read.parquet(str(root))
+    assert whole.count() == n_rows
+    assert whole.select("day").distinct().count() == 1
     n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
     assert spark.read.parquet(frag).count() == n_rows
-    assert not os.path.exists(frag + "._compact_tmp")
-    assert not os.path.exists(frag + "._compact_old")
+    assert not os.path.exists(tmp_m)
+    assert not os.path.exists(old_m)
 
     # crash state 2: died between the two renames — table stranded at
-    # ._compact_old, path missing, complete rewrite sitting in tmp
+    # the old marker, path missing, complete rewrite sitting in tmp
     reset()
-    o.coalesce(1).write.mode("overwrite").parquet(frag + "._compact_tmp")
-    os.rename(frag, frag + "._compact_old")
+    o.coalesce(1).write.mode("overwrite").parquet(tmp_m)
+    os.rename(frag, old_m)
     n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
     assert spark.read.parquet(frag).count() == n_rows  # original restored, recompacted
     assert n == len(_g.glob(os.path.join(frag, "part-*.parquet")))
@@ -359,10 +375,10 @@ def test_compact_files_crash_recovery_each_step(spark, sf_dir, tmp_path):
     # crash state 3: died after the second rename, before cleanup —
     # new table live, old husk left behind
     reset()
-    shutil.copytree(frag, frag + "._compact_old")
+    shutil.copytree(frag, old_m)
     n = compact_files(spark, frag, target_file_bytes=10 * 1024 * 1024)
     assert spark.read.parquet(frag).count() == n_rows
-    assert not os.path.exists(frag + "._compact_old")
+    assert not os.path.exists(old_m)
 
 
 def test_expire_partitions_crash_safe_and_reader_invisible(spark, sf_dir, tmp_path):

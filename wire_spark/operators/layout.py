@@ -62,16 +62,16 @@ def zorder_write(
     ``orderBy`` write, and a one-time cost the layout amortizes over
     every subsequent pruned query.
 
-    NULL handling: a NULL in either cluster column is coalesced to
-    the TOP grid cell (``2^bits - 1``), so null rows cluster into the
-    last Morton tile instead of producing NULL keys that would all
-    collapse into one range partition with full-extent file stats
-    (min/max footers ignore nulls, so the tile's stats stay tight for
-    the non-null rows it shares the file with, and parquet's
-    null-count stat still serves IS NULL pruning).  An all-NULL
-    cluster column has no extent to scale into — that is a caller
-    error and raises ``ValueError`` rather than silently writing an
-    unprunable layout.
+    NULL handling: a NULL in either cluster column lands in the TOP
+    grid cell (``2^bits - 1``) — the coalesce inside ``scaled`` makes
+    that explicit rather than leaning on ``least``'s null-skipping
+    (which happens to give the same cell), so null rows cluster into
+    the last Morton tile with a non-NULL key (min/max footers ignore
+    nulls, so that tile's stats stay tight for the non-null rows
+    sharing its files, and parquet's null-count stat still serves
+    IS NULL pruning).  An all-NULL cluster column has no extent to
+    scale into — that is a caller error and raises ``ValueError``
+    rather than silently writing an unprunable layout.
     """
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
@@ -86,14 +86,14 @@ def zorder_write(
 
     def scaled(c: str, lo, hi) -> Column:
         span = float(hi - lo) if hi != lo else 1.0
-        return F.coalesce(
-            F.least(
-                F.lit(cells),
+        return F.least(
+            F.lit(cells),
+            F.coalesce(  # NULL value -> top tile, never a NULL key
                 F.floor(
                     (F.col(c) - F.lit(lo)) / F.lit(span) * F.lit(cells + 1)
                 ).cast("long"),
+                F.lit(cells),
             ),
-            F.lit(cells),  # NULL cell -> top tile, never a NULL key
         )
 
     (

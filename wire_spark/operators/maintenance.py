@@ -11,9 +11,9 @@ date partitions by PATH, never scanning the data being deleted.
 
 Crash model (both ops are single-writer; see each docstring for the
 concurrent-reader caveat): every on-disk intermediate state is named
-with a reserved marker (``._compact_tmp`` / ``._compact_old`` /
-``._expired_`` — all invisible to Spark/Hadoop readers, which skip
-dot-prefixed paths), and every entry point first HEALS any stranded
+with a reserved marker (``._compact_tmp_<dir>`` / ``._compact_old_<dir>``
+siblings, ``._expired_<dir>`` — all with dot-prefixed BASENAMES, so
+Spark/Hadoop readers skip them), and every entry point first HEALS any stranded
 marker from a previous crashed run, so a kill at any step leaves the
 table either fully old or fully new after the next call.
 """
@@ -26,9 +26,22 @@ import shutil
 
 from pyspark.sql import SparkSession
 
-_TMP_SUFFIX = "._compact_tmp"
-_OLD_SUFFIX = "._compact_old"
 _EXPIRED_PREFIX = "._expired_"
+
+
+def _compact_markers(path: str) -> tuple[str, str]:
+    """(tmp, old) sibling paths for the swap, with DOT-PREFIXED
+    basenames so both are invisible to Spark/Hadoop readers: for
+    ``/table/day=X`` the markers are ``/table/._compact_tmp_day=X``
+    and ``/table/._compact_old_day=X`` — a whole-table reader of
+    ``/table`` never lists them as partitions (a suffix-named marker
+    like ``day=X._compact_tmp`` would parse as a bogus partition
+    value and double-count rows mid-rewrite)."""
+    parent, base = os.path.split(path.rstrip("/"))
+    return (
+        os.path.join(parent, "._compact_tmp_" + base),
+        os.path.join(parent, "._compact_old_" + base),
+    )
 
 
 def _dir_bytes(path: str) -> int:
@@ -56,8 +69,7 @@ def _heal_compact_state(path: str) -> None:
       before cleanup): the NEW table is live at ``path`` — drop
       ``old``.
     """
-    tmp = path.rstrip("/") + _TMP_SUFFIX
-    old = path.rstrip("/") + _OLD_SUFFIX
+    tmp, old = _compact_markers(path)
     if os.path.exists(old):
         if os.path.exists(path):
             shutil.rmtree(old)          # new table live; old is garbage
@@ -106,9 +118,8 @@ def compact_files(
     out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + _TMP_SUFFIX
+    tmp, old = _compact_markers(path)
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + _OLD_SUFFIX
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -1230,7 +1230,11 @@ def quality_gini_stump(spark, sf_dir):
                 "pos_left", "pos_right",
             )
         ).alias("b")
-    )
+    ).filter(F.col("b").isNotNull())
+    # ^ a no-groupBy agg over an EMPTY candidate set (empty table, or a
+    # single distinct feature value leaving no valid split) yields one
+    # all-NULL row; the oracle's LIMIT 1 yields zero rows — drop the
+    # sentinel so both engines agree on degenerate input.
     return best.select(
         F.col("b.split_at").alias("split_at"),
         F.col("b.gini_1e4").alias("gini_1e4"),

@@ -154,7 +154,8 @@ WITH c AS (
   SELECT seg, nat,
          CAST(10000 * sum(CASE WHEN b < mx.mb
                     THEN abs(cum_c * tot.n - cum_g * n_c) ELSE 0 END)
-              // (CAST(n_c AS HUGEINT) * tot.n * (tot.n_buckets - 1))
+              // (CAST(n_c AS HUGEINT) * tot.n
+                  * greatest(tot.n_buckets - 1, 1))
               AS BIGINT) AS emd_1e4
   FROM cum, tot, (SELECT max(b) AS mb FROM gb) mx
   GROUP BY seg, nat, n_c, tot.n, tot.n_buckets, mx.mb
@@ -236,9 +237,15 @@ def tcloseness_audit(spark, sf_dir):
             ).alias("m")
         )
         .select(
+            # greatest(.., 1) guards the degenerate one-bucket table:
+            # the numerator is 0 there (no prefix strictly below the
+            # max bucket), so EMD correctly reads 0 in BOTH engines —
+            # without the guard Spark's non-ANSI div-by-zero yields
+            # NULL (banding every class into the worst tier) while
+            # DuckDB raises.
             F.expr(
                 "CAST(10000 * m div (CAST(n_c AS DECIMAL(38,0)) * n "
-                "* (n_buckets - 1)) AS BIGINT)"
+                "* greatest(n_buckets - 1, 1)) AS BIGINT)"
             ).alias("emd_1e4")
         )
     )

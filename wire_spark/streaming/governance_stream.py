@@ -114,14 +114,12 @@ def windowed_calibration_bins(
         f"1.0e0 / (1.0e0 + exp(-(({g1}L * {x1_col} + {g2}L * {x2_col}"
         f" + {gb}L) / (4.0e0 * {n}L * 10000.0e0))))"
     )
+    # bin and p_1e6 both derive from the ONE pi expression above, so
+    # the scorer can never silently diverge between them
     scored = stream.withWatermark(ts_col, watermark).select(
         ts_col,
         F.col(label_col).alias("y"),
-        F.expr(
-            f"CAST(floor((1.0e0 / (1.0e0 + exp(-(({g1}L * {x1_col}"
-            f" + {g2}L * {x2_col} + {gb}L) / (4.0e0 * {n}L"
-            " * 10000.0e0))))) * 10.0e0) AS BIGINT)"
-        ).alias("bin"),
+        F.floor(pi * F.lit(10.0)).cast("long").alias("bin"),
         F.floor(pi * F.lit(1000000.0)).cast("long").alias("p_1e6"),
     )
     agg = scored.groupBy(F.window(ts_col, window).alias("w"), "bin").agg(
@@ -155,10 +153,12 @@ def contract_gate(
     ``pass_path`` or ``quarantine_path`` as parquet appends.
 
     This is the streaming face of ``contract_validation_report``: the
-    same one-aggregate validation plan runs per micro-batch (one
-    extra pass over data already in the batch — the cost class of a
-    ``count()``), and nothing reaches the published table unless the
-    batch passed.  Optionally appends a one-row-per-rule audit record
+    same one-aggregate validation plan runs per micro-batch, and
+    nothing reaches the published table unless the batch passed.  The
+    batch is persisted for the gate's duration so its source is read
+    ONCE — without that, the empty-check, the validation aggregate,
+    and the routed write would each re-derive the batch from the
+    source (three reads of every input file per trigger).  Optionally appends a one-row-per-rule audit record
     (batch id, rule, pass count, rate, verdict) to ``audit_path`` —
     the queryable history a release review wants.
 
@@ -177,24 +177,28 @@ def contract_gate(
     from wire_spark.operators.contracts import validate
 
     def gate(bdf, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        result = validate(bdf, expectations)
-        target = pass_path if result.ok else quarantine_path
-        bdf.write.mode("append").parquet(target)
-        if audit_path is not None:
-            spark = bdf.sparkSession
-            rows = [
-                (
-                    int(batch_id), name, int(n_pass), float(rate),
-                    name not in result.failed, int(result.n_rows),
-                )
-                for name, (n_pass, rate) in result.rules.items()
-            ]
-            spark.createDataFrame(
-                rows,
-                "batch_id LONG, rule STRING, n_pass LONG, "
-                "pass_rate DOUBLE, ok BOOLEAN, n_rows LONG",
-            ).write.mode("append").parquet(audit_path)
+        bdf.persist()
+        try:
+            result = validate(bdf, expectations)
+            if result.n_rows == 0:
+                return
+            target = pass_path if result.ok else quarantine_path
+            bdf.write.mode("append").parquet(target)
+            if audit_path is not None:
+                spark = bdf.sparkSession
+                rows = [
+                    (
+                        int(batch_id), name, int(n_pass), float(rate),
+                        name not in result.failed, int(result.n_rows),
+                    )
+                    for name, (n_pass, rate) in result.rules.items()
+                ]
+                spark.createDataFrame(
+                    rows,
+                    "batch_id LONG, rule STRING, n_pass LONG, "
+                    "pass_rate DOUBLE, ok BOOLEAN, n_rows LONG",
+                ).write.mode("append").parquet(audit_path)
+        finally:
+            bdf.unpersist()
 
     return gate
