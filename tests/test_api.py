@@ -273,3 +273,27 @@ def test_queued_writes_concurrent_with_streaming_pipeline(svc, tmp_path):
     }
     for k in [f"ck{i}" for i in range(10)]:
         assert dist[k] == winners[k]
+
+
+def test_queued_execute_wait_timeout_returns_408(svc):
+    """?queue&wait&timeout=0 parity with the reference's
+    StatusRequestTimeout path (service.go:1147-1151): the drain thread
+    holds a non-full batch for its 100ms fill window, so a zero
+    timeout expires first -> HTTP 408; the write itself is NOT rolled
+    back and still applies once the queue flushes (rqlite semantics:
+    wait is about acknowledgement, not atomicity)."""
+    import time as _time
+    import urllib.error
+
+    s, base = svc
+    try:
+        _post(base + "/db/execute?queue&wait&timeout=0", ["SET slowk v1"])
+        raise AssertionError("expected HTTP 408")
+    except urllib.error.HTTPError as e:
+        assert e.code == 408
+        assert json.loads(e.read())["error"] == "queue wait timeout"
+    # the enqueued write still lands after the batch window
+    deadline = _time.time() + 10
+    while _time.time() < deadline and s.kv.get("slowk") != "v1":
+        _time.sleep(0.05)
+    assert s.kv.get("slowk") == "v1"

