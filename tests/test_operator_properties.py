@@ -501,3 +501,44 @@ def test_contract_validate_matches_python_model(spark, rows):
     assert result.rules["flag_true"][0] == exp_flag
     assert ("v_small" in result.failed) == (exp_small / len(data) < 0.5)
     assert "flag_true" not in result.failed
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pts=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255),
+                              st.integers(0, 255)),
+                    min_size=2, max_size=10, unique=True))
+def test_morton_nd_matches_model_and_2d_compat(spark, pts):
+    """morton_key_nd equals the N-dim bit model for 3 columns, is
+    injective on the grid, and collapses to morton_key exactly for 2
+    columns; out-of-budget dims raise."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from wire_spark.operators.layout import morton_key, morton_key_nd
+
+    df = spark.createDataFrame(pts, ["x", "y", "w"]).select(
+        "x", "y", "w",
+        morton_key_nd([F.col("x"), F.col("y"), F.col("w")], bits=8).alias("z3"),
+        morton_key_nd([F.col("x"), F.col("y")], bits=8).alias("z2n"),
+        morton_key(F.col("x"), F.col("y"), bits=8).alias("z2"),
+    )
+    rows = df.collect()
+
+    def model(vals, bits, n):
+        z = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + d)
+        return z
+
+    for r in rows:
+        assert r.z3 == model((r.x, r.y, r.w), 8, 3)
+        assert r.z2n == r.z2  # 2-D nd form == the original interleave
+    assert len({r.z3 for r in rows}) == len(pts)
+    with pytest.raises(ValueError):
+        morton_key_nd([F.col("x")] * 7, bits=10)  # 70 bits > 63
+    with pytest.raises(ValueError):
+        morton_key_nd([], bits=4)

@@ -464,3 +464,45 @@ def test_zorder_write_null_cells_and_all_null_column(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="all-NULL"):
         zorder_write(o.withColumn("dead", F.lit(None).cast("long")),
                      str(tmp_path / "z_dead"), "o_totalprice", "dead")
+
+
+def test_pii_scan_redact_audit(spark):
+    """PII governance tier: planted emails/SSNs/PANs/phones/IPs are
+    counted per doc, fully redacted to typed placeholders (no digits
+    of a PAN survive, non-PII text untouched), and the per-source
+    audit aggregates discovery correctly. All JVM-side regex — the
+    plan must contain no Python eval."""
+    from wire_spark.operators.pii import pii_audit, redact_pii, scan_pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk for details", "a"),
+        (1, "ssn 123-45-6789 and card 4111 1111 1111 1111 here", "a"),
+        (2, "call (555) 123-4567 or +1 555-987-6543 from 10.0.0.1", "b"),
+        (3, "perfectly clean sentence with numbers 12345", "b"),
+        (4, "two mails: x@y.io z@w.dev", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+
+    s = {r.doc_id: r for r in scan_pii(df).collect()}
+    assert s[0].pii_email == 1 and s[0].pii_total == 1
+    assert s[1].pii_ssn == 1 and s[1].pii_credit_card == 1 and s[1].pii_total == 2
+    assert s[2].pii_phone == 2 and s[2].pii_ipv4 == 1 and s[2].pii_total == 3
+    assert s[3].pii_total == 0
+    assert s[4].pii_email == 2
+
+    red = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert red[0] == "contact [EMAIL] for details"
+    assert red[1] == "ssn [SSN] and card [CREDIT_CARD] here"
+    assert "[PHONE]" in red[2] and "[IPV4]" in red[2]
+    assert not any(ch.isdigit() for ch in red[1])  # no PAN/SSN digits survive
+    assert red[3] == rows[3][1]  # clean text byte-identical
+
+    audit = {r.source: r for r in pii_audit(df).collect()}
+    assert audit["a"].n_docs == 2 and audit["a"].n_docs_with_pii == 2
+    assert audit["b"].n_docs == 3 and audit["b"].n_docs_with_pii == 2
+    assert audit["a"].n_email == 1 and audit["b"].n_email == 2
+    assert audit["a"].n_ssn == 1 and audit["b"].n_phone == 2
+
+    # JVM-only: no BatchEvalPython / ArrowEvalPython in the plan
+    plan = scan_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

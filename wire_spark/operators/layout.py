@@ -28,12 +28,33 @@ def morton_key(x: Column, y: Column, bits: int = 10) -> Column:
     """Interleave the low ``bits`` of two non-negative int columns
     into a single Z-order key (x gets even bit positions, y odd) —
     pure JVM bit arithmetic, whole-stage-codegen friendly."""
+    return morton_key_nd([x, y], bits=bits)
+
+
+def morton_key_nd(cols: list[Column], bits: int = 10) -> Column:
+    """N-dimensional Morton key: bit ``i`` of column ``d`` lands at
+    position ``i * n_dims + d`` — the straight generalization of the
+    2-D interleave (identical to it for ``n_dims=2``), still pure JVM
+    bit arithmetic.  ``n_dims * bits`` must fit the 64-bit key
+    (raises otherwise).  Three or four dimensions are the practical
+    ceiling: each added dimension halves the per-dimension resolution
+    at fixed key width, so per-file min/max extents widen — the
+    standard Z-order trade documented by every lakehouse OPTIMIZE."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("morton_key_nd: need at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"morton_key_nd: {n} dims x {bits} bits exceeds a 64-bit key"
+        )
     parts = []
     for i in range(bits):
-        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        parts.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for d, c in enumerate(cols):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
     return reduce(lambda a, b: a.bitwiseOR(b), parts)
 
 
