@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.extras5",
     "wire_spark.queries.search",
     "wire_spark.queries.governance",
+    "wire_spark.queries.splits",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
@@ -83,6 +84,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "tokenizer_fertility",
     "embedding_centroid_distance",
+    "split_group_aware",
+    "split_time_embargo",
+    # (split_stratification_audit: added with the two above but left
+    # just outside the 50-slot window — its local oracle gate covers
+    # this round; front-load it in r09)
     # -- 39 stalest greens (last green: round 4) --
     "agg_collect_sorted",
     "ann_ivfpq_adc",
@@ -123,11 +129,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "transform_uppercase",
     "window_distribution_funcs",
-    # -- round-5 fills (sequence_packing_plan first: its r7 rewrite
-    #    postdates its newest driver green) --
+    # -- round-5 fill (its r7 rewrite postdates its newest green) --
     "sequence_packing_plan",
-    "bloom_join_prune",
-    "dedup_components_star",
 )
 
 
