@@ -10,6 +10,7 @@ touched), and phrase adjacency is an equi-join on (doc, pos+1).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
@@ -143,7 +144,9 @@ def search_phrase_positional(spark, sf_dir):
 # contribution is then floored to an integer BEFORE the per-doc sum,
 # so the 3-addend accumulation is exact integer addition — float
 # summation order can never flip the ranking hash.
-_BM25_ORACLE = f"""
+# Shared CTE chain for every BM25-based oracle (the repo rule: sibling
+# oracles compose from one constant, never by string-slicing another).
+_BM25_CTE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), dl AS (
@@ -173,10 +176,16 @@ WITH w AS (
   JOIN idf i ON h.t = i.t
   JOIN dl d ON h.doc_id = d.doc_id, stats s
 )
-SELECT c.doc_id, d.dl, CAST(sum(c.c6) AS BIGINT) AS bm25_6
-FROM contrib c JOIN dl d ON c.doc_id = d.doc_id
-GROUP BY c.doc_id, d.dl
-ORDER BY bm25_6 DESC, c.doc_id
+, scores AS (
+  SELECT c.doc_id, d.dl, CAST(sum(c.c6) AS BIGINT) AS bm25_6
+  FROM contrib c JOIN dl d ON c.doc_id = d.doc_id
+  GROUP BY c.doc_id, d.dl
+)"""
+
+_BM25_ORACLE = _BM25_CTE + """
+SELECT doc_id, dl, bm25_6
+FROM scores
+ORDER BY bm25_6 DESC, doc_id
 LIMIT 25
 """
 
@@ -203,6 +212,17 @@ def search_bm25_ranked(spark, sf_dir):
     per-(doc, term) contributions floor to integers before summing so
     accumulation order is irrelevant.
     """
+    return (
+        _bm25_relation(spark, sf_dir)
+        .orderBy(F.desc("bm25_6"), "doc_id")
+        .limit(25)
+    )
+
+
+def _bm25_relation(spark, sf_dir):
+    """(doc_id, dl, bm25_6) for every doc matching >=1 query term —
+    the unlimited relation behind search_bm25_ranked, shared with the
+    hybrid-fusion query so the two can never drift."""
     tok = T(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("t"))
     # ONE shuffle: per-doc length and all query-term tfs from the same
@@ -235,6 +255,128 @@ def search_bm25_ranked(spark, sf_dir):
         .filter(sum(F.col(f"tf{i}") for i in range(len(_QUERY_TERMS))) > 0)
         .select("doc_id", F.col("dl").cast("long").alias("dl"),
                 F.expr(c6).alias("bm25_6"))
-        .orderBy(F.desc("bm25_6"), "doc_id")
-        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# --------------------------------------------------------------------
+
+# The production RAG retrieval stack in one query: the lexical ranking
+# (BM25 over the 3-term query) and the semantic ranking (cosine of
+# every embedding against the query vector, vec_id 0) each produce a
+# top-50 list, fused by Reciprocal Rank Fusion —
+#   rrf = sum over lists of 1/(60 + rank)
+# — the standard parameter-free fusion (Cormack et al.), which needs
+# only RANKS, so the two scoring scales never have to be calibrated
+# against each other.  Contributions are exact integers
+# (1000000 // (60 + rank)); documents absent from a list contribute 0
+# through the full outer join's coalesce.
+_HYBRID_ORACLE = _BM25_CTE + """
+, lex0 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_6 DESC, doc_id) AS r
+  FROM scores
+), lex AS (SELECT doc_id, r FROM lex0 WHERE r <= 50),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor(list_dot_product(e.v, qv.v)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(qv.v, qv.v)))
+              * 1000000.0::DOUBLE) AS BIGINT) AS sim6
+  FROM e, qv
+), sem0 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim6 DESC, doc_id) AS r
+  FROM sims
+), sem AS (SELECT doc_id, r FROM sem0 WHERE r <= 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(l.r, 0) AS BIGINT) AS rank_lex,
+         CAST(COALESCE(s.r, 0) AS BIGINT) AS rank_sem,
+         CAST(COALESCE(1000000 // (60 + l.r), 0)
+              + COALESCE(1000000 // (60 + s.r), 0) AS BIGINT) AS rrf_1e6
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_1e6
+FROM fused
+ORDER BY rrf_1e6 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("search_hybrid_rrf", oracle=_HYBRID_ORACLE, bench=True,
+          doc="hybrid retrieval: reciprocal-rank fusion (k=60) of the "
+              "BM25 top-50 and the embedding-cosine top-50, exact "
+              "integer rank arithmetic")
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval, fused by RRF: the BM25
+    list catches exact-term matches embeddings blur, the cosine list
+    catches paraphrases BM25 cannot see, and rank fusion combines
+    them without calibrating the two incomparable score scales (only
+    ranks enter; 1/(60+rank) in exact integer micro-units).  This is
+    the retrieval shape RAG stacks deploy; docs on one list only
+    still fuse via the outer join with a 0 contribution.
+
+    Scale shape: the lexical side is the shared ``_bm25_relation``
+    (one corpus shuffle); the semantic side is a projection against
+    ONE broadcast query vector (no pairwise join — at 100 TB swap in
+    the IVF probe from ann_ivf_cosine for the same top-50 contract);
+    each list is a partial top-50, and fusion joins two 50-row
+    relations.  Rank windows run over candidate lists, never the
+    corpus."""
+    lex = (
+        _bm25_relation(spark, sf_dir)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25_6"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("rank_lex"))
+    )
+    from wire_spark.queries.similarity import _dot, _vectors
+
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sem = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("nrm") * F.col("qn"))
+                * F.lit(1000000.0)
+            ).cast("long").alias("sim6"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.orderBy(F.desc("sim6"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("rank_sem"))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).alias("rank_sem"),
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000 div (60 + rank_sem)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_1e6"),
+        )
+        .orderBy(F.desc("rrf_1e6"), "doc_id")
+        .limit(20)
     )
