@@ -1194,3 +1194,85 @@ def test_streaming_kanonymity_state_survives_restart(spark, tmp_path):
     assert got == [
         (w0, "k=2-4", 2, 5),  # {A/1: k=3, B/2: k=2} — state crossed the restart
     ]
+
+
+def test_streaming_centroid_shift_batch_parity(spark, tmp_path):
+    """The encoder-drift monitor: per closed window, the centroid
+    shift against a frozen batch reference equals the batch
+    computation with identical fixed-point arithmetic; a window whose
+    vectors are shifted by a constant reads a nonzero shift2 while an
+    in-distribution window reads ~0."""
+    from collections import defaultdict
+    import math
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.governance_stream import (
+        windowed_centroid_shift,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    # frozen reference: global centroid in integer micro-units, built
+    # with the batch pipeline (posexplode -> floor 1e6 -> sum/count)
+    ref = (
+        emb.select(F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("d0", "xv"))
+        .select((F.col("d0") + 1).alias("dim"),
+                F.floor(F.col("xv") * F.lit(1000000.0)).cast("long")
+                .alias("x6"))
+        .groupBy("dim")
+        .agg(F.expr("CAST(floor(sum(x6) * 1.0e0 / count(1)) AS BIGINT)")
+             .alias("c6"))
+    ).cache()
+    ref.count()
+
+    vecs = [list(r.embedding) for r in emb.limit(40).collect()]
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i, v in enumerate(vecs):
+        # hour 0: as-is (in-distribution); hour 1: every coord +0.5
+        # (the "encoder swap"); hour 3: late sentinel closing both
+        rows.append({"ts": (base + dt.timedelta(minutes=i)).strftime(
+            "%Y-%m-%d %H:%M:%S"), "embedding": [float(x) for x in v]})
+        rows.append({"ts": (base + dt.timedelta(hours=1, minutes=i)).strftime(
+            "%Y-%m-%d %H:%M:%S"),
+            "embedding": [float(x) + 0.5 for x in v]})
+    rows.append({"ts": (base + dt.timedelta(hours=3)).strftime(
+        "%Y-%m-%d %H:%M:%S"), "embedding": [0.0] * 64})
+    src = str(tmp_path / "cs_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = (
+        spark.readStream.schema("ts STRING, embedding ARRAY<DOUBLE>")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "embedding")
+    )
+    q = (
+        windowed_centroid_shift(
+            stream, ref, window="1 hour", watermark="30 minutes",
+        )
+        .writeStream.format("memory").queryName("cshift")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cs_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.w_start: (r.n_vectors, r.shift2_1e6)
+           for r in spark.sql("SELECT * FROM cshift").collect()}
+    assert set(got) == {base, base + dt.timedelta(hours=1)}
+
+    # batch expectation with the identical arithmetic
+    refmap = {r.dim: r.c6 for r in ref.collect()}
+    for w_start, shift in ((base, 0.0), (base + dt.timedelta(hours=1), 0.5)):
+        sums = defaultdict(int)
+        n = len(vecs)
+        for v in vecs:
+            for d, x in enumerate(v, start=1):
+                sums[d] += math.floor((float(x) + shift) * 1000000.0)
+        ss = sum((math.floor(sums[d] / n) - refmap[d]) ** 2
+                 for d in range(1, 65))
+        assert got[w_start] == (n, ss // 1000000)
+    # the drifted window alarms, the in-distribution one stays small
+    assert got[base + dt.timedelta(hours=1)][1] > 100 * max(1, got[base][1])

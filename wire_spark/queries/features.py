@@ -1329,3 +1329,201 @@ def feature_mutual_information(spark, sf_dir):
             .alias("mi4"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# depth-2 tree training — the chained-stump step
+# --------------------------------------------------------------------
+
+# The histogram tree-growing LOOP, demonstrated: level 1 picks the
+# best token-count threshold (exactly quality_gini_stump's relation);
+# level 2 conditions the corpus on that split and trains a fresh stump
+# on a SECOND feature (n_chars) WITHIN EACH SIDE — the per-(side,
+# value) histogram, per-side prefix sums, per-side integer argmin.
+# Every real histogram learner (XGBoost/LightGBM) is this step
+# repeated; the level-1 threshold flows in as a broadcast 1-row
+# relation, never a driver scalar.
+_TREE2_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+         CAST(n_chars AS BIGINT) AS x2
+  FROM documents
+), h AS (
+  SELECT s,
+         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS pos_c,
+         CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS neg_c
+  FROM d GROUP BY s
+), c AS (
+  SELECT s,
+         CAST(sum(pos_c) OVER (ORDER BY s) AS HUGEINT) AS pl,
+         CAST(sum(neg_c) OVER (ORDER BY s) AS HUGEINT) AS nl
+  FROM h
+), tot AS (
+  SELECT CAST(sum(pos_c) AS HUGEINT) AS p, CAST(sum(neg_c) AS HUGEINT) AS q
+  FROM h
+), best1 AS (
+  SELECT s AS t1
+  FROM (
+    SELECT c.s,
+           (20000 * (c.pl * c.nl * ((tot.p - c.pl) + (tot.q - c.nl))
+                     + (tot.p - c.pl) * (tot.q - c.nl) * (c.pl + c.nl)))
+           // ((c.pl + c.nl) * ((tot.p - c.pl) + (tot.q - c.nl))
+               * (tot.p + tot.q)) AS score
+    FROM c, tot
+    WHERE (tot.p - c.pl) + (tot.q - c.nl) > 0
+  )
+  ORDER BY score, s LIMIT 1
+), sided AS (
+  SELECT CASE WHEN d.s <= b.t1 THEN 'L' ELSE 'R' END AS side, d.y, d.x2
+  FROM d, best1 b
+), h2 AS (
+  SELECT side, x2,
+         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS pos_c,
+         CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS neg_c
+  FROM sided GROUP BY side, x2
+), c2 AS (
+  SELECT side, x2,
+         CAST(sum(pos_c) OVER (PARTITION BY side ORDER BY x2) AS HUGEINT)
+           AS pl,
+         CAST(sum(neg_c) OVER (PARTITION BY side ORDER BY x2) AS HUGEINT)
+           AS nl
+  FROM h2
+), tot2 AS (
+  SELECT side, CAST(sum(pos_c) AS HUGEINT) AS p,
+         CAST(sum(neg_c) AS HUGEINT) AS q
+  FROM h2 GROUP BY side
+), cand2 AS (
+  SELECT c2.side, c2.x2, c2.pl, c2.nl,
+         tot2.p - c2.pl AS pr, tot2.q - c2.nl AS nr,
+         c2.pl + c2.nl AS n_left,
+         (tot2.p - c2.pl) + (tot2.q - c2.nl) AS n_right,
+         tot2.p + tot2.q AS n
+  FROM c2 JOIN tot2 ON c2.side = tot2.side
+  WHERE (tot2.p - c2.pl) + (tot2.q - c2.nl) > 0
+), scored2 AS (
+  SELECT side, x2, pl, pr, n_left, n_right,
+         (20000 * (pl * nl * n_right + pr * nr * n_left))
+           // (n_left * n_right * n) AS score,
+         row_number() OVER (
+           PARTITION BY side
+           ORDER BY (20000 * (pl * nl * n_right + pr * nr * n_left))
+                    // (n_left * n_right * n), x2) AS rn
+  FROM cand2
+)
+SELECT side, CAST(x2 AS BIGINT) AS split_at,
+       CAST(score AS BIGINT) AS gini_1e4,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left,
+       CAST(pr AS BIGINT) AS pos_right
+FROM scored2
+WHERE rn = 1
+ORDER BY side
+"""
+
+
+@register("quality_tree_depth2", oracle=_TREE2_ORACLE, bench=True,
+          doc="the histogram tree-growing LOOP step: condition on the "
+              "level-1 stump split, train per-side stumps on a second "
+              "feature — per-side 128-bit integer argmin")
+def quality_tree_depth2(spark, sf_dir):
+    """Level 2 of exact histogram tree training: partition the corpus
+    on quality_gini_stump's winning token-count threshold (broadcast
+    in as a 1-row relation — the tree structure never touches the
+    driver), then find each side's best n_chars split by the same
+    weighted-Gini integer argmin.  One more level = repeat with side
+    as an extra grouping key; this is the loop body XGBoost-style
+    learners iterate.
+
+    Scale: level-1 runs on the token-count histogram; level-2's
+    histogram keys on (side, n_chars) — still domain-bounded — and
+    the per-side windows/argmins run over distinct feature values.
+    A side with a single distinct feature value yields no candidate
+    row on either engine (the rank-1 filter, not a NULL-sentinel
+    aggregate)."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
+        F.col("n_chars").cast("long").alias("x2"),
+    )
+    h = d.groupBy("s").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
+    )
+    w1 = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = h.select(
+        "s",
+        F.sum("pos_c").over(w1).cast("decimal(38,0)").alias("pl"),
+        F.sum("neg_c").over(w1).cast("decimal(38,0)").alias("nl"),
+    )
+    tot = h.agg(
+        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
+        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
+    )
+    best1 = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.expr("(p - pl) + (q - nl) > 0"))
+        .select(
+            F.expr(
+                "CAST((20000 * (pl * nl * ((p - pl) + (q - nl)) "
+                "+ (p - pl) * (q - nl) * (pl + nl))) "
+                "div ((pl + nl) * ((p - pl) + (q - nl)) * (p + q)) AS BIGINT)"
+            ).alias("score"),
+            "s",
+        )
+        .agg(F.min(F.struct("score", "s")).alias("b"))
+        .select(F.col("b.s").alias("t1"))
+    )
+    sided = d.crossJoin(F.broadcast(best1)).select(
+        F.when(F.col("s") <= F.col("t1"), "L").otherwise("R").alias("side"),
+        "y", "x2",
+    )
+    h2 = sided.groupBy("side", "x2").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
+    )
+    w2 = (
+        W.partitionBy("side").orderBy("x2")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c2 = h2.select(
+        "side", "x2",
+        F.sum("pos_c").over(w2).cast("decimal(38,0)").alias("pl"),
+        F.sum("neg_c").over(w2).cast("decimal(38,0)").alias("nl"),
+    )
+    tot2 = h2.groupBy("side").agg(
+        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
+        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
+    )
+    cand2 = (
+        c2.join(tot2, "side")
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .withColumn("nr", F.col("q") - F.col("nl"))
+        .withColumn("n_left", F.col("pl") + F.col("nl"))
+        .withColumn("n_right", F.col("pr") + F.col("nr"))
+        .withColumn("n", F.col("p") + F.col("q"))
+        .filter(F.col("n_right") > 0)
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST((20000 * (pl * nl * n_right + pr * nr * n_left)) "
+                "div (n_left * n_right * n) AS BIGINT)"
+            ),
+        )
+    )
+    wr = W.partitionBy("side").orderBy("score", "x2")
+    return (
+        cand2.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "side",
+            F.col("x2").alias("split_at"),
+            F.col("score").alias("gini_1e4"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("pr").cast("long").alias("pos_right"),
+        )
+        .orderBy("side")
+    )

@@ -202,3 +202,67 @@ def contract_gate(
             bdf.unpersist()
 
     return gate
+
+
+def windowed_centroid_shift(
+    stream: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    vec_col: str = "embedding",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, n_vectors, shift2_1e6) —
+    the squared L2 distance between the window's embedding centroid
+    and a FROZEN reference centroid, in the exact fixed-point
+    discipline of the batch ``embedding_centroid_distance`` query.
+    This is the encoder-drift alarm: an upstream embedding-model swap
+    moves every vector at once, and the centroid shift of the very
+    next window shows it long before any downstream metric does.
+
+    ``reference`` is a (dim, c6) frame — 1-based dim index and the
+    reference centroid coordinate in integer micro-units (build it in
+    batch with the same posexplode/floor/sum pipeline; see the test).
+
+    Shape: posexplode to (ts, dim, x6) cells (still append-time rows,
+    no state), ONE windowed aggregation keyed (window, dim) — state
+    is live-windows x 64 dims, bounded by schema — then a chained
+    window_time aggregation folds the 64 per-dim sums into one row
+    per closed window, joining the broadcast reference at dim grain.
+    Centroid coordinates use floor(sum/count) in double (int64 ->
+    double conversion and division round identically everywhere), so
+    a closed window's value equals the batch computation on the same
+    slice exactly."""
+    cells = stream.select(
+        ts_col,
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("d0", "xv"),
+    ).select(
+        ts_col,
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("xv") * F.lit(1000000.0)).cast("long").alias("x6"),
+    )
+    per_dim = (
+        cells.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "dim")
+        .agg(F.sum("x6").alias("sx"), F.count(F.lit(1)).alias("nc"))
+    )
+    diff = F.expr("CAST(floor(sx * 1.0e0 / nc) AS BIGINT)") - F.col("c6")
+    joined = per_dim.join(F.broadcast(reference), "dim").select(
+        "w",
+        "nc",
+        (diff * diff).cast("long").alias("d2"),  # integer, never pow()
+    )
+    folded = joined.groupBy(
+        F.window(F.window_time("w"), window).alias("w2")
+    ).agg(
+        F.max("nc").alias("n_vectors"),
+        F.expr("CAST(sum(d2) div 1000000 AS BIGINT)").alias("shift2_1e6"),
+    )
+    return folded.select(
+        F.col("w2.start").alias("w_start"),
+        F.col("w2.end").alias("w_end"),
+        "n_vectors",
+        "shift2_1e6",
+    )
