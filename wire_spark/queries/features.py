@@ -1527,3 +1527,115 @@ def quality_tree_depth2(spark, sf_dir):
         )
         .orderBy("side")
     )
+
+
+# --------------------------------------------------------------------
+# split-conformal interval audit — distribution-free uncertainty
+# --------------------------------------------------------------------
+
+# Conformal prediction's promise: pick q-hat as the ceil(0.9*(n+1))-th
+# smallest calibration residual and the interval pred +/- q-hat covers
+# >= 90% of FUTURE points, no distributional assumptions.  This query
+# runs the whole protocol exactly: fit on train (chars-per-token
+# ratio), take the order statistic on calibration, MEASURE empirical
+# coverage on test.  A coverage_1e4 far below 9000 means the
+# exchangeability assumption broke (distribution shift) — the
+# model-agnostic drift alarm.
+_CONFORMAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+         CAST(n_chars AS BIGINT) AS a,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS b
+  FROM documents
+), fit AS (
+  SELECT CAST(sum(a) * 1000000 // sum(s) AS BIGINT) AS r6
+  FROM d WHERE b < 80
+), resid AS (
+  SELECT d.doc_id, d.b,
+         abs(d.a * 1000000 - d.s * fit.r6) AS res
+  FROM d, fit
+), cal AS (
+  SELECT res, row_number() OVER (ORDER BY res, doc_id) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_cal
+  FROM resid WHERE b >= 80 AND b < 90
+), qhat AS (
+  SELECT res AS q, n_cal FROM cal
+  WHERE rn = (9 * (n_cal + 1) + 9) // 10
+), test AS (
+  SELECT res FROM resid WHERE b >= 90
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM resid WHERE b < 80) AS n_train,
+       qhat.n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(qhat.q AS BIGINT) AS qhat_1e6,
+       CAST(sum(CASE WHEN test.res <= qhat.q THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS coverage_1e4
+FROM test, qhat
+GROUP BY qhat.n_cal, qhat.q
+"""
+
+
+@register("conformal_interval_audit", oracle=_CONFORMAL_ORACLE, bench=True,
+          doc="split-conformal protocol end-to-end: train ratio "
+              "predictor, exact calibration order statistic, measured "
+              "test coverage — the distribution-free uncertainty gate")
+def conformal_interval_audit(spark, sf_dir):
+    """The split-conformal protocol, exactly: fit a chars-per-token
+    predictor on the train slice (80% by doc hash), take q-hat as the
+    ceil(0.9*(n+1))-th smallest absolute residual on the calibration
+    slice (10%), and report the interval's EMPIRICAL coverage on the
+    test slice (10%).  Exchangeability guarantees coverage >= 90%;
+    a shortfall is a model-agnostic distribution-shift alarm, which
+    is why serving pipelines recompute this audit per data window.
+
+    Scale shape: fit is one conditional aggregate; residuals are a
+    projection; the single row-grain step is the order statistic over
+    the CALIBRATION slice (10% here; production calibrates on a
+    bounded sample — for corpus-sized calibration sets swap in the
+    percentile_bucketed_exact histogram pattern, same contract).
+    All arithmetic is integer fixed-point: residuals in 1e-6 char
+    units, coverage as an exact ratio."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
+        F.col("n_chars").cast("long").alias("a"),
+        (md5_long(F.col("doc_id").cast("string")) % 100).alias("b"),
+    )
+    fit = d.filter(F.col("b") < 80).agg(
+        F.expr("CAST(sum(a) * 1000000 div sum(s) AS BIGINT)").alias("r6")
+    )
+    resid = d.crossJoin(F.broadcast(fit)).select(
+        "doc_id", "b",
+        F.abs(F.col("a") * F.lit(1000000) - F.col("s") * F.col("r6"))
+        .alias("res"),
+    )
+    cal = (
+        resid.filter((F.col("b") >= 80) & (F.col("b") < 90))
+        .withColumn("rn", F.row_number().over(W.orderBy("res", "doc_id")))
+        .withColumn("n_cal", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    qhat = cal.filter(
+        F.expr("rn = (9 * (n_cal + 1) + 9) div 10")
+    ).select(F.col("res").alias("q"), "n_cal")
+    n_train = resid.filter(F.col("b") < 80).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    return (
+        resid.filter(F.col("b") >= 90)
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(n_train))
+        .groupBy("n_train", "n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("res") <= F.col("q"), 1).otherwise(0))
+            .alias("n_cov"),
+        )
+        .select(
+            "n_train", "n_cal", "n_test",
+            F.col("q").cast("long").alias("qhat_1e6"),
+            F.expr("CAST(n_cov * 10000 div n_test AS BIGINT)")
+            .alias("coverage_1e4"),
+        )
+    )
