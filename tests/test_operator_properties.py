@@ -542,3 +542,31 @@ def test_morton_nd_matches_model_and_2d_compat(spark, pts):
         morton_key_nd([F.col("x")] * 7, bits=10)  # 70 bits > 63
     with pytest.raises(ValueError):
         morton_key_nd([], bits=4)
+
+
+def test_morton_nd_int_columns_high_bit_positions(spark):
+    """IntegerType inputs must not wrap: with 3 dims x 12 bits, bit
+    positions reach 35 — Java int shiftleft would mask the distance
+    & 31 and collide keys; the internal long cast keeps the nd key
+    equal to the Python model for INT columns too."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.operators.layout import morton_key_nd
+
+    pts = [(4095, 0, 0), (0, 4095, 0), (0, 0, 4095), (4095, 4095, 4095)]
+    df = spark.createDataFrame(pts, "x INT, y INT, w INT").select(
+        "x", "y", "w",
+        morton_key_nd([F.col("x"), F.col("y"), F.col("w")], bits=12)
+        .alias("z"),
+    )
+
+    def model(vals):
+        z = 0
+        for i in range(12):
+            for d, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * 3 + d)
+        return z
+
+    got = {(r.x, r.y, r.w): r.z for r in df.collect()}
+    assert got == {p: model(p) for p in pts}
+    assert max(got.values()) >= (1 << 35)  # high positions actually used

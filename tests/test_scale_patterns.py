@@ -480,6 +480,9 @@ def test_pii_scan_redact_audit(spark):
         (2, "call (555) 123-4567 or +1 555-987-6543 from 10.0.0.1", "b"),
         (3, "perfectly clean sentence with numbers 12345", "b"),
         (4, "two mails: x@y.io z@w.dev", "b"),
+        (5, "e164 +15551234567 works", "c"),
+        (6, "order id 98765 but 432-1098 alone is no phone", "c"),
+        (7, None, "c"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
 
@@ -489,6 +492,9 @@ def test_pii_scan_redact_audit(spark):
     assert s[2].pii_phone == 2 and s[2].pii_ipv4 == 1 and s[2].pii_total == 3
     assert s[3].pii_total == 0
     assert s[4].pii_email == 2
+    assert s[5].pii_phone == 1  # bare E.164, no separators
+    assert s[6].pii_total == 0  # 7-digit fragment never matches mid-run
+    assert s[7].pii_total == 0  # NULL text scans clean, never NULL
 
     red = {r.doc_id: r.text for r in redact_pii(df).collect()}
     assert red[0] == "contact [EMAIL] for details"
@@ -502,6 +508,9 @@ def test_pii_scan_redact_audit(spark):
     assert audit["b"].n_docs == 3 and audit["b"].n_docs_with_pii == 2
     assert audit["a"].n_email == 1 and audit["b"].n_email == 2
     assert audit["a"].n_ssn == 1 and audit["b"].n_phone == 2
+    # NULL text is reported, not silently passed as clean
+    assert audit["c"].n_docs == 3 and audit["c"].n_docs_null == 1
+    assert audit["c"].n_docs_with_pii == 1 and audit["c"].n_phone == 1
 
     # JVM-only: no BatchEvalPython / ArrowEvalPython in the plan
     plan = scan_pii(df)._jdf.queryExecution().executedPlan().toString()

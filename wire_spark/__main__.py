@@ -82,10 +82,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(line))
         return 0
 
-    from wire_spark.engine import get_spark
-
-    spark = get_spark("wire-spark-cli")
-
+    # no-Spark paths first: the unknown-query error and pure-filesystem
+    # retention should not pay multi-second JVM startup
     if args.cmd == "run":
         from wire_spark.catalog import load_registry
 
@@ -95,6 +93,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"unknown query {args.name!r}",
                               "did_you_mean": close[:5]}), file=sys.stderr)
             return 2
+    if args.cmd == "maintain" and args.maint_cmd == "expire":
+        from wire_spark.operators.maintenance import expire_partitions
+
+        dropped = expire_partitions(
+            args.path, args.partition_col, args.keep_from
+        )
+        print(json.dumps({"path": args.path, "dropped": dropped}))
+        return 0
+
+    from wire_spark.engine import get_spark
+
+    spark = get_spark("wire-spark-cli")
+
+    if args.cmd == "run":
         df = reg[args.name].fn(spark, args.sf_dir)
         if args.explain:
             print(df._jdf.queryExecution().explainString(
@@ -106,26 +118,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(recursive=True), default=str))
         return 0
 
-    if args.cmd == "maintain":
-        from wire_spark.operators.maintenance import (
-            compact_files,
-            expire_partitions,
-        )
+    if args.cmd == "maintain":  # only 'compact' reaches here
+        from wire_spark.operators.maintenance import compact_files
 
-        if args.maint_cmd == "compact":
-            n = compact_files(
-                spark, args.path,
-                target_file_bytes=args.target_mb * 1024 * 1024,
-                sort_within_by=(
-                    args.sort_by.split(",") if args.sort_by else None
-                ),
-            )
-            print(json.dumps({"path": args.path, "files_after": n}))
-            return 0
-        dropped = expire_partitions(
-            args.path, args.partition_col, args.keep_from
+        n = compact_files(
+            spark, args.path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            sort_within_by=(
+                args.sort_by.split(",") if args.sort_by else None
+            ),
         )
-        print(json.dumps({"path": args.path, "dropped": dropped}))
+        print(json.dumps({"path": args.path, "files_after": n}))
         return 0
 
     if args.cmd == "serve":

@@ -47,9 +47,15 @@ def morton_key_nd(cols: list[Column], bits: int = 10) -> Column:
         raise ValueError(
             f"morton_key_nd: {n} dims x {bits} bits exceeds a 64-bit key"
         )
+    # cast to LONG first: Spark's shiftleft on an INT operand uses
+    # Java int semantics (shift distance masked & 31, 32-bit result),
+    # so an IntegerType column with any bit position >= 31 would wrap
+    # into silently colliding keys while the 63-bit guard above still
+    # passes
+    longs = [c.cast("long") for c in cols]
     parts = []
     for i in range(bits):
-        for d, c in enumerate(cols):
+        for d, c in enumerate(longs):
             parts.append(
                 F.shiftleft(
                     F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d

@@ -49,9 +49,15 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"\b\d{3}-\d{2}-\d{4}\b",
         "[SSN]",
     ),
-    # +1-555-123-4567 / (555) 123-4567 / 555-123-4567
+    # +1-555-123-4567 / (555) 123-4567 / 555-123-4567 / +15551234567.
+    # The leading \b (or the '(' / '+', which cannot occur mid-run)
+    # stops matches starting INSIDE a longer digit run — without it
+    # 'id 98765 432-1098' would redact from the middle of the id.
+    # The last alternative is bare E.164: '+' then 10-14 digits.
     "phone": (
-        r"(?:\+?\d{1,2}[ -]?)?(?:\(\d{3}\)|\d{3})[ -]?\d{3}[ -]\d{4}\b",
+        r"(?:\b(?:\+?\d{1,2}[ -]?)?\d{3}|(?:\+?\d{1,2}[ -]?)?\(\d{3}\))"
+        r"[ -]?\d{3}[ -]\d{4}\b"
+        r"|\+\d{10,14}\b",
         "[PHONE]",
     ),
     # dotted-quad IPv4 (0-255 per octet)
@@ -74,9 +80,14 @@ def scan_pii(
     """
     patterns = PII_PATTERNS if patterns is None else patterns
     out = df
+    # NULL text carries no extractable content: counts coalesce to 0
+    # so one NULL row can never NULL-poison pii_total (NULL + n = NULL
+    # would make the audit read the document as unscanned-but-clean);
+    # pii_audit reports NULL documents separately as n_docs_null.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     total: Column = F.lit(0)
     for name, (rx, _repl) in patterns.items():
-        c = F.regexp_count(F.col(text_col), F.lit(rx))
+        c = F.regexp_count(txt, F.lit(rx))
         out = out.withColumn(f"pii_{name}", c)
         total = total + c
     return out.withColumn("pii_total", total)
@@ -118,6 +129,8 @@ def pii_audit(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("pii_total") > 0, 1).otherwise(0))
         .alias("n_docs_with_pii"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0))
+        .alias("n_docs_null"),
     ]
     for name in patterns:
         aggs.append(F.sum(f"pii_{name}").alias(f"n_{name}"))

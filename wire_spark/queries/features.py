@@ -1473,6 +1473,11 @@ def quality_tree_depth2(spark, sf_dir):
             "s",
         )
         .agg(F.min(F.struct("score", "s")).alias("b"))
+        .filter(F.col("b").isNotNull())
+        # ^ empty level-1 candidate set (single distinct token count)
+        # would otherwise yield one NULL-t1 row, silently routing
+        # every doc to side 'R' while the oracle's FROM d, best1
+        # yields zero rows — the gini-stump NULL-sentinel rule again
         .select(F.col("b.s").alias("t1"))
     )
     sided = d.crossJoin(F.broadcast(best1)).select(
