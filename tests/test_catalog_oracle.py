@@ -76,3 +76,27 @@ def test_entry_contract(spark):
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_register_rejects_cross_module_name_collision():
+    """A second registration of an existing name from a DIFFERENT
+    function must raise (silent overwrite let import order pick the
+    winner); re-registering the same function (module reload) stays
+    idempotent."""
+    import pytest
+
+    from wire_spark.catalog import REGISTRY, register
+
+    assert "q1_pricing_summary" in REGISTRY
+    original = REGISTRY["q1_pricing_summary"]
+    with pytest.raises(ValueError, match="collision"):
+        @register("q1_pricing_summary")
+        def q1_pricing_summary(spark, sf_dir):  # same name, new def
+            raise AssertionError("never runs")
+    assert REGISTRY["q1_pricing_summary"] is original  # untouched
+
+    # idempotent path: same (module, qualname) re-registers cleanly
+    fn = original.fn
+    register("q1_pricing_summary", oracle=original.oracle,
+             doc=original.doc, bench=original.bench)(fn)
+    assert REGISTRY["q1_pricing_summary"].fn is fn

@@ -144,9 +144,29 @@ class CatalogQuery:
 
 
 def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
-    """Decorator registering a catalog query."""
+    """Decorator registering a catalog query.
+
+    Duplicate names raise: a silent overwrite would let module import
+    order decide which implementation the driver checks (nearly
+    happened in round 8 — a second ``events_changepoint_cusum`` in a
+    different module shadowed one of the pair with no error).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = REGISTRY.get(name)
+        # idempotent re-registration of the SAME function (module
+        # reloaded in one process) is fine; a DIFFERENT function
+        # under an existing name is the collision bug. Identity is
+        # (module, qualname) — qualname alone would treat two
+        # same-named defs in different modules as equal, which is
+        # exactly the r8 near-miss shape.
+        if prev is not None and (
+            prev.fn.__module__, prev.fn.__qualname__
+        ) != (fn.__module__, fn.__qualname__):
+            raise ValueError(
+                f"catalog query name collision: {name!r} already "
+                f"registered by {prev.fn.__module__}.{prev.fn.__qualname__}"
+            )
         REGISTRY[name] = CatalogQuery(name=name, fn=fn, oracle=oracle, doc=doc, bench=bench)
         return fn
 
