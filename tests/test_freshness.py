@@ -1,0 +1,77 @@
+"""Machine-audited driver-evidence freshness (VERDICT r8 item 8).
+
+With 200+ registry queries and a 50-slot driver window, per-query
+driver-green staleness must be enforced by a test, not a comment.
+``tools/freshness.py`` folds the CORRECTNESS_r*.json history into
+FRESHNESS.json; these tests pin three invariants:
+
+1. The committed FRESHNESS.json matches a fresh regeneration (no
+   stale artifact drift).
+2. Every registry query is either green within the last 4 rounds or
+   scheduled in the CURRENT 50-slot driver window — i.e. nothing can
+   silently age out of the rotation.
+3. Never-driver-checked queries are all front-loaded in the window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.freshness import build  # noqa: E402
+from wire_spark.catalog import _DRIVER_PRIORITY, load_registry  # noqa: E402
+
+MAX_STALENESS_ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def freshness() -> dict:
+    return build(ROOT)
+
+
+def test_committed_artifact_matches_regeneration(freshness):
+    path = os.path.join(ROOT, "FRESHNESS.json")
+    assert os.path.exists(path), "FRESHNESS.json missing — run tools/freshness.py"
+    committed = json.load(open(path))
+    assert committed == freshness, (
+        "FRESHNESS.json is stale — regenerate with `python tools/freshness.py`"
+    )
+
+
+def test_every_query_fresh_or_scheduled(freshness):
+    reg = load_registry()
+    window = set(list(reg)[:50])
+    latest = freshness["latest_round"]
+    violations = []
+    for name, rec in freshness["queries"].items():
+        green = rec["newest_green"]
+        fresh = green is not None and latest - green < MAX_STALENESS_ROUNDS
+        if not fresh and name not in window:
+            violations.append((name, green))
+    assert not violations, (
+        f"queries stale >{MAX_STALENESS_ROUNDS} rounds and not in the "
+        f"current driver window: {violations}"
+    )
+
+
+def test_never_checked_queries_lead_the_window(freshness):
+    never = freshness["never_checked"]
+    head = list(_DRIVER_PRIORITY)[: len(never)] if never else []
+    assert sorted(head) == sorted(never), (
+        f"never-driver-checked queries {never} must be the first "
+        f"{len(never)} names in _DRIVER_PRIORITY (got {head})"
+    )
+
+
+def test_window_is_exactly_fifty_known_names():
+    reg = load_registry()
+    assert len(_DRIVER_PRIORITY) == 50
+    unknown = [n for n in _DRIVER_PRIORITY if n not in reg]
+    assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
+    assert list(reg)[:50] == list(_DRIVER_PRIORITY)

@@ -63,74 +63,71 @@ _QUERY_MODULES = (
 # row is the stronger evidence — so each round we front-load the
 # names that have not yet earned one.  Names listed here are yielded
 # first (in this order); everything else follows in registration
-# order.  Round 8 window (50 slots): any queries ADDED this round
-# (never driver-checked — listed first), then the 39 queries whose
-# newest green is round 4 (the stalest cohort, including the
-# broadcast-hint-changed TPC-H shapes q2/q4/q6-q22 whose driver
-# evidence predates the r7 hint removal, and the r7-rewritten
-# sequence_packing_plan's cohort-mates), then round-5 fills —
-# queries whose code changed after their r5 green
-# (sequence_packing_plan: driver-collect removed in r7) or that
-# anchor the iterative/bloom families re-audited this round.  After
-# this window lands, every registry query's newest green is <=3
-# rounds old.
+# order.
+#
+# Round 9 window (50 slots): the 4 queries that have NEVER held a
+# driver-green row (all added late in r7/r8, outside those windows),
+# then 46 of the 49 queries whose newest green is round 5 — the
+# stalest cohort.  Three r5 greens are deferred to r10 for lack of
+# slots (window_tumbling_hourly, window_session_10m,
+# events_user_growth — simple, code-stable shapes).  Freshness is
+# machine-audited: tools/freshness.py regenerates FRESHNESS.json
+# from the CORRECTNESS_r*.json history and
+# tests/test_freshness.py asserts every registry query is either
+# inside this window or green within the last 4 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 8 (never driver-checked) --
-    "ldiversity_audit",
-    "tcloseness_audit",
-    "contract_validation_report",
-    "quality_gini_stump",
-    "feature_mutual_information",
-    "dedup_containment",
-    "tokenizer_fertility",
-    "embedding_centroid_distance",
-    "split_group_aware",
-    "split_time_embargo",
-    # (split_stratification_audit: added with the two above but left
-    # just outside the 50-slot window — its local oracle gate covers
-    # this round; front-load it in r09)
-    # -- 39 stalest greens (last green: round 4) --
-    "agg_collect_sorted",
-    "ann_ivfpq_adc",
-    "decontamination_overlap",
-    "dedup_components_lsh",
-    "dedup_crossmodal_audit",
-    "dedup_winnowing_overlap",
-    "fuzzy_match_part_names",
-    "grouping_sets_mixed",
-    "kmeans_lloyd_two_rounds",
-    "multimodal_decode_meta",
-    "orders_by_month",
-    "percentile_order_value",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_heavy_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_rich_inactive",
-    "q2_min_cost_per_type",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "range_join_price_bands",
-    "sample_hash_documents",
-    "sessionized_top_users",
-    "string_functions_part",
-    "text_unigram_logprob",
-    "token_zipf",
-    "train_val_test_split",
-    "transform_uppercase",
-    "window_distribution_funcs",
-    # -- round-5 fill (its r7 rewrite postdates its newest green) --
-    "sequence_packing_plan",
+    # -- never driver-checked (added late r7/r8) --
+    "conformal_interval_audit",
+    "quality_tree_depth2",
+    "search_hybrid_rrf",
+    "split_stratification_audit",
+    # -- 46 of the 49 stalest greens (last green: round 5) --
+    "ann_ivf_lloyd_cosine",
+    "ann_lsh_multiprobe_cosine",
+    "bloom_join_prune",
+    "cdc_apply_state",
+    "cdc_op_stats",
+    "context_chunking_plan",
+    "corpus_clean_split",
+    "curation_mixing_weights",
+    "dedup_components_star",
+    "dedup_embedding_cosine_lsh",
+    "dedup_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_rate_by_source",
+    "embedding_quantize_int8",
+    "events_funnel_conversion",
+    "events_markov_transitions",
+    "events_resample_ffill",
+    "events_seasonal_anomaly",
+    "events_time_decay",
+    "events_trigram_paths",
+    "events_type_correlation",
+    "graph_pagerank_neardup",
+    "length_bucket_histogram",
+    "negative_sampling_pairs",
+    "null_semantics_audit",
+    "percentile_bucketed_exact",
+    "q12_priority_classes",
+    "q1_pricing_summary",
+    "quantile_histogram_sketch",
+    "retention_cohorts",
+    "robust_outliers_mad",
+    "robust_outliers_mad_bucketed",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_length",
+    "sample_weighted_per_source",
+    "session_dwell_percentiles",
+    "sketch_hll_distinct",
+    "skew_audit_events_user",
+    "source_contamination_matrix",
+    "text_bigram_logprob",
+    "text_collocations_lift",
+    "text_langid_trigram_trained",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "text_token_entropy",
+    "window_range_frame_30m",
 )
 
 
