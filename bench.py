@@ -396,6 +396,14 @@ def main() -> None:
         except OSError as e:
             print(f"BENCH DETAIL WRITE ERROR: {e}", file=sys.stderr)
 
+    # release catalog-query caches before teardown: a caller that
+    # invokes bench.main() repeatedly in one session (different
+    # sf_dirs -> distinct plans -> distinct cache entries) must not
+    # accumulate pinned storage memory (ADVICE r8, tcloseness_audit)
+    from wire_spark.queries._util import release_tracked_caches
+
+    release_tracked_caches()
+
     # Tear the session down BEFORE printing: spark.stop() joins the
     # executor threads, so any lingering shutdown stack traces land
     # ahead of the JSON line instead of after it (the r01-r06 failure

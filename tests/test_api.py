@@ -297,3 +297,21 @@ def test_queued_execute_wait_timeout_returns_408(svc):
     while _time.time() < deadline and s.kv.get("slowk") != "v1":
         _time.sleep(0.05)
     assert s.kv.get("slowk") == "v1"
+
+
+def test_empty_statement_list_is_rejected_with_400(svc):
+    """An empty statements array is a 400 on BOTH execute paths
+    (request_parser.go:14 ErrNoStatements), never a vacuous success.
+    The queued path previously returned sequence_number 0 without
+    enqueueing anything, and wait=true 'succeeded' immediately
+    against seq 0 — the ADVICE r8 degenerate-success finding."""
+    import urllib.error
+
+    s, base = svc
+    for path in ["/db/execute", "/db/execute?queue", "/db/execute?queue&wait"]:
+        try:
+            _post(base + path, [])
+            raise AssertionError(f"expected HTTP 400 for {path}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, path
+            assert "no statements" in json.loads(e.read())["error"], path

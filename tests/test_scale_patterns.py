@@ -483,6 +483,11 @@ def test_pii_scan_redact_audit(spark):
         (5, "e164 +15551234567 works", "c"),
         (6, "order id 98765 but 432-1098 alone is no phone", "c"),
         (7, None, "c"),
+        # the PII_PATTERNS comment's literal counterexample: a 5-digit
+        # id directly adjacent to a phone-like fragment must NOT be
+        # swallowed ('98' must not parse as a separator-less country
+        # code — the r8 false-positive)
+        (8, "id 98765 432-1098", "d"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
 
@@ -495,6 +500,7 @@ def test_pii_scan_redact_audit(spark):
     assert s[5].pii_phone == 1  # bare E.164, no separators
     assert s[6].pii_total == 0  # 7-digit fragment never matches mid-run
     assert s[7].pii_total == 0  # NULL text scans clean, never NULL
+    assert s[8].pii_total == 0  # id adjacent to phone-like fragment kept
 
     red = {r.doc_id: r.text for r in redact_pii(df).collect()}
     assert red[0] == "contact [EMAIL] for details"
@@ -515,3 +521,30 @@ def test_pii_scan_redact_audit(spark):
     # JVM-only: no BatchEvalPython / ArrowEvalPython in the plan
     plan = scan_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_tracked_caches_release_after_action(spark, sf_dir):
+    """Catalog queries cache bounded fragments through
+    ``tracked_cache`` so long-lived callers can evict them once their
+    actions finish (ADVICE r8: tcloseness_audit pinned its class x
+    bucket grid forever).  Pin the lifecycle: running the query
+    populates Spark's cache manager, ``release_tracked_caches`` emp-
+    ties it, and the released DataFrame still recomputes correctly."""
+    from wire_spark.queries._util import release_tracked_caches
+    from wire_spark.queries.governance import tcloseness_audit
+
+    release_tracked_caches()  # isolate from earlier tests in the session
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    assert cm.isEmpty()
+
+    df = tcloseness_audit(spark, sf_dir)
+    before = df.collect()
+    assert not cm.isEmpty()  # the grid cache is live after the action
+
+    released = release_tracked_caches()
+    assert released >= 1
+    assert cm.isEmpty()  # nothing left pinned in storage memory
+
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, before))
+    assert cm.isEmpty() or release_tracked_caches() >= 0  # recompute, no re-pin

@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
                 .ExplainMode.fromString("formatted")))
             return 0
         rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        from wire_spark.queries._util import release_tracked_caches
+
+        release_tracked_caches()
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
         return 0

@@ -102,6 +102,10 @@ class WireService:
         return {"key": key, "pipeline": self.registry.show()[key]}
 
     def execute(self, statements: list[str]) -> dict:
+        if not statements:
+            # empty/absent body is a 400, never a vacuous success
+            # (request_parser.go:14 ErrNoStatements)
+            raise ValueError("no statements")
         t0 = time.perf_counter()
         results = []
         for s in statements:
@@ -122,6 +126,13 @@ class WireService:
         (FlushChannel analog); a timeout raises ``TimeoutError``, which
         the HTTP layer maps to 408 like the reference's
         StatusRequestTimeout."""
+        if not statements:
+            # reject before touching the queue: an empty batch would
+            # return sequence_number 0, which wait=true then treats
+            # as already-applied — a degenerate success for a request
+            # the reference 400s (request_parser.go:14
+            # ErrNoStatements)
+            raise ValueError("no statements")
         self._count("num_queued_executions")
         t0 = time.perf_counter()
         with self._queue_lock:

@@ -51,11 +51,16 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
     # +1-555-123-4567 / (555) 123-4567 / 555-123-4567 / +15551234567.
     # The leading \b (or the '(' / '+', which cannot occur mid-run)
-    # stops matches starting INSIDE a longer digit run — without it
-    # 'id 98765 432-1098' would redact from the middle of the id.
+    # stops matches starting INSIDE a longer digit run, and a country
+    # code WITHOUT '+' requires a separator after it — otherwise
+    # 'id 98765 432-1098' would parse as cc=98 + 765 + 432-1098 and
+    # redact from the middle of the id (the r8 false-positive).  In
+    # the '(area)' branch the '(' itself blocks mid-run starts, so
+    # its country code keeps the optional separator.
     # The last alternative is bare E.164: '+' then 10-14 digits.
     "phone": (
-        r"(?:\b(?:\+?\d{1,2}[ -]?)?\d{3}|(?:\+?\d{1,2}[ -]?)?\(\d{3}\))"
+        r"(?:\b(?:\+\d{1,2}[ -]?|\d{1,2}[ -])?\d{3}"
+        r"|(?:\+?\d{1,2}[ -]?)?\(\d{3}\))"
         r"[ -]?\d{3}[ -]\d{4}\b"
         r"|\+\d{10,14}\b",
         "[PHONE]",

@@ -12,6 +12,48 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: DataFrames cached by catalog queries, awaiting release.  Catalog
+#: functions are lazy (the caller runs the action), so a query cannot
+#: unpersist its own cache — instead every ``.cache()`` inside a
+#: catalog query goes through :func:`tracked_cache` and long-lived
+#: callers (bench.py, the CLI, the serve path) call
+#: :func:`release_tracked_caches` once their actions complete.
+#: Without this, a session that runs many queries (or the same query
+#: across different sf_dirs — distinct plans, distinct cache entries)
+#: pins executor storage memory indefinitely (ADVICE r8,
+#: tcloseness_audit).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with deferred-release bookkeeping.
+
+    Spark's cache manager matches by analyzed plan, so an identical
+    fragment built twice (e.g. ``_shingle_df`` across several dedup
+    queries in one bench run) still hits one shared InMemoryRelation;
+    releasing only at end-of-run preserves that cross-query reuse.
+    """
+    _TRACKED_CACHES.append(df)
+    return df.cache()
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released.
+
+    Safe to call while the DataFrames are still referenced — unpersist
+    only evicts the materialized blocks; any later action simply
+    recomputes."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def fmt_ts(col, with_micros: bool = False):
     """Render a timestamp as a canonical string.
 

@@ -22,7 +22,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long, t4, t6, word_shingles
+from wire_spark.queries._util import (T, md5_long, t4, t6, tracked_cache,
+                                      word_shingles)
 
 # --------------------------------------------------------------------
 # exact dedup: hash-groupBy
@@ -96,7 +97,7 @@ def _shingle_df(spark, sf_dir, cache: bool = True):
     """
     d = T(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
-    return sh.cache() if cache else sh
+    return tracked_cache(sh) if cache else sh
 
 
 def _jaccard_pairs(spark, sf_dir, threshold: float, df_cap: int | None = 1000,
@@ -909,12 +910,11 @@ def winnow_pair_overlap(docs, k: int = 3, w: int = 4, df_cap: int = 100):
     # on (exchange reuse, no extra shuffle — the _jaccard_pairs
     # pattern); cached because the md5-per-position extraction feeds
     # BOTH sides of the self-join and would otherwise recompute
-    fpc = (
+    fpc = tracked_cache(
         d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
         .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
         .filter(F.col("df") <= df_cap)
         .drop("df")
-        .cache()
     )
     a = fpc.select(F.col("doc_id").alias("d1"), "fp")
     b = fpc.select(F.col("doc_id").alias("d2"), "fp")

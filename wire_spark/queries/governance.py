@@ -34,7 +34,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T
+from wire_spark.queries._util import T, tracked_cache
 
 # --------------------------------------------------------------------
 # l-diversity audit
@@ -202,10 +202,9 @@ def tcloseness_audit(spark, sf_dir):
     # Without persistence Spark re-derives each branch from the
     # parquet scan (observed: 5 scans); with it the customer table is
     # read exactly once and everything after is grid-grain.
-    cb = (
+    cb = tracked_cache(
         c.groupBy("seg", "nat", "b")
         .agg(F.count(F.lit(1)).alias("n_cb"))
-        .cache()
     )
     gb = cb.groupBy("b").agg(F.sum("n_cb").alias("n_b"))
     cls = cb.groupBy("seg", "nat").agg(F.sum("n_cb").alias("n_c"))

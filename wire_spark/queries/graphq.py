@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.queries.dedup import _SHINGLES_CTE, _jaccard_pairs
+from wire_spark.queries._util import tracked_cache
 
 _SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
 _TELEPORT = _SCALE * 15 // 100  # exact: 150_000_000_000
@@ -198,9 +199,10 @@ def graph_pagerank_weighted(spark, sf_dir):
 
     # cached: the self-union's two branches project differently, so
     # without the cache the shingle join can materialize twice
-    pairs = _jaccard_pairs(spark, sf_dir, 0.8, with_weight=True).select(
-        "d1", "d2", "w1e4"
-    ).cache()
+    pairs = tracked_cache(
+        _jaccard_pairs(spark, sf_dir, 0.8, with_weight=True)
+        .select("d1", "d2", "w1e4")
+    )
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "w1e4")
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"),
@@ -304,7 +306,8 @@ def graph_pagerank_personalized(spark, sf_dir):
     # cached: both the edge list handed to pagerank AND the seed set
     # derive from the pair relation — without the cache the expensive
     # shingle join would execute twice (once per consumer)
-    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    pairs = tracked_cache(
+        _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2"))
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
@@ -548,7 +551,8 @@ def dedup_survivors_central(spark, sf_dir):
     from wire_spark.operators.graph import connected_components, pagerank_fixed
     from pyspark.sql import Window as W
 
-    pairs = _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2").cache()
+    pairs = tracked_cache(
+        _jaccard_pairs(spark, sf_dir, 0.8).select("d1", "d2"))
     comps = connected_components(pairs, src="d1", dst="d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long
+from wire_spark.queries._util import T, md5_long, tracked_cache
 
 # --------------------------------------------------------------------
 # HyperLogLog distinct sketch (m=256 registers, deterministic)
@@ -352,10 +352,9 @@ def bloom_join_prune(spark, sf_dir):
     # cached: the build side feeds three consumers (distinct count for
     # sizing, the bitmap aggregation, the exact verify join) — one
     # filtered scan instead of three
-    build = (
+    build = tracked_cache(
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
-        .cache()
     )
 
     n_keys = build.distinct().count()
