@@ -256,6 +256,40 @@ def continuous_latency(spark, warmup_s: float = 5.0, measure_s: float = 10.0) ->
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _median_latency(probe, runs: int = 3) -> dict:
+    """Run a latency probe ``runs`` times; headline percentiles are
+    the per-metric MEDIAN across successful runs, with every per-run
+    profile preserved under ``runs``.
+
+    Median-of-3 is the same comparability fix host_calibration gave
+    throughput: one GC pause / page-cache miss can double a single
+    run's p99 on this shared JVM, and a cross-round diff of single
+    runs then reads pure noise as a regression.  Metrics are combined
+    per-key (p50_ms/p99_ms/...) rather than pooling raw latencies so
+    a slow run cannot dominate the tail of a pooled distribution."""
+    profiles = []
+    for i in range(runs):
+        try:
+            p = probe()
+        except Exception as e:  # keep the survivors
+            p = {"error": str(e)}
+            print(f"BENCH LATENCY RUN {i} ERROR: {e}", file=sys.stderr)
+        profiles.append(p)
+    ok = [p for p in profiles if "error" not in p]
+    if not ok:
+        return {"error": "all latency runs failed", "runs": profiles}
+    out = {"methodology": f"median of {len(ok)}/{runs} runs", "runs": profiles}
+    for key in ok[0]:
+        vals = sorted(p[key] for p in ok if isinstance(p.get(key), (int, float)))
+        if vals:
+            out[key] = vals[len(vals) // 2]
+    # non-numeric passthrough (e.g. trigger label)
+    for key, v in ok[0].items():
+        if not isinstance(v, (int, float)) and key not in out:
+            out[key] = v
+    return out
+
+
 #: flagship subset reported per-query in the FINAL compact line (the
 #: full 125-query dict overflowed the driver's stdout-tail capture in
 #: rounds 1-6 -> ``parsed: null``; the complete dict now goes to
@@ -299,14 +333,21 @@ def main() -> None:
         stream = {"error": str(e)}
         print(f"BENCH STREAM ERROR: {e}", file=sys.stderr)
 
+    # latency methodology (pinned, VERDICT r8 item 4): percentiles on
+    # this host swing ~1.5x run-to-run (r7 p99 559 ms vs r8 864 ms on
+    # unchanged code), so a single-run profile is not comparable
+    # across rounds.  Each latency probe now runs 3 times; the
+    # headline p50/p99 are the MEDIAN across runs and every per-run
+    # profile is kept under "runs" so any cross-round diff can check
+    # the spread before reading a delta as a regression.
     try:
-        latency = stream_latency(spark, sf_dir)
+        latency = _median_latency(lambda: stream_latency(spark, sf_dir))
     except Exception as e:
         latency = {"error": str(e)}
         print(f"BENCH LATENCY ERROR: {e}", file=sys.stderr)
 
     try:
-        cont = continuous_latency(spark)
+        cont = _median_latency(lambda: continuous_latency(spark))
     except Exception as e:
         cont = {"error": str(e)}
         print(f"BENCH CONTINUOUS ERROR: {e}", file=sys.stderr)

@@ -476,3 +476,69 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
         except Exception as e:  # surface build failures too
             offenders.append(f"{name} (plan build failed: {e})")
     assert not offenders, offenders
+
+
+def test_histogram_prefix_sums_never_window_globally(spark, sf_dir):
+    """VERDICT r8 item 5: the histogram-navigated argmin family
+    (quality_gini_stump / quality_tree_depth2 / model_auc_rank) used
+    a global Window.orderBy prefix sum — safe for a bounded token-
+    count domain, but a continuous feature would collapse the whole
+    histogram into one task.  They now run _hist_prefix's two-pass
+    form; pin the plan property: every window either partitions by
+    the bucket column (histogram grain, distributed) or IS the
+    bucket-grain offset cumsum (orders by _bkt over n_distinct/4096
+    rows — the one deliberate bounded single-partition pass).  No
+    window may order by the raw feature without a _bkt partition."""
+    import re
+
+    from wire_spark.plans import formatted_plan
+
+    for name in ("quality_gini_stump", "quality_tree_depth2", "model_auc_rank"):
+        plan = formatted_plan(_df(spark, sf_dir, name))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for spec in specs:
+            # partition/order columns precede the first ASC/frame
+            # marker; _bkt must appear among them (either as a
+            # partition key of the histogram-grain window or as the
+            # order key of the bounded bucket-grain offset cumsum)
+            keys = spec.split(" ASC", 1)[0]
+            assert "_bkt#" in keys, (name, spec)
+
+
+def test_hist_prefix_exact_on_high_cardinality_feature(spark):
+    """_hist_prefix must return bit-identical prefix sums to the
+    naive global window on a feature with MORE distinct values than
+    the bucket width (forcing multiple buckets and non-trivial
+    offsets), including the exclusive form, negative values, and
+    partition keys."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from wire_spark.queries.features import _hist_prefix
+
+    rng = random.Random(7)
+    rows = [
+        (side, v, rng.randint(0, 5), rng.randint(0, 5))
+        for side in ("L", "R")
+        for v in rng.sample(range(-50_000, 50_000), 400)
+    ]
+    h = spark.createDataFrame(rows, "side STRING, v LONG, a LONG, b LONG")
+
+    # naive reference: global (per-side) ordered window
+    w_in = W.partitionBy("side").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_ex = W.partitionBy("side").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ref = h.select(
+        "side", "v",
+        F.sum("a").over(w_in).alias("ca"),
+        F.coalesce(F.sum("b").over(w_ex), F.lit(0)).alias("cb"),
+    )
+    got = _hist_prefix(
+        h, "v", {"ca": "a"}, parts=("side",), bucket=1024
+    )
+    got = _hist_prefix(
+        got, "v", {"cb": "b"}, parts=("side",), inclusive=False, bucket=1024
+    ).select("side", "v", "ca", "cb")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

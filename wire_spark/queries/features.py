@@ -27,6 +27,76 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.queries._util import T, md5_long
 
+#: histogram-value-buckets per offset row in _hist_prefix's pass 1.
+#: At 100 TB pick it so n_distinct_values/_HIST_BUCKET offset rows
+#: stay trivially small (the same sizing rule as curation._PACK_BUCKET).
+_HIST_BUCKET = 4096
+
+
+def _hist_prefix(h, order_col, sums, parts=(), inclusive=True,
+                 bucket=_HIST_BUCKET):
+    """Distributed two-pass prefix sums over a histogram relation —
+    the scale guard for every histogram-navigated argmin
+    (quality_gini_stump / quality_tree_depth2 / model_auc_rank).
+
+    A naive ``sum().over(W.orderBy(order_col))`` moves the WHOLE
+    histogram through one task (Exchange SinglePartition).  For a
+    bounded-domain feature (token counts) that is merely ugly; for a
+    high-cardinality or continuous feature the histogram approaches
+    corpus grain and the one-task window is the 100 TB killer — the
+    same failure sequence_packing_plan's docstring dissects.  Two
+    passes keep the result EXACT (bit-identical prefix sums, so the
+    oracle hash is unchanged) while bounding every task:
+
+    1. bucket histogram rows by ``floor(order_col / bucket)`` —
+       deterministic, order-preserving (floor is monotone, negatives
+       included), no sampled range bounds;
+    2. per-bucket totals -> exclusive cumsum over the BUCKET-GRAIN
+       relation (the one deliberate single-partition window:
+       n_distinct/bucket narrow rows, never the histogram);
+    3. broadcast the offsets back and window WITHIN each bucket.
+
+    ``sums`` maps output column -> input column; ``parts`` adds
+    partition keys (e.g. tree side) carried through both passes;
+    ``inclusive=False`` yields the strictly-below prefix
+    (rowsBetween(unboundedPreceding, -1), 0 for the first row).
+    Output sums are LONG (exact to ~9.2e18 rows); callers widening
+    to DECIMAL(38,0) for downstream products cast afterwards, same
+    as they did on the window form.
+    """
+    parts = list(parts)
+    in_cols = sorted(set(sums.values()))
+    hb = h.withColumn(
+        "_bkt", F.floor(F.col(order_col) / F.lit(bucket)).cast("long")
+    )
+    totals = hb.groupBy(*parts, "_bkt").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in in_cols]
+    )
+    w_off = (
+        (W.partitionBy(*parts) if parts else W).orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = totals.select(
+        *parts, "_bkt",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
+            for c in in_cols
+        ],
+    )
+    upper = W.currentRow if inclusive else -1
+    w_in = (
+        W.partitionBy(*parts, "_bkt").orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    out = hb.join(F.broadcast(off), [*parts, "_bkt"])
+    for out_col, in_col in sums.items():
+        out = out.withColumn(
+            out_col,
+            F.coalesce(F.sum(in_col).over(w_in), F.lit(0)) + F.col(f"_o_{in_col}"),
+        )
+    return out.drop("_bkt", *[f"_o_{c}" for c in in_cols])
+
+
 # --------------------------------------------------------------------
 # exponential time-decay engagement score
 # --------------------------------------------------------------------
@@ -800,10 +870,7 @@ def model_auc_rank(spark, sf_dir):
         F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
         F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    c = h.withColumn(
-        "neg_below", F.coalesce(F.sum("neg_c").over(w), F.lit(0))
-    )
+    c = _hist_prefix(h, "s", {"neg_below": "neg_c"}, inclusive=False)
     tot = h.agg(F.sum("pos_c").alias("p"), F.sum("neg_c").alias("n"))
     return (
         c.crossJoin(F.broadcast(tot))
@@ -1181,10 +1248,12 @@ def quality_gini_stump(spark, sf_dir):
     and an integer argmin that both engines resolve identically
     (ties break toward the smaller threshold by construction).
 
-    Scale: the window runs over distinct feature values (bounded by
-    the feature's domain, not the corpus); products are ~n^3 so the
-    comparison runs in DECIMAL(38,0)/HUGEINT at the 1e4 fixed-point
-    scale — exact to ~10^11 rows."""
+    Scale: prefix sums run through ``_hist_prefix``'s distributed
+    two-pass form, so even a HIGH-cardinality (continuous) feature
+    never funnels its histogram through one task — only the
+    bucket-grain offset cumsum is single-partition (plan-asserted);
+    products are ~n^3 so the comparison runs in DECIMAL(38,0)/HUGEINT
+    at the 1e4 fixed-point scale — exact to ~10^11 rows."""
     d = T(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
@@ -1193,11 +1262,10 @@ def quality_gini_stump(spark, sf_dir):
         F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
         F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = h.select(
+    c = _hist_prefix(h, "s", {"pl_l": "pos_c", "nl_l": "neg_c"}).select(
         "s",
-        F.sum("pos_c").over(w).cast("decimal(38,0)").alias("pl"),
-        F.sum("neg_c").over(w).cast("decimal(38,0)").alias("nl"),
+        F.col("pl_l").cast("decimal(38,0)").alias("pl"),
+        F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
     tot = h.agg(
         F.sum("pos_c").cast("decimal(38,0)").alias("p"),
@@ -1436,12 +1504,14 @@ def quality_tree_depth2(spark, sf_dir):
     as an extra grouping key; this is the loop body XGBoost-style
     learners iterate.
 
-    Scale: level-1 runs on the token-count histogram; level-2's
-    histogram keys on (side, n_chars) — still domain-bounded — and
-    the per-side windows/argmins run over distinct feature values.
-    A side with a single distinct feature value yields no candidate
-    row on either engine (the rank-1 filter, not a NULL-sentinel
-    aggregate)."""
+    Scale: both levels take their prefix sums through
+    ``_hist_prefix``'s distributed two-pass form (per-side at level
+    2), and the per-side argmin is a map-combinable min(struct) — no
+    histogram or candidate set ever funnels through a one-task
+    window, so a continuous high-cardinality feature is safe, not
+    just token counts.  A side with a single distinct feature value
+    yields no candidate row on either engine (the n_right filter
+    removes its only row before the aggregate)."""
     d = T(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
@@ -1451,11 +1521,10 @@ def quality_tree_depth2(spark, sf_dir):
         F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
         F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
     )
-    w1 = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = h.select(
+    c = _hist_prefix(h, "s", {"pl_l": "pos_c", "nl_l": "neg_c"}).select(
         "s",
-        F.sum("pos_c").over(w1).cast("decimal(38,0)").alias("pl"),
-        F.sum("neg_c").over(w1).cast("decimal(38,0)").alias("nl"),
+        F.col("pl_l").cast("decimal(38,0)").alias("pl"),
+        F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
     tot = h.agg(
         F.sum("pos_c").cast("decimal(38,0)").alias("p"),
@@ -1488,14 +1557,12 @@ def quality_tree_depth2(spark, sf_dir):
         F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
         F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
     )
-    w2 = (
-        W.partitionBy("side").orderBy("x2")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c2 = h2.select(
+    c2 = _hist_prefix(
+        h2, "x2", {"pl_l": "pos_c", "nl_l": "neg_c"}, parts=("side",)
+    ).select(
         "side", "x2",
-        F.sum("pos_c").over(w2).cast("decimal(38,0)").alias("pl"),
-        F.sum("neg_c").over(w2).cast("decimal(38,0)").alias("nl"),
+        F.col("pl_l").cast("decimal(38,0)").alias("pl"),
+        F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
     tot2 = h2.groupBy("side").agg(
         F.sum("pos_c").cast("decimal(38,0)").alias("p"),
@@ -1517,18 +1584,28 @@ def quality_tree_depth2(spark, sf_dir):
             ),
         )
     )
-    wr = W.partitionBy("side").orderBy("score", "x2")
+    # per-side argmin as a map-combinable min(struct) — (side, x2) is
+    # unique in cand2, so lexicographic (score, x2, ...) equals the
+    # previous row_number-over-(score, x2) rank-1 row exactly, and the
+    # aggregate distributes where a per-side rank window would funnel
+    # each side's full candidate set through one task.
     return (
-        cand2.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        cand2.groupBy("side")
+        .agg(
+            F.min(
+                F.struct(
+                    "score", "x2", "n_left", "n_right", "pl", "pr"
+                )
+            ).alias("b")
+        )
         .select(
             "side",
-            F.col("x2").alias("split_at"),
-            F.col("score").alias("gini_1e4"),
-            F.col("n_left").cast("long").alias("n_left"),
-            F.col("n_right").cast("long").alias("n_right"),
-            F.col("pl").cast("long").alias("pos_left"),
-            F.col("pr").cast("long").alias("pos_right"),
+            F.col("b.x2").alias("split_at"),
+            F.col("b.score").alias("gini_1e4"),
+            F.col("b.n_left").cast("long").alias("n_left"),
+            F.col("b.n_right").cast("long").alias("n_right"),
+            F.col("b.pl").cast("long").alias("pos_left"),
+            F.col("b.pr").cast("long").alias("pos_right"),
         )
         .orderBy("side")
     )
