@@ -1276,3 +1276,80 @@ def test_streaming_centroid_shift_batch_parity(spark, tmp_path):
         assert got[w_start] == (n, ss // 1000000)
     # the drifted window alarms, the in-distribution one stays small
     assert got[base + dt.timedelta(hours=1)][1] > 100 * max(1, got[base][1])
+
+
+def test_streaming_stratification_batch_parity(spark, tmp_path):
+    """The streaming stratification monitor (VERDICT r8 stretch 7):
+    every CLOSED window's (split, class) rows — within-split share,
+    global share, deviation — must equal the batch
+    split_stratification_audit computation on that window's slice,
+    bit-for-bit (same integer-div 1e4 fixed point); the trailing
+    unclosed window emits nothing."""
+    import hashlib
+    from collections import Counter
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.governance_stream import windowed_stratification
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "a_train" if b < 80 else "b_val" if b < 90 else "c_test"
+
+    rows = [
+        {
+            "ts": (base + dt.timedelta(seconds=30 * i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "split": split_of(int(r.doc_id)),
+            "lang": r.lang,
+        }
+        for i, r in enumerate(docs)
+    ]
+    src = str(tmp_path / "strat_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"), "split", "lang"
+    )
+    q = (
+        windowed_stratification(
+            stream, "split", "lang", window="1 hour", watermark="30 minutes"
+        )
+        .writeStream.format("memory").queryName("strat")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "strat_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start, r.split, r.cls): (
+            r.n, r.share_in_split_1e4, r.share_global_1e4, r.deviation_1e4
+        )
+        for r in spark.sql("SELECT * FROM strat").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S") for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    cells = Counter()
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w = t.replace(minute=0, second=0)
+        if w + dt.timedelta(hours=1) > cutoff:
+            continue  # unclosed trailing window
+        cells[(w, r["split"], r["lang"])] += 1
+    expected = {}
+    for (w, s, c), n in cells.items():
+        n_split = sum(v for (w2, s2, _c2), v in cells.items() if w2 == w and s2 == s)
+        n_cls = sum(v for (w2, _s2, c2), v in cells.items() if w2 == w and c2 == c)
+        n_all = sum(v for (w2, *_), v in cells.items() if w2 == w)
+        a, b = n * 10000 // n_split, n_cls * 10000 // n_all
+        expected[(w, s, c)] = (n, a, b, abs(a - b))
+    assert got == expected
+    # both splits and classes really mix in every closed window
+    assert len({k[1] for k in got}) == 3 and len({k[2] for k in got}) >= 2

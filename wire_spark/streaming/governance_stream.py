@@ -266,3 +266,90 @@ def windowed_centroid_shift(
         "n_vectors",
         "shift2_1e6",
     )
+
+
+def windowed_stratification(
+    stream: DataFrame,
+    split_col: str,
+    class_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window and (split, class) cell: within-split share,
+    global share, and their absolute deviation in basis points — the
+    streaming sibling of the batch ``split_stratification_audit``
+    (queries/splits.py), completing the governance-stream story for
+    the r8 splits family the same way the calibration monitor did for
+    model quality.
+
+    Why on the ingest path: a hash split is only stratified in
+    expectation, and the balance can break ABRUPTLY — a new source
+    starts landing documents of one language, and every (split,
+    class) share it touches drifts at once.  The nightly batch audit
+    catches it a day late; this raises within one window.
+
+    Shape: ONE windowed aggregation to the (window, split, class)
+    cell grid (state: live-windows x splits x classes, bounded by the
+    two domains and the watermark horizon, never stream length), then
+    the chained ``window_time`` aggregation collects each closed
+    window's grid into ONE bounded array row, and all three marginals
+    (split total, class total, window total) are computed INSIDE the
+    array with higher-order functions — O(grid^2) over <= 3 x
+    n_classes entries, no joins on an aggregated stream (which append
+    mode would reject), no state beyond the grid.  Fixed-point
+    discipline matches the batch audit exactly (integer ``div``
+    shares at 1e4), so a closed window's rows equal
+    ``split_stratification_audit``'s answer on that window's slice
+    bit-for-bit.
+    """
+    cells = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            F.col(split_col).alias("split"),
+            F.col(class_col).alias("cls"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = cells.groupBy(
+        F.window(F.window_time("w"), window).alias("w2")
+    ).agg(F.collect_list(F.struct("split", "cls", "n")).alias("g"))
+    return (
+        grid.select(
+            F.col("w2.start").alias("w_start"),
+            F.col("w2.end").alias("w_end"),
+            F.explode(
+                F.expr(
+                    """
+                    transform(g, e -> struct(
+                      e.split AS split,
+                      e.cls AS cls,
+                      e.n AS n,
+                      CAST(e.n * 10000 div aggregate(
+                          filter(g, x -> x.split = e.split),
+                          CAST(0 AS BIGINT), (a, x) -> a + x.n)
+                        AS BIGINT) AS share_in_split_1e4,
+                      CAST(aggregate(
+                          filter(g, x -> x.cls = e.cls),
+                          CAST(0 AS BIGINT), (a, x) -> a + x.n) * 10000
+                        div aggregate(
+                          g, CAST(0 AS BIGINT), (a, x) -> a + x.n)
+                        AS BIGINT) AS share_global_1e4
+                    ))
+                    """
+                )
+            ).alias("r"),
+        )
+        .select(
+            "w_start",
+            "w_end",
+            "r.split",
+            "r.cls",
+            "r.n",
+            "r.share_in_split_1e4",
+            "r.share_global_1e4",
+            F.expr("abs(r.share_in_split_1e4 - r.share_global_1e4)")
+            .alias("deviation_1e4"),
+        )
+    )
