@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.search",
     "wire_spark.queries.governance",
     "wire_spark.queries.splits",
+    "wire_spark.queries.curation2",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
@@ -65,14 +66,17 @@ _QUERY_MODULES = (
 # first (in this order); everything else follows in registration
 # order.
 #
-# Round 9 window (50 slots): the 4 queries that have NEVER held a
-# driver-green row (all added late in r7/r8, outside those windows),
-# then 46 of the 49 queries whose newest green is round 5 — the
-# stalest cohort.  Three r5 greens are deferred to r10 for lack of
-# slots (window_tumbling_hourly, window_session_10m,
-# events_user_growth — simple, code-stable shapes).  Freshness is
-# machine-audited: tools/freshness.py regenerates FRESHNESS.json
-# from the CORRECTNESS_r*.json history and
+# Round 9 window (50 slots): the 10 queries that have NEVER held a
+# driver-green row (4 added late in r7/r8 outside those windows, 6
+# added this round), then 40 of the 49 queries whose newest green is
+# round 5 — the stalest cohort.  Nine r5 greens are deferred to r10
+# for lack of slots (window_tumbling_hourly, window_session_10m,
+# events_user_growth, events_trigram_paths, events_type_correlation,
+# text_bigram_logprob, text_collocations_lift, text_token_entropy,
+# text_repetition_ratio — simple, code-stable shapes; at r10 they
+# are 5 rounds stale and the freshness test forces them in).
+# Freshness is machine-audited: tools/freshness.py regenerates
+# FRESHNESS.json from the CORRECTNESS_r*.json history and
 # tests/test_freshness.py asserts every registry query is either
 # inside this window or green within the last 4 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -81,7 +85,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_tree_depth2",
     "search_hybrid_rrf",
     "split_stratification_audit",
-    # -- 46 of the 49 stalest greens (last green: round 5) --
+    # -- never driver-checked (added round 9) --
+    "embedding_hard_negatives",
+    "tokenizer_oov_rate",
+    "text_readability_forcast",
+    "shard_shuffle_plan",
+    "curation_data_card",
+    "text_perplexity_bands",
+    # -- 40 of the 49 stalest greens (last green: round 5) --
     "ann_ivf_lloyd_cosine",
     "ann_lsh_multiprobe_cosine",
     "bloom_join_prune",
@@ -101,8 +112,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_resample_ffill",
     "events_seasonal_anomaly",
     "events_time_decay",
-    "events_trigram_paths",
-    "events_type_correlation",
     "graph_pagerank_neardup",
     "length_bucket_histogram",
     "negative_sampling_pairs",
@@ -121,12 +130,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sketch_hll_distinct",
     "skew_audit_events_user",
     "source_contamination_matrix",
-    "text_bigram_logprob",
-    "text_collocations_lift",
     "text_langid_trigram_trained",
-    "text_repetition_ratio",
     "text_tfidf_top_terms",
-    "text_token_entropy",
     "window_range_frame_30m",
 )
 

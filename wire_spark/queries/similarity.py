@@ -1169,3 +1169,111 @@ def embedding_centroid_distance(spark, sf_dir):
         )
         .orderBy("l1", "l2")
     )
+
+
+# --------------------------------------------------------------------
+# hard-negative mining for contrastive training
+# --------------------------------------------------------------------
+
+def _hard_neg_oracle() -> str:
+    planes = _lsh_planes()
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in planes
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{i}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    plane_cols = ", ".join(f"pl[{i + 1}] AS p{i}" for i in range(len(planes)))
+    return f"""
+WITH pl_t AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
+  FROM embeddings, pl_t
+), hashed AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT q.qid,
+         floor(list_dot_product(qv, h.v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(h.v, h.v)))
+               * 1000000.0) AS s6
+  FROM q JOIN hashed h ON h.bucket = q.bucket AND h.vec_id != q.qid
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_hard,
+       CAST(min(s6) AS BIGINT) AS min_sim_1e6,
+       CAST(max(s6) AS BIGINT) AS max_sim_1e6
+FROM sims
+WHERE s6 >= 150000 AND s6 < 450000
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@register("embedding_hard_negatives", bench=True,
+          oracle=_hard_neg_oracle(),
+          doc="hard-negative mining for contrastive training: per "
+              "anchor, same-LSH-bucket neighbors with cosine in "
+              "[0.15, 0.45) — similar enough to teach, below the "
+              "near-dup threshold")
+def embedding_hard_negatives(spark, sf_dir):
+    """Contrastive-pair mining, the embedding-space sibling of
+    ``negative_sampling_pairs``: random negatives are too easy (cosine
+    ~0) and near-dups are false negatives (cosine ~1); what a
+    contrastive fine-tune needs is the band in between.  Candidates
+    come from the same 256-bucket sign-LSH table as ``ann_lsh_cosine``
+    (co-bucketed vectors skew similar — exactly the population worth
+    exact-scoring), then the exact floored cosine keeps [0.15, 0.45):
+    above the background-noise floor, strictly below 0.45 — the
+    near-dup threshold ``dedup_embedding_cosine_lsh`` removes at, so
+    the mined set and the dedup set can never overlap (a near-dup
+    used as a negative is a false negative that poisons the loss).
+
+    Scale shape: the bucket table is computed once (one projection);
+    anchors join candidates on the bucket key — a shuffle keyed on
+    256 buckets, hint-free so AQE broadcasts the anchor side only
+    while it is actually small.  Never all-pairs; the mined band per
+    anchor is the per-bucket population, bounded by bucket size.
+    The band filter applies to the FLOORED 1e6 cosine on both
+    engines, so banding is deterministic (the t6 discipline);
+    populated at all three test SFs (6/10/114 pairs)."""
+    planes = _lsh_planes()
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+
+    def dot_lit(vcol, row):
+        arr = F.array(*[F.lit(w) for w in row])
+        return F.aggregate(
+            F.zip_with(vcol, arr, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+
+    bucket = None
+    for i, row in enumerate(planes):
+        bit = F.when(dot_lit(F.col("v"), row) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    hashed = e.withColumn("bucket", bucket)
+    q = hashed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qbucket"),
+    )
+    s6 = F.floor(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        hashed.join(
+            q,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", s6.alias("s6"))
+        .filter((F.col("s6") >= 150000) & (F.col("s6") < 450000))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hard"),
+            F.min("s6").alias("min_sim_1e6"),
+            F.max("s6").alias("max_sim_1e6"),
+        )
+        .orderBy("qid")
+    )
