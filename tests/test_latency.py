@@ -134,3 +134,30 @@ def test_continuous_trigger_runs_and_measures(spark):
     assert prof["n"] > 100          # ~100 rows/s for 5s measured
     assert prof["p50_ms"] < 2000    # continuous class, not batch class
     assert prof["min_ms"] > 0
+
+
+def test_median_latency_combines_runs_per_metric():
+    """The round-9 latency methodology (VERDICT r8 item 4): headline
+    percentiles are the per-metric MEDIAN across runs, failed runs
+    are kept in `runs` but excluded from the median, and non-numeric
+    fields pass through from the first successful run."""
+    import bench
+
+    profiles = iter([
+        {"n": 30, "p50_ms": 200.0, "p99_ms": 900.0, "trigger": "x"},
+        {"error": "boom"},
+        {"n": 30, "p50_ms": 180.0, "p99_ms": 300.0, "trigger": "x"},
+    ])
+    out = bench._median_latency(lambda: next(profiles), runs=3)
+    assert out["methodology"] == "median of 2/3 runs"
+    assert len(out["runs"]) == 3 and out["runs"][1] == {"error": "boom"}
+    # even count -> upper median (index len//2) per metric
+    assert out["p50_ms"] == 200.0 and out["p99_ms"] == 900.0
+    assert out["trigger"] == "x"
+
+    def always_fail():
+        raise RuntimeError("dead")
+
+    bad = bench._median_latency(always_fail, runs=2)
+    assert bad["error"] == "all latency runs failed"
+    assert all("error" in p for p in bad["runs"])

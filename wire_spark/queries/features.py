@@ -64,10 +64,21 @@ def _hist_prefix(h, order_col, sums, parts=(), inclusive=True,
     to DECIMAL(38,0) for downstream products cast afterwards, same
     as they did on the window form.
     """
+    from wire_spark.queries._util import tracked_cache
+
     parts = list(parts)
     in_cols = sorted(set(sums.values()))
-    hb = h.withColumn(
-        "_bkt", F.floor(F.col(order_col) / F.lit(bucket)).cast("long")
+    # cached: the bucketed histogram feeds BOTH passes (the bucket
+    # totals and the within-bucket join); without persistence each
+    # pass re-derives the histogram's whole upstream tree from the
+    # scan — observed to triple quality_tree_depth2's wall time when
+    # the two-pass form landed. This is the standard persist-before-
+    # multi-pass discipline; the relation is histogram-grain, and a
+    # cache that outgrows memory spills rather than failing.
+    hb = tracked_cache(
+        h.withColumn(
+            "_bkt", F.floor(F.col(order_col) / F.lit(bucket)).cast("long")
+        )
     )
     totals = hb.groupBy(*parts, "_bkt").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in in_cols]
@@ -871,18 +882,30 @@ def model_auc_rank(spark, sf_dir):
         F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
     )
     c = _hist_prefix(h, "s", {"neg_below": "neg_c"}, inclusive=False)
-    tot = h.agg(F.sum("pos_c").alias("p"), F.sum("neg_c").alias("n"))
+    # one aggregate over the prefix relation: the class totals fall
+    # out of the same pass (p = sum of pos counts; n = the largest
+    # inclusive negative prefix, exact by monotonicity), so the
+    # histogram has a single consumer and no crossJoin re-derives it
     return (
-        c.crossJoin(F.broadcast(tot))
-        .groupBy("p", "n")
+        c.groupBy()
         .agg(
+            F.sum("pos_c").alias("p"),
+            F.max(F.col("neg_below") + F.col("neg_c")).alias("n"),
+            F.sum(
+                F.expr("CAST(pos_c AS DECIMAL(38,0)) * (2 * neg_below + neg_c)")
+            ).alias("num"),
+        )
+        .filter(F.col("p").isNotNull())
+        # ^ empty corpus: the no-groupBy agg emits one all-NULL row
+        # where the oracle emits zero — drop the sentinel
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
             F.expr(
-                "CAST(sum(CAST(pos_c AS DECIMAL(38,0)) * (2 * neg_below + neg_c)) "
-                "* 10000 div (2 * CAST(p AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) "
-                "AS BIGINT)"
+                "CAST(num * 10000 div (2 * CAST(p AS DECIMAL(19,0)) "
+                "* CAST(n AS DECIMAL(19,0))) AS BIGINT)"
             ).alias("auc_1e4"),
         )
-        .select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "auc_1e4")
     )
 
 
@@ -1267,10 +1290,11 @@ def quality_gini_stump(spark, sf_dir):
         F.col("pl_l").cast("decimal(38,0)").alias("pl"),
         F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
-    tot = h.agg(
-        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
-        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
-    )
+    # totals = the inclusive prefix maxima (prefix sums are monotone,
+    # so max(pl)/max(nl) ARE the class totals, exactly) — derived
+    # from c instead of a second aggregate over h so the histogram
+    # has a single consumer and is never re-derived from the scan
+    tot = c.agg(F.max("pl").alias("p"), F.max("nl").alias("q"))
     cand = (
         c.crossJoin(F.broadcast(tot))
         .withColumn("pr", F.col("p") - F.col("pl"))
@@ -1526,10 +1550,11 @@ def quality_tree_depth2(spark, sf_dir):
         F.col("pl_l").cast("decimal(38,0)").alias("pl"),
         F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
-    tot = h.agg(
-        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
-        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
-    )
+    # totals from the inclusive prefix maxima (exact — see
+    # quality_gini_stump): h's only consumer is then _hist_prefix,
+    # whose internal cache stops every level-2 branch from
+    # re-deriving the level-1 tree from the scan
+    tot = c.agg(F.max("pl").alias("p"), F.max("nl").alias("q"))
     best1 = (
         c.crossJoin(F.broadcast(tot))
         .filter(F.expr("(p - pl) + (q - nl) > 0"))
@@ -1564,9 +1589,11 @@ def quality_tree_depth2(spark, sf_dir):
         F.col("pl_l").cast("decimal(38,0)").alias("pl"),
         F.col("nl_l").cast("decimal(38,0)").alias("nl"),
     )
-    tot2 = h2.groupBy("side").agg(
-        F.sum("pos_c").cast("decimal(38,0)").alias("p"),
-        F.sum("neg_c").cast("decimal(38,0)").alias("q"),
+    # per-side totals from the per-side prefix maxima (exact); h2's
+    # only consumer is then _hist_prefix, so the corpus-side split
+    # join runs once inside its internal cache
+    tot2 = c2.groupBy("side").agg(
+        F.max("pl").alias("p"), F.max("nl").alias("q")
     )
     cand2 = (
         c2.join(tot2, "side")
