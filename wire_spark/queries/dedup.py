@@ -290,7 +290,7 @@ def _minhash_pairs(spark, sf_dir):
     candidates — the scale-path edge generator shared by
     dedup_minhash_lsh and dedup_components_lsh."""
     sh, band = _minhash_bands(spark, sf_dir)
-    band = band.cache()  # reused on both sides of the LSH bucket join
+    band = tracked_cache(band)  # reused on both sides of the LSH bucket join
     a, b = band.alias("a"), band.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -367,7 +367,8 @@ def dedup_simhash(spark, sf_dir):
         F.sum(
             F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
         ).alias("s")
-    ).cache()  # reused on both sides of the band join
+    )
+    sig = tracked_cache(sig)  # reused on both sides of the band join
     # 6 bands x 10 bits: any pair with hamming <= 5 shares at least one
     # band (pigeonhole) => banded candidates == all-pairs filter,
     # without the O(n^2) cross join the oracle can afford.
@@ -1077,7 +1078,7 @@ def dedup_incremental_lsh(spark, sf_dir):
     in-corpus path.
     """
     sh, band = _minhash_bands(spark, sf_dir)
-    band = band.cache()  # corpus side + batch side read it once each
+    band = tracked_cache(band)  # corpus side + batch side read it once each
     is_new = F.col("doc_id") % 10 == 0
     newb = band.filter(is_new).select(
         F.col("doc_id").alias("dn"), "band", "bsig"
@@ -1173,7 +1174,7 @@ def dedup_lsh_quality_audit(spark, sf_dir):
     div n) so the single output row hash-matches cross-engine.
     """
     sh, band = _minhash_bands(spark, sf_dir)
-    band = band.cache()  # both sides of the bucket self-join
+    band = tracked_cache(band)  # both sides of the bucket self-join
     a, b = band.alias("a"), band.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
