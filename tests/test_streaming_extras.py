@@ -1353,3 +1353,74 @@ def test_streaming_stratification_batch_parity(spark, tmp_path):
     assert got == expected
     # both splits and classes really mix in every closed window
     assert len({k[1] for k in got}) == 3 and len({k[2] for k in got}) >= 2
+
+
+def test_streaming_windowed_quantiles_batch_parity(spark, tmp_path):
+    """The windowed quantile monitor: every closed window's
+    p50/p90/p99 bucket-upper-bounds equal the identical batch
+    computation on that window's slice (exact integer bucket walk);
+    the trailing unclosed window emits nothing."""
+    import math
+    from collections import Counter
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.quantiles_stream import windowed_quantiles
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").collect()
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        {
+            "ts": (base + dt.timedelta(seconds=20 * i)).strftime("%Y-%m-%d %H:%M:%S"),
+            "v": float(r.value) * 100.0,  # spread over many buckets
+        }
+        for i, r in enumerate(ev)
+    ]
+    src = str(tmp_path / "q_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"), F.col("v").cast("double").alias("v")
+    )
+    q = (
+        windowed_quantiles(
+            stream, "v", window="1 hour", watermark="30 minutes", bucket_width=100
+        )
+        .writeStream.format("memory").queryName("wq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wq_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start: (r.n, r.p50_hi, r.p90_hi, r.p99_hi)
+        for r in spark.sql("SELECT * FROM wq").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S") for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    buckets = {}
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w = t.replace(minute=0, second=0)
+        if w + dt.timedelta(hours=1) > cutoff:
+            continue
+        buckets.setdefault(w, Counter())[math.floor(r["v"] / 100)] += 1
+    expected = {}
+    for w, cnt in buckets.items():
+        n = sum(cnt.values())
+        ps = []
+        for pct in (50, 90, 99):
+            need = math.ceil(pct * n / 100)
+            cum = 0
+            for b in sorted(cnt):
+                cum += cnt[b]
+                if cum >= need:
+                    ps.append((b + 1) * 100)
+                    break
+        expected[w] = (n, *ps)
+    assert got == expected
+    # percentiles are ordered and the window really has spread
+    for n, p50, p90, p99 in got.values():
+        assert p50 <= p90 <= p99 and n > 50

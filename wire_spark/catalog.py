@@ -66,15 +66,16 @@ _QUERY_MODULES = (
 # first (in this order); everything else follows in registration
 # order.
 #
-# Round 9 window (50 slots): the 10 queries that have NEVER held a
-# driver-green row (4 added late in r7/r8 outside those windows, 6
-# added this round), then 40 of the 49 queries whose newest green is
-# round 5 — the stalest cohort.  Nine r5 greens are deferred to r10
+# Round 9 window (50 slots): the 11 queries that have NEVER held a
+# driver-green row (4 added late in r7/r8 outside those windows, 7
+# added this round), then 39 of the 49 queries whose newest green is
+# round 5 — the stalest cohort.  Ten r5 greens are deferred to r10
 # for lack of slots (window_tumbling_hourly, window_session_10m,
 # events_user_growth, events_trigram_paths, events_type_correlation,
 # text_bigram_logprob, text_collocations_lift, text_token_entropy,
-# text_repetition_ratio — simple, code-stable shapes; at r10 they
-# are 5 rounds stale and the freshness test forces them in).
+# text_repetition_ratio, text_tfidf_top_terms — simple, code-stable
+# shapes; at r10 they are 5 rounds stale and the freshness test
+# forces them in).
 # Freshness is machine-audited: tools/freshness.py regenerates
 # FRESHNESS.json from the CORRECTNESS_r*.json history and
 # tests/test_freshness.py asserts every registry query is either
@@ -92,7 +93,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_shuffle_plan",
     "curation_data_card",
     "text_perplexity_bands",
-    # -- 40 of the 49 stalest greens (last green: round 5) --
+    "unpivot_lineitem_measures",
+    # -- 39 of the 49 stalest greens (last green: round 5) --
     "ann_ivf_lloyd_cosine",
     "ann_lsh_multiprobe_cosine",
     "bloom_join_prune",
@@ -131,7 +133,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_audit_events_user",
     "source_contamination_matrix",
     "text_langid_trigram_trained",
-    "text_tfidf_top_terms",
     "window_range_frame_30m",
 )
 

@@ -496,3 +496,73 @@ def distinct_counts(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# unpivot (wide -> long) over the fact table
+# --------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT l_returnflag AS flag, 'a_quantity' AS measure,
+         CAST(floor(l_quantity * 10000.0) AS BIGINT) AS v4 FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'b_extendedprice',
+         CAST(floor(l_extendedprice * 10000.0) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'c_discount',
+         CAST(floor(l_discount * 10000.0) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'd_tax',
+         CAST(floor(l_tax * 10000.0) AS BIGINT) FROM lineitem
+)
+SELECT flag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v4) AS BIGINT) AS total_1e4,
+       CAST(sum(v4) // count(*) AS BIGINT) AS mean_1e4
+FROM long
+GROUP BY flag, measure
+ORDER BY flag, measure
+"""
+
+
+@register("unpivot_lineitem_measures", oracle=_UNPIVOT_ORACLE,
+          doc="wide->long unpivot (melt) of four lineitem measures, "
+              "then per-(flag, measure) stats — the DataFrame.unpivot "
+              "relational surface")
+def unpivot_lineitem_measures(spark, sf_dir):
+    """The wide-to-long reshape (``DataFrame.unpivot`` / melt): four
+    lineitem measures become (measure, value) rows keyed by return
+    flag, then one map-combinable rollup per (flag, measure) cell.
+    This is how metric tables feed generic per-metric dashboards and
+    how feature matrices melt for per-feature statistics.
+
+    The measure columns are renamed BEFORE the unpivot so the
+    variable column's values are already the output labels (sorted
+    'a_...' .. 'd_...' to make ORDER BY deterministic across
+    engines).  Values floor to integer 1e-4 units row-wise (the msum
+    discipline), so sums and the integer mean are exact in any
+    partitioning.  Scale: unpivot is a row-local generate (4x rows,
+    no shuffle); the rollup is one groupBy over a 3x4-cell grid."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") * 10000.0).cast("long").alias("a_quantity"),
+        F.floor(F.col("l_extendedprice") * 10000.0).cast("long").alias("b_extendedprice"),
+        F.floor(F.col("l_discount") * 10000.0).cast("long").alias("c_discount"),
+        F.floor(F.col("l_tax") * 10000.0).cast("long").alias("d_tax"),
+    )
+    long = li.unpivot(
+        ids=["flag"],
+        values=["a_quantity", "b_extendedprice", "c_discount", "d_tax"],
+        variableColumnName="measure",
+        valueColumnName="v4",
+    )
+    return (
+        long.groupBy("flag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v4").alias("total_1e4"),
+            F.expr("CAST(sum(v4) div count(*) AS BIGINT)").alias("mean_1e4"),
+        )
+        .orderBy("flag", "measure")
+    )
