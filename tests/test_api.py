@@ -308,7 +308,8 @@ def test_empty_statement_list_is_rejected_with_400(svc):
     import urllib.error
 
     s, base = svc
-    for path in ["/db/execute", "/db/execute?queue", "/db/execute?queue&wait"]:
+    for path in ["/db/execute", "/db/execute?queue", "/db/execute?queue&wait",
+                 "/db/query"]:
         try:
             _post(base + path, [])
             raise AssertionError(f"expected HTTP 400 for {path}")

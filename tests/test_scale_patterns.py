@@ -488,6 +488,10 @@ def test_pii_scan_redact_audit(spark):
         # swallowed ('98' must not parse as a separator-less country
         # code — the r8 false-positive)
         (8, "id 98765 432-1098", "d"),
+        # '+cc' glued to the area code must still redact: \b cannot
+        # match before '+', so the plus branch must not sit behind it
+        # (the r9 review regression)
+        (9, "call +1555 123 4567 or +1555-123-4567", "d"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
 
@@ -501,6 +505,7 @@ def test_pii_scan_redact_audit(spark):
     assert s[6].pii_total == 0  # 7-digit fragment never matches mid-run
     assert s[7].pii_total == 0  # NULL text scans clean, never NULL
     assert s[8].pii_total == 0  # id adjacent to phone-like fragment kept
+    assert s[9].pii_phone == 2  # glued '+cc' forms still redact
 
     red = {r.doc_id: r.text for r in redact_pii(df).collect()}
     assert red[0] == "contact [EMAIL] for details"

@@ -1304,8 +1304,11 @@ def test_streaming_stratification_batch_parity(spark, tmp_path):
             "ts": (base + dt.timedelta(seconds=30 * i)).strftime(
                 "%Y-%m-%d %H:%M:%S"
             ),
+            # every 50th row arrives with a NULL class — the monitor
+            # must report the NULL cell's real share (null-safe <=>
+            # marginals), not NULL out its denominator
             "split": split_of(int(r.doc_id)),
-            "lang": r.lang,
+            "lang": None if i % 50 == 0 else r.lang,
         }
         for i, r in enumerate(docs)
     ]
@@ -1353,6 +1356,11 @@ def test_streaming_stratification_batch_parity(spark, tmp_path):
     assert got == expected
     # both splits and classes really mix in every closed window
     assert len({k[1] for k in got}) == 3 and len({k[2] for k in got}) >= 2
+    # the NULL-class cells surface with REAL (non-NULL) shares
+    null_cells = [v for k, v in got.items() if k[2] is None]
+    assert null_cells and all(
+        all(x is not None for x in v) for v in null_cells
+    )
 
 
 def test_streaming_windowed_quantiles_batch_parity(spark, tmp_path):

@@ -47,6 +47,7 @@ def build(root: str = ".") -> dict:
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     newest: dict[str, int] = {}
     failed: set[str] = set()
+    checked: set[str] = set()
     latest_round = 0
     for f in files:
         m = re.search(r"r(\d+)\.json$", f)
@@ -55,6 +56,7 @@ def build(root: str = ".") -> dict:
         rnd = int(m.group(1))
         latest_round = max(latest_round, rnd)
         for name, rec in json.load(open(f)).items():
+            checked.add(name)
             if is_green(rec):
                 newest[name] = max(newest.get(name, 0), rnd)
             else:
@@ -75,7 +77,10 @@ def build(root: str = ".") -> dict:
         "generated_from": [os.path.basename(f) for f in files],
         "latest_round": latest_round,
         "queries": queries,
-        "never_checked": sorted(n for n in reg if n not in newest),
+        # absent from EVERY round's records — a query that was checked
+        # and failed each time has newest_green=null + ever_failed=true
+        # but is NOT "never checked" (no-evidence vs red-evidence)
+        "never_checked": sorted(n for n in reg if n not in checked),
     }
 
 

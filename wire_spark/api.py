@@ -154,6 +154,10 @@ class WireService:
         }
 
     def query(self, statements: list[str], associative: bool = False) -> dict:
+        if not statements:
+            # same contract as execute/queued_execute: empty body is
+            # a 400, never a vacuous success (request_parser.go:14)
+            raise ValueError("no statements")
         t0 = time.perf_counter()
         results = []
         for s in statements:

@@ -49,17 +49,20 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"\b\d{3}-\d{2}-\d{4}\b",
         "[SSN]",
     ),
-    # +1-555-123-4567 / (555) 123-4567 / 555-123-4567 / +15551234567.
-    # The leading \b (or the '(' / '+', which cannot occur mid-run)
-    # stops matches starting INSIDE a longer digit run, and a country
-    # code WITHOUT '+' requires a separator after it — otherwise
-    # 'id 98765 432-1098' would parse as cc=98 + 765 + 432-1098 and
-    # redact from the middle of the id (the r8 false-positive).  In
-    # the '(area)' branch the '(' itself blocks mid-run starts, so
-    # its country code keeps the optional separator.
+    # +1-555-123-4567 / +1555 123 4567 / (555) 123-4567 /
+    # 555-123-4567 / +15551234567.  Three mid-run guards, one per
+    # start shape: a '+' start needs no \b ('+' cannot occur inside
+    # a digit run, and \b never matches before '+' — the branch must
+    # NOT be behind \b or it is dead and glued '+cc' numbers leak);
+    # a bare-digit start takes \b AND a mandatory separator after
+    # any country code — otherwise 'id 98765 432-1098' parses as
+    # cc=98 + 765 + 432-1098 and redacts from the middle of the id
+    # (the r8 false-positive); the '(area)' branch is anchored by
+    # '(' itself, so its country code keeps the optional separator.
     # The last alternative is bare E.164: '+' then 10-14 digits.
     "phone": (
-        r"(?:\b(?:\+\d{1,2}[ -]?|\d{1,2}[ -])?\d{3}"
+        r"(?:\+\d{1,2}[ -]?\d{3}"
+        r"|\b(?:\d{1,2}[ -])?\d{3}"
         r"|(?:\+?\d{1,2}[ -]?)?\(\d{3}\))"
         r"[ -]?\d{3}[ -]\d{4}\b"
         r"|\+\d{10,14}\b",

@@ -45,8 +45,6 @@ from pyspark.sql import functions as F
 
 from wire_spark.queries._util import t4, word_shingles
 
-_N_PERMS = 24
-_BAND_ROWS = 4
 _N_BUCKETS = 64  # hive partitions per relation; scale with corpus
 
 
@@ -57,37 +55,14 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bsig) — identical arithmetic to the catalog
-    ``_minhash_bands`` (queries/dedup.py): one md5 per shingle, 24
-    Carter-Wegman permutations (h1 + p*h2 mod prime, 53-bit safe), 6
-    bands of 4 minima joined into a string signature."""
-    sh = _doc_shingles(docs)
-    spark = docs.sparkSession
-    perms = spark.range(_N_PERMS).select(F.col("id").cast("long").alias("p"))
-    md5c = F.md5("shingle")
-    sh2 = sh.select(
-        "doc_id",
-        F.conv(F.substring(md5c, 1, 12), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5c, 13, 12), 16, 10).cast("long").alias("h2"),
-    )
-    h = sh2.crossJoin(F.broadcast(perms)).select(
-        "doc_id", "p",
-        ((F.col("h1") + F.col("p") * F.col("h2")) % F.lit(1073741789)).alias("hv"),
-    )
-    sig = h.groupBy("doc_id", "p").agg(F.min("hv").alias("mh"))
-    return (
-        sig.withColumn("band", (F.col("p") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("bsig")
-        )
-    )
+    """(doc_id, band, bsig) — DELEGATES to the catalog's
+    ``minhash_band_signatures`` (queries/dedup.py), the single home
+    of the MinHash arithmetic: stored signatures and freshly-signed
+    probes must agree bit-for-bit, so the index must never carry its
+    own copy that could drift (r9 review finding)."""
+    from wire_spark.queries.dedup import minhash_band_signatures
+
+    return minhash_band_signatures(_doc_shingles(docs))
 
 
 def _pb(band, bsig):
@@ -106,7 +81,9 @@ def build_minhash_index(docs: DataFrame, path: str, mode: str = "overwrite") -> 
     """Materialize (or, with ``mode='append'``, extend) the index for
     a (doc_id, text) frame.  Signatures are per-document — no global
     state — so appended batches compose bit-identically with a
-    from-scratch build over the union."""
+    from-scratch build over the union.  Returns the stored index's
+    total band/doc row counts after this write (metadata-only scans
+    of the just-written parquet)."""
     bands = _band_signatures(docs).withColumn("pb", _pb(F.col("band"), F.col("bsig")))
     sh = _doc_shingles(docs).withColumn("db", F.col("doc_id") % _N_BUCKETS)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -119,7 +96,14 @@ def build_minhash_index(docs: DataFrame, path: str, mode: str = "overwrite") -> 
         .write.mode(mode).partitionBy("db").parquet(os.path.join(path, "shingles"))
     )
     sizes.write.mode(mode).parquet(os.path.join(path, "sizes"))
-    return {"bands": bands.count(), "docs": sizes.count()}
+    # stats from the JUST-WRITTEN parquet (footer-metadata counts) —
+    # counting the lazy frames would re-run the whole signing
+    # pipeline twice more (r9 review finding)
+    spark = docs.sparkSession
+    return {
+        "bands": spark.read.parquet(os.path.join(path, "bands")).count(),
+        "docs": spark.read.parquet(os.path.join(path, "sizes")).count(),
+    }
 
 
 def probe_minhash_index(

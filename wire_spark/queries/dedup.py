@@ -248,16 +248,20 @@ ORDER BY i.d1, i.d2
 """
 
 
-def _minhash_bands(spark, sf_dir):
-    """(shingles, band-signature) relations — the MinHash-LSH index
-    builder shared by the in-corpus pair generator and the
-    incremental new-batch probe. Returns ``band`` uncached; callers
-    decide persistence (both sides of a self-join vs probe-only)."""
-    sh = _shingle_df(spark, sf_dir)
+def minhash_band_signatures(sh: "DataFrame") -> "DataFrame":
+    """(doc_id, band, bsig) band signatures for a (doc_id, shingle)
+    relation — THE single implementation of the repo's MinHash
+    arithmetic, shared by the catalog queries here and the at-rest
+    index (``operators/text_index.py``).  Stored signatures must
+    match freshly-signed probes bit-for-bit, so this arithmetic has
+    exactly one home.
+
+    One md5 per shingle; 24 permutations via Carter-Wegman-style
+    (h1 + p*h2) mod prime — pure 53-bit-safe integer arithmetic,
+    identical in DuckDB, and 24x cheaper than hashing per perm;
+    6 bands of 4 minima joined into a string signature."""
+    spark = sh.sparkSession
     perms = spark.range(24).select(F.col("id").cast("long").alias("p"))
-    # One md5 per shingle; 24 permutations via Carter-Wegman-style
-    # (h1 + p*h2) mod prime — pure 53-bit-safe integer arithmetic,
-    # identical in DuckDB, and 24x cheaper than hashing per perm.
     md5c = F.md5("shingle")
     sh2 = sh.select(
         "doc_id",
@@ -269,7 +273,7 @@ def _minhash_bands(spark, sf_dir):
         ((F.col("h1") + F.col("p") * F.col("h2")) % F.lit(1073741789)).alias("hv"),
     )
     sig = h.groupBy("doc_id", "p").agg(F.min("hv").alias("mh"))
-    band = (
+    return (
         sig.withColumn("band", (F.col("p") / 4).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -282,7 +286,15 @@ def _minhash_bands(spark, sf_dir):
             ).alias("bsig")
         )
     )
-    return sh, band
+
+
+def _minhash_bands(spark, sf_dir):
+    """(shingles, band-signature) relations — the MinHash-LSH index
+    builder shared by the in-corpus pair generator and the
+    incremental new-batch probe. Returns ``band`` uncached; callers
+    decide persistence (both sides of a self-join vs probe-only)."""
+    sh = _shingle_df(spark, sf_dir)
+    return sh, minhash_band_signatures(sh)
 
 
 def _minhash_pairs(spark, sf_dir):

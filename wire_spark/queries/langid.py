@@ -68,12 +68,13 @@ def text_langid_trigram_trained(spark, sf_dir):
     (ties break to the alphabetically-first language; profile-less
     docs fall back to 'unk'). Output: the confusion matrix.
 
-    Scale shape: ONE trigram explode feeds both phases — the per-doc
-    trigram-count relation (map-combined shuffle on (doc_id, tri),
-    eagerly materialized for its two consumers) yields the training
-    counts by a second, already-tiny (lang, tri) aggregation AND the
-    per-doc distinct trigrams for scoring, instead of re-exploding
-    the corpus per branch. The top-50-per-lang window is
+    Scale shape: NEITHER phase shuffles at corpus-trigram grain —
+    training explodes trigrams and map-combines straight to the
+    (lang, tri) grain (partial aggregates bounded by the trigram
+    domain), and classification derives each document's distinct
+    trigrams ROW-LOCALLY (array_distinct over the in-row transform,
+    zero shuffle), so the scoring path's first shuffle is the
+    bounded (doc_id, plang) overlap. The top-50-per-lang window is
     WindowGroupLimit-bounded (rank filter, bounded key set); the
     trained profile is languages x 50 rows — broadcast into the
     scoring join so the document side never reshuffles on the
@@ -84,30 +85,34 @@ def text_langid_trigram_trained(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("t")
     )
-    tri = d.filter(F.length("t") >= 3).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-        ).alias("tri"),
-    )
-    # per-doc trigram counts: the single corpus-sized pass, shared by
-    # training (summed to (lang, tri)) and classification (distinct
-    # trigrams per doc) — without the checkpoint each branch would
-    # re-explode every document
-    dtc = (
-        tri.groupBy("doc_id", "lang", "tri")
+    trigrams = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+    # training counts map-combine straight to the (lang, tri) grain:
+    # each map task's partial aggregate is bounded by the trigram
+    # domain, so the shuffle never carries corpus-grain rows
+    cnt = (
+        d.filter(F.length("t") >= 3)
+        .select("lang", F.explode(F.expr(trigrams)).alias("tri"))
+        .groupBy("lang", "tri")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
-    cnt = dtc.groupBy("lang", "tri").agg(F.sum("c").alias("c"))
     wl = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
     prof = (
         cnt.withColumn("r", F.row_number().over(wl))
         .filter(F.col("r") <= 50)
         .select(F.col("lang").alias("plang"), "tri")
     )
-    dtri = dtc.select("doc_id", "tri")
+    # per-doc DISTINCT trigrams derived row-locally (array_distinct
+    # over the in-row transform): a generate, zero shuffle — the
+    # scoring path's first shuffle is the bounded (doc_id, plang)
+    # overlap aggregate below.  An earlier form shared a
+    # (doc_id, lang, tri) aggregate with training via an eager
+    # checkpoint; the share saved this re-explode but paid a
+    # corpus-grain shuffle + disk materialization (~40% of the
+    # query's wall time at sf0.1 — NOTES round 9).
+    dtri = d.filter(F.length("t") >= 3).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({trigrams})")).alias("tri"),
+    )
     ov = (
         dtri.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "plang")

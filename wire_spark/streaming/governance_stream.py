@@ -297,7 +297,11 @@ def windowed_stratification(
     (split total, class total, window total) are computed INSIDE the
     array with higher-order functions — O(grid^2) over <= 3 x
     n_classes entries, no joins on an aggregated stream (which append
-    mode would reject), no state beyond the grid.  Fixed-point
+    mode would reject), no state beyond the grid.  The in-array
+    marginal filters use null-safe ``<=>``: a NULL split or class
+    (malformed source rows — exactly what a governance monitor must
+    surface) forms its own cell and reports a real share instead of
+    NULL-ing out on a dropped-by-=-NULL denominator.  Fixed-point
     discipline matches the batch audit exactly (integer ``div``
     shares at 1e4), so a closed window's rows equal
     ``split_stratification_audit``'s answer on that window's slice
@@ -327,11 +331,11 @@ def windowed_stratification(
                       e.cls AS cls,
                       e.n AS n,
                       CAST(e.n * 10000 div aggregate(
-                          filter(g, x -> x.split = e.split),
+                          filter(g, x -> x.split <=> e.split),
                           CAST(0 AS BIGINT), (a, x) -> a + x.n)
                         AS BIGINT) AS share_in_split_1e4,
                       CAST(aggregate(
-                          filter(g, x -> x.cls = e.cls),
+                          filter(g, x -> x.cls <=> e.cls),
                           CAST(0 AS BIGINT), (a, x) -> a + x.n) * 10000
                         div aggregate(
                           g, CAST(0 AS BIGINT), (a, x) -> a + x.n)
