@@ -570,3 +570,56 @@ def test_morton_nd_int_columns_high_bit_positions(spark):
     got = {(r.x, r.y, r.w): r.z for r in df.collect()}
     assert got == {p: model(p) for p in pts}
     assert max(got.values()) >= (1 << 35)  # high positions actually used
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["L", "R"]),
+            st.integers(-100_000, 100_000),   # order value (can collide)
+            st.integers(0, 9),                # summand a
+            st.integers(0, 9),                # summand b
+        ),
+        min_size=1, max_size=60,
+    ),
+    bucket=st.sampled_from([1, 7, 1024]),
+)
+def test_hist_prefix_matches_naive_window_property(spark, rows, bucket):
+    """Property: _hist_prefix's two-pass prefix sums equal the naive
+    global ordered window for ANY histogram — duplicate order values
+    collapse (histogram grain), negatives bucket monotonically, and
+    bucket width 1 (every value its own bucket) and width > domain
+    (single bucket) are both exact, inclusive and exclusive."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from wire_spark.queries.features import _hist_prefix
+
+    # histogram grain: one row per (part, order value)
+    seen = {}
+    for p, v, a, b in rows:
+        seen[(p, v)] = (a, b)
+    h = spark.createDataFrame(
+        [(p, v, a, b) for (p, v), (a, b) in seen.items()],
+        "part STRING, v LONG, a LONG, b LONG",
+    )
+    w_in = W.partitionBy("part").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_ex = W.partitionBy("part").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ref = sorted(
+        map(
+            tuple,
+            h.select(
+                "part", "v",
+                F.sum("a").over(w_in).alias("ca"),
+                F.coalesce(F.sum("b").over(w_ex), F.lit(0)).alias("cb"),
+            ).collect(),
+        )
+    )
+    got_df = _hist_prefix(h, "v", {"ca": "a"}, parts=("part",), bucket=bucket)
+    got_df = _hist_prefix(
+        got_df, "v", {"cb": "b"}, parts=("part",), inclusive=False, bucket=bucket
+    )
+    got = sorted(map(tuple, got_df.select("part", "v", "ca", "cb").collect()))
+    assert got == ref
