@@ -526,7 +526,7 @@ ORDER BY flag, measure
 """
 
 
-@register("unpivot_lineitem_measures", oracle=_UNPIVOT_ORACLE,
+@register("unpivot_lineitem_measures", bench=True, oracle=_UNPIVOT_ORACLE,
           doc="wide->long unpivot (melt) of four lineitem measures, "
               "then per-(flag, measure) stats — the DataFrame.unpivot "
               "relational surface")
