@@ -75,3 +75,29 @@ def test_window_is_exactly_fifty_known_names():
     unknown = [n for n in _DRIVER_PRIORITY if n not in reg]
     assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
     assert list(reg)[:50] == list(_DRIVER_PRIORITY)
+
+
+def test_rotate_window_proposal_satisfies_invariants(freshness):
+    """tools/rotate_window.py mechanizes the rotation policy; its
+    proposal must itself satisfy the freshness invariants: exactly 50
+    known names, every never-checked (and ever-red) query first, and
+    remaining slots filled stalest-green-first."""
+    from tools.rotate_window import propose
+    from wire_spark.catalog import load_registry
+
+    window, at_risk = propose(ROOT)
+    reg = load_registry()
+    assert len(window) == 50
+    assert all(n in reg for n in window)
+    never = set(freshness["never_checked"]) | {
+        n for n, r in freshness["queries"].items()
+        if r["newest_green"] is None and r["ever_failed"]
+    }
+    head = set(window[: len(never)])
+    assert head == never, (head ^ never)
+    # the green tail is monotone by newest_green
+    greens = [freshness["queries"][n]["newest_green"] for n in window[len(never):]]
+    assert greens == sorted(greens)
+    # at-risk report only lists genuinely near-horizon deferrals
+    horizon = freshness["latest_round"] - 2
+    assert all(g <= horizon for _n, g in at_risk)
