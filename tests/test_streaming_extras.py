@@ -1380,7 +1380,9 @@ def test_streaming_windowed_quantiles_batch_parity(spark, tmp_path):
     rows = [
         {
             "ts": (base + dt.timedelta(seconds=20 * i)).strftime("%Y-%m-%d %H:%M:%S"),
-            "v": float(r.value) * 100.0,  # spread over many buckets
+            # every 40th value is NULL: SQL percentile semantics —
+            # excluded from the distribution, never a NULL bucket
+            "v": None if i % 40 == 0 else float(r.value) * 100.0,
         }
         for i, r in enumerate(ev)
     ]
@@ -1410,6 +1412,8 @@ def test_streaming_windowed_quantiles_batch_parity(spark, tmp_path):
     cutoff = max_ts - dt.timedelta(minutes=30)
     buckets = {}
     for r in rows:
+        if r["v"] is None:
+            continue  # excluded from the distribution, like SQL
         t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
         w = t.replace(minute=0, second=0)
         if w + dt.timedelta(hours=1) > cutoff:

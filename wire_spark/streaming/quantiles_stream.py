@@ -66,7 +66,12 @@ def windowed_quantiles(
     — bucket-upper-bound percentiles of ``value_col`` (integer-floored
     into ``bucket_width``-wide buckets row-wise)."""
     cells = (
-        stream.withWatermark(ts_col, watermark)
+        stream.filter(F.col(value_col).isNotNull())
+        # ^ SQL percentile semantics: NULL values are not part of the
+        # distribution.  Without the filter they would form a NULL
+        # bucket whose position in the array_sort comparator is
+        # undefined, silently shifting every quantile.
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(ts_col, window).alias("w"),
             F.floor(F.col(value_col) / F.lit(bucket_width))
