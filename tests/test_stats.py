@@ -1,0 +1,169 @@
+"""Semantic tests for the hypothesis-testing family (stats.py) —
+independent recomputation in plain Python over collected sf0.001
+rows, plus the scale-shape plan guards.  The cross-engine value gate
+is tests/test_catalog_oracle.py; these tests check the STATISTICS are
+the right numbers, not merely engine-consistent."""
+
+from __future__ import annotations
+
+import math
+
+from wire_spark.catalog import load_registry
+from wire_spark.engine import load_table
+
+REG = load_registry()
+
+
+def _run(spark, sf_dir, name):
+    return REG[name].fn(spark, sf_dir).collect()
+
+
+def test_ab_arms_partition_events(spark, sf_dir):
+    row = _run(spark, sf_dir, "events_ab_ztest")[0]
+    total = load_table(spark, sf_dir, "events").count()
+    assert row.n_control + row.n_treatment == total
+    assert 0 <= row.conv_control <= row.n_control
+    assert 0 <= row.conv_treatment <= row.n_treatment
+    # z's sign must agree with the rate difference direction
+    if row.rate_control != row.rate_treatment:
+        assert (row.z_1e4 > 0) == (row.rate_control > row.rate_treatment)
+
+
+def test_mannwhitney_matches_direct_midranks(spark, sf_dir):
+    """Recompute U from scratch: pool both groups, assign tie
+    midranks by explicit counting, and compare the doubled rank-sum
+    identity — the engine must reproduce the textbook statistic
+    exactly, not just match its own oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    g1 = sorted(r.o_totalprice for r in orders
+                if r.o_orderpriority == "1-URGENT")
+    g2 = sorted(r.o_totalprice for r in orders
+                if r.o_orderpriority == "5-LOW")
+    pooled = sorted(g1 + g2)
+    # doubled midrank of value v: 2*(count strictly below) + ties + 1
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    below = {}
+    run = 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    r1x2 = sum(2 * below[v] + cnt[v] + 1 for v in g1)
+    ux2 = r1x2 - len(g1) * (len(g1) + 1)
+    row = _run(spark, sf_dir, "orders_mannwhitney_u")[0]
+    assert row.n_urgent == len(g1) and row.n_low == len(g2)
+    assert row.u_x2 == ux2
+    # effect size: prob_superiority = U / (n1*n2), 4dp floor
+    want = math.floor(ux2 / (2.0 * len(g1) * len(g2)) * 10000.0) / 10000.0
+    assert row.prob_superiority == want
+
+
+def test_welch_t_matches_direct_moments(spark, sf_dir):
+    """Replay the truncated-moment formula in Python (exact integer
+    moments, then the same IEEE op tree) — equality, not tolerance."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups = {"click": [], "view": []}
+    for r in ev:
+        if r.event_type in groups and r.value is not None:
+            groups[r.event_type].append(r.value)
+    stats = {}
+    for k, vs in groups.items():
+        n = len(vs)
+        s = sum(math.floor(v * 10000.0) for v in vs)
+        q = sum(math.floor(v * v * 100.0) for v in vs)
+        m = s / 10000.0 / n
+        x = q / 100.0 / n
+        var = (x - m * m) * n / (n - 1.0)
+        stats[k] = (n, m, var)
+    n1, m1, v1 = stats["click"]
+    n2, m2, v2 = stats["view"]
+    t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    row = _run(spark, sf_dir, "events_welch_ttest")[0]
+    assert (row.n_click, row.n_view) == (n1, n2)
+    assert row.t_1e4 == math.floor(t * 10000.0)
+    assert row.mean_click == math.floor(m1 * 10000.0) / 10000.0
+
+
+def test_chi2_matches_direct_contingency(spark, sf_dir):
+    from collections import Counter
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+
+    def cohort(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 4
+
+    cells = Counter((r.event_type, cohort(r.user_id)) for r in ev)
+    rt = Counter()
+    ct = Counter()
+    for (t, c), o in cells.items():
+        rt[t] += o
+        ct[c] += o
+    n = sum(cells.values())
+    chi6 = sum(
+        math.floor((o * n - rt[t] * ct[c]) ** 2 / (rt[t] * ct[c] * n) * 1e6)
+        for (t, c), o in cells.items()
+    )
+    row = _run(spark, sf_dir, "events_chi2_independence")[0]
+    assert row.n_cells == len(cells)
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert row.chi2_1e6 == chi6
+
+
+def test_dp_counts_noise_bounded_and_raw_count_absent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "governance_dp_counts")
+    true = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # Laplace(b=2) from u in [5e-7, 1-5e-7]: |noise| <= 2*ln(1e6) < 28
+    for r in rows:
+        assert abs(r.noisy_1e4 / 10000.0 - true[r.event_type]) < 28.0
+        assert r.eps_1e2 == 50
+    # the release must not carry the raw count column
+    cols = REG["governance_dp_counts"].fn(spark, sf_dir).columns
+    assert "n" not in cols and len(rows) == len(true)
+
+
+def test_naive_bayes_confusion_covers_holdout(spark, sf_dir):
+    rows = _run(spark, sf_dir, "quality_naive_bayes_confusion")
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert {r.lang_true for r in rows} <= langs
+    assert {r.lang_pred for r in rows} <= langs
+    # every holdout doc gets exactly one prediction
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    holdout = sum(
+        1 for r in docs
+        if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        % 100 >= 80
+    )
+    assert sum(r.n_docs for r in rows) == holdout
+    # the majority class's diagonal must be the single largest cell
+    # (the classifier recovers the dominant language even on the
+    # word-salad synthetic corpus where lang signal is weak)
+    top = max(rows, key=lambda r: r.n_docs)
+    assert top.lang_true == top.lang_pred == "en"
+
+
+def test_mannwhitney_no_global_histogram_window(spark, sf_dir):
+    """The rank prefix must run through _hist_prefix's two-pass form:
+    at most the one bucket-grain SinglePartition exchange, with the
+    value-grain window partitioned by bucket — a histogram-wide
+    one-task window is the 100 TB killer (quality_gini_stump guard)."""
+    from wire_spark.plans import formatted_plan
+
+    df = REG["orders_mannwhitney_u"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 2  # offsets + final 1-row agg
+    assert "windowspecdefinition(_bkt" in plan

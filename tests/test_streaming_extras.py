@@ -1436,3 +1436,86 @@ def test_streaming_windowed_quantiles_batch_parity(spark, tmp_path):
     # percentiles are ordered and the window really has spread
     for n, p50, p90, p99 in got.values():
         assert p50 <= p90 <= p99 and n > 50
+
+
+def test_streaming_ab_ztest_batch_parity(spark, tmp_path):
+    """The live A/B guardrail: every closed window's four arm
+    counters and fixed-point z equal the batch computation on that
+    window's rows — same md5 arm split, same IEEE op tree, same
+    1e-4 floor as the batch events_ab_ztest."""
+    import hashlib
+    import math
+
+    from wire_spark.engine import load_table
+    from wire_spark.streaming.ab_stream import windowed_ab_ztest
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        {
+            "ts": (base + dt.timedelta(minutes=2 * i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "user_id": int(r.user_id),
+            "event_type": r.event_type,
+        }
+        for i, r in enumerate(ev)
+    ]
+    src = str(tmp_path / "ab_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    q = (
+        windowed_ab_ztest(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory").queryName("abz")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ab_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start: (r.n_control, r.n_treatment, r.conv_control,
+                    r.conv_treatment, r.z_1e4)
+        for r in spark.sql("SELECT * FROM abz").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    def treat(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2 == 1
+
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+                 for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    acc = {}
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w = t.replace(minute=0, second=0)
+        if w + dt.timedelta(hours=1) > cutoff:
+            continue
+        a = acc.setdefault(w, [0, 0, 0, 0])
+        i = 1 if treat(r["user_id"]) else 0
+        a[i] += 1
+        if r["event_type"] == "purchase":
+            a[2 + i] += 1
+    expected = {}
+    for w, (nc, nt, cc, ct) in acc.items():
+        z = 0
+        if nc > 0 and nt > 0:
+            pp = (cc + ct) / (nc + nt)
+            if 0.0 < pp < 1.0:
+                z = int(math.floor(
+                    (cc / nc - ct / nt)
+                    / math.sqrt(pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt))
+                    * 10000.0))
+        expected[w] = (nc, nt, cc, ct, z)
+    assert got == expected
+    # the synthetic stream must actually exercise both arms
+    assert all(nc > 0 and nt > 0 for nc, nt, _, _, _ in got.values())

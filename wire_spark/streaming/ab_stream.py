@@ -1,0 +1,89 @@
+"""Streaming experimentation monitor: per-window two-proportion
+z-test — the streaming sibling of the batch ``events_ab_ztest``
+(queries/stats.py), completing batch/stream parity for the
+hypothesis-testing family the same way windowed_calibration_bins
+mirrors model_calibration_bins.
+
+Why it exists: a nightly A/B readout catches yesterday's regression.
+Run the SAME fixed-point z over watermarked event-time windows on the
+ingest path and a broken arm (conversion collapse after a bad deploy
+to one variant) raises within one window of landing — the live
+guardrail-metric shape every experimentation platform ships.
+
+Shape: ONE windowed aggregation (four conditional counters per
+window), then closed-form per-row arithmetic on the window-grain
+aggregate.  State is live-windows x 1 row — bounded by the watermark
+horizon, never stream length.  Append mode emits only closed windows,
+so every row is final and bit-comparable against the batch query on
+the same slice (identical integer counters, identical IEEE op tree,
+identical 1e-4 floor; degenerate pools report z = 0 on both paths).
+
+Reference behavioral anchor: stateful window transforms on the ingest
+path (tarungka/wire ROADMAP.md:100, SURVEY §2.6); the test surface
+itself is a training-data/experimentation extension beyond the
+reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wire_spark.queries._util import md5_long
+
+_Z_EXPR = (
+    "CAST(CASE WHEN n_control > 0 AND n_treatment > 0 "
+    "AND pp > 0.0e0 AND pp < 1.0e0 THEN "
+    "floor((p1 - p2) / sqrt(pp * (1.0e0 - pp) "
+    "* (1.0e0 / CAST(n_control AS DOUBLE) "
+    "+ 1.0e0 / CAST(n_treatment AS DOUBLE))) * 10000.0e0) "
+    "ELSE 0 END AS BIGINT)"
+)
+
+
+def windowed_ab_ztest(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    success_value: str = "purchase",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, n_control, n_treatment,
+    conv_control, conv_treatment, z_1e4) — the guardrail z-score of
+    the deterministic md5(user) arm split on the success-event rate.
+
+    Arms are the same hash arithmetic as the batch query, so a user
+    keeps one arm across batch readouts and the live monitor alike;
+    windows with an empty or saturated arm (a 0/0 would be NaN, not
+    an error — double division never raises) report z = 0 via the
+    explicit n > 0 and 0 < pp < 1 gates rather than emitting NaN.
+    """
+    treat = md5_long(F.col(user_col).cast("string")) % 2 == 1
+    conv = F.col(type_col) == success_value
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.when(~treat, 1)).alias("n_control"),
+            F.count(F.when(treat, 1)).alias("n_treatment"),
+            F.count(F.when(~treat & conv, 1)).alias("conv_control"),
+            F.count(F.when(treat & conv, 1)).alias("conv_treatment"),
+        )
+    )
+    p = agg.select(
+        "*",
+        F.expr("CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)")
+        .alias("p1"),
+        F.expr("CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)")
+        .alias("p2"),
+        F.expr("CAST(conv_control + conv_treatment AS DOUBLE)"
+               " / CAST(n_control + n_treatment AS DOUBLE)").alias("pp"),
+    )
+    return p.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "n_control", "n_treatment", "conv_control", "conv_treatment",
+        F.expr(_Z_EXPR).alias("z_1e4"),
+    )
