@@ -167,3 +167,118 @@ def test_mannwhitney_no_global_histogram_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("Exchange SinglePartition") <= 2  # offsets + final 1-row agg
     assert "windowspecdefinition(_bkt" in plan
+
+
+def _md5_60(s):
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def test_srm_matches_direct_user_counts(spark, sf_dir):
+    users = [r.user_id for r in load_table(spark, sf_dir, "events")
+             .select("user_id").distinct().collect()]
+    n1 = sum(1 for u in users if _md5_60(u) % 2 == 0)
+    n2 = len(users) - n1
+    row = _run(spark, sf_dir, "events_srm_check")[0]
+    assert (row.nu_control, row.nu_treatment) == (n1, n2)
+    assert row.srm_chi2_1e6 == (n1 - n2) ** 2 * 1000000 // (n1 + n2)
+    assert row.srm_flag == (1 if row.srm_chi2_1e6 > 3841459 else 0)
+
+
+def test_ks_matches_direct_ecdf(spark, sf_dir):
+    """Exact integer ECDF distance recomputed from raw values —
+    the statistic itself, not just engine agreement."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    g1 = [r.o_totalprice for r in orders if r.o_orderpriority == "1-URGENT"]
+    g2 = [r.o_totalprice for r in orders if r.o_orderpriority == "5-LOW"]
+    n1, n2 = len(g1), len(g2)
+    values = sorted(set(g1 + g2))
+    from bisect import bisect_right
+
+    s1, s2 = sorted(g1), sorted(g2)
+    dnum = max(
+        abs(bisect_right(s1, v) * n2 - bisect_right(s2, v) * n1)
+        for v in values
+    )
+    row = _run(spark, sf_dir, "orders_ks_test")[0]
+    assert (row.n_urgent, row.n_low) == (n1, n2)
+    assert row.d_num == dnum
+    assert row.d_1e6 == dnum * 1000000 // (n1 * n2)
+
+
+def test_cuped_matches_direct_moments(spark, sf_dir):
+    """Replay CUPED end-to-end in Python: per-user integer covariate
+    and metric, pooled moments, theta, adjusted lift — exact."""
+    import datetime as dt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+    boundary = dt.datetime(2024, 1, 8)
+    per = {}
+    for r in ev:
+        a = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "view" and r.ts < boundary:
+            a[0] += 1
+        if r.event_type == "purchase" and r.ts >= boundary:
+            a[1] += math.floor(r.value * 10000.0)
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    covn = float(n) * float(sxy) - float(sx) * float(sy)
+    varxn = float(n) * float(sxx) - float(sx) * float(sx)
+    theta4 = covn / varxn if varxn > 0 else 0.0
+    arm = {u: _md5_60(u) % 2 for u in per}
+    n1 = sum(1 for u in per if arm[u] == 0)
+    n2 = n - n1
+    sy1 = sum(per[u][1] for u in per if arm[u] == 0)
+    sy2 = sum(per[u][1] for u in per if arm[u] == 1)
+    sx1 = sum(per[u][0] for u in per if arm[u] == 0)
+    sx2 = sum(per[u][0] for u in per if arm[u] == 1)
+    row = _run(spark, sf_dir, "events_ab_cuped")[0]
+    assert (row.n_users, row.n_control, row.n_treatment) == (n, n1, n2)
+    assert row.theta_1e4 == math.floor(theta4)
+    assert row.diff_raw_1e4 == math.floor(sy1 / n1 - sy2 / n2)
+    assert row.diff_cuped_1e4 == math.floor(
+        sy1 / n1 - sy2 / n2 - theta4 * (sx1 / n1 - sx2 / n2)
+    )
+
+
+def test_permutation_test_matches_direct_reassignment(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    per = {}
+    for r in ev:
+        a = per.setdefault(r.user_id, [0, 0])
+        a[0] += 1
+        if r.event_type == "purchase":
+            a[1] += 1
+
+    def stat(assign):
+        e = [0, 0]
+        c = [0, 0]
+        for u, (ne, nc) in per.items():
+            i = assign(u)
+            e[i] += ne
+            c[i] += nc
+        if e[0] > 0 and e[1] > 0:
+            return abs(c[0] / e[0] - c[1] / e[1])
+        return 0.0
+
+    obs = stat(lambda u: _md5_60(u) % 2)
+    extreme = sum(
+        1 for b in range(1, 33)
+        if stat(lambda u, b=b: _md5_60(f"{u}#{b}") % 2) >= obs
+    )
+    row = _run(spark, sf_dir, "events_permutation_test")[0]
+    assert row.n_perms == 32
+    assert row.n_extreme == extreme
+    assert row.p_1e4 == (1 + extreme) * 10000 // 33
+    assert row.stat_obs_1e6 == math.floor(obs * 1000000.0)

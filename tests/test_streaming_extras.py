@@ -1519,3 +1519,77 @@ def test_streaming_ab_ztest_batch_parity(spark, tmp_path):
     assert got == expected
     # the synthetic stream must actually exercise both arms
     assert all(nc > 0 and nt > 0 for nc, nt, _, _, _ in got.values())
+
+
+def test_streaming_srm_check_batch_parity(spark, tmp_path):
+    """The live sample-ratio alarm: every closed window's DISTINCT
+    per-arm user counts and integer chi-squared equal the batch
+    recomputation on that window's rows — including a deliberately
+    broken middle segment where one arm's users are dropped, which
+    must trip srm_flag in its window.  Five hours of data so the
+    broken hour-2 window is comfortably past the 30-minute
+    watermark and actually closes."""
+    import hashlib
+
+    from wire_spark.streaming.ab_stream import windowed_srm_check
+
+    def treat(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2 == 1
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    i = 0
+    for hour in range(5):
+        for rep in range(3):  # repeats: distinctness must dedupe
+            for uid in range(40):
+                # hour 2: simulate a deploy that drops control users
+                if hour == 2 and not treat(uid) and uid % 8 != 0:
+                    continue
+                rows.append({
+                    "ts": (base + dt.timedelta(hours=hour, minutes=rep * 7,
+                                               seconds=uid)).strftime(
+                        "%Y-%m-%d %H:%M:%S"),
+                    "user_id": uid,
+                })
+                i += 1
+    src = str(tmp_path / "srm_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    q = (
+        windowed_srm_check(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory").queryName("srm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "srm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start: (r.nu_control, r.nu_treatment, r.srm_chi2_1e6, r.srm_flag)
+        for r in spark.sql("SELECT * FROM srm").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+                 for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    seen = {}
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w = t.replace(minute=0, second=0)
+        if w + dt.timedelta(hours=1) > cutoff:
+            continue
+        seen.setdefault(w, set()).add(r["user_id"])
+    expected = {}
+    for w, users in seen.items():
+        n2 = sum(1 for u in users if treat(u))
+        n1 = len(users) - n2
+        chi = (n1 - n2) ** 2 * 1000000 // (n1 + n2)
+        expected[w] = (n1, n2, chi, 1 if chi > 3841459 else 0)
+    assert got == expected
+    # the broken hour must alarm; at least one healthy hour must not
+    flags = [v[3] for v in got.values()]
+    assert 1 in flags and 0 in flags

@@ -684,3 +684,465 @@ def quality_naive_bayes_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# --------------------------------------------------------------------
+# sample-ratio mismatch: the pre-test every A/B readout must pass
+# --------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 = 1 AS treat
+  FROM events
+), s AS (
+  SELECT CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS nu_control,
+         CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nu_treatment
+  FROM u
+)
+SELECT nu_control, nu_treatment,
+       CAST(CAST((nu_control - nu_treatment) AS HUGEINT)
+            * (nu_control - nu_treatment) * 1000000
+            // (nu_control + nu_treatment) AS BIGINT) AS srm_chi2_1e6,
+       CAST(CASE WHEN CAST((nu_control - nu_treatment) AS HUGEINT)
+                      * (nu_control - nu_treatment) * 1000000
+                      // (nu_control + nu_treatment) > 3841459
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM s
+"""
+
+
+@register("events_srm_check", oracle=_SRM_ORACLE,
+          doc="sample-ratio-mismatch chi-squared on the per-USER arm "
+              "split vs the designed 50/50 — the assignment-integrity "
+              "pre-test that invalidates an A/B readout when it fires")
+def events_srm_check(spark, sf_dir):
+    """SRM test at the randomization-unit grain: count DISTINCT users
+    per md5-parity arm (the same arms as events_ab_ztest) and compare
+    to the designed 50/50 with the one-dof chi-squared
+    ``(n1-n2)^2/(n1+n2)``.  An experimentation platform runs this
+    before every readout: a mismatch means assignment or logging is
+    broken and every downstream p-value is garbage.
+
+    Exactness: pure integer arithmetic end-to-end — the chi-squared
+    is a 128-bit product floored into 1e-6 units by integer division
+    (DECIMAL(38,0)/HUGEINT: (n1-n2)^2 * 1e6 outgrows int64 by
+    ~sf100), and the 5% verdict compares against the integer critical
+    value 3.841459.
+
+    Scale shape: groupBy(user_id) distinct then a two-counter global
+    aggregate — one user-keyed shuffle, map-side partial distinct.
+    """
+    u = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (md5_long(F.col("user_id").cast("string")) % 2 == 1).alias("treat"),
+        )
+        .distinct()
+    )
+    s = u.agg(
+        F.count(F.when(~F.col("treat"), 1)).alias("nu_control"),
+        F.count(F.when(F.col("treat"), 1)).alias("nu_treatment"),
+    )
+    return s.select(
+        "nu_control", "nu_treatment",
+        F.expr(
+            "CAST(CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
+            " * (nu_control - nu_treatment) * 1000000"
+            " div (nu_control + nu_treatment) AS BIGINT)"
+        ).alias("srm_chi2_1e6"),
+        F.expr(
+            "CAST(CASE WHEN CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
+            " * (nu_control - nu_treatment) * 1000000"
+            " div (nu_control + nu_treatment) > 3841459"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample: ECDF distance from the histogram
+# --------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH f AS (
+  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS g1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), h AS (
+  SELECT v, CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE NOT g1) AS BIGINT) AS c2
+  FROM f GROUP BY v
+), p AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2
+  FROM h
+), nn AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM h
+), d AS (
+  SELECT max(abs(CAST(cum1 AS HUGEINT) * nn.n2
+                 - CAST(cum2 AS HUGEINT) * nn.n1)) AS dnum,
+         nn.n1, nn.n2
+  FROM p, nn GROUP BY nn.n1, nn.n2
+)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       CAST(dnum AS BIGINT) AS d_num,
+       CAST(dnum * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+         AS d_1e6,
+       CAST(CASE WHEN CAST(dnum AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 > 1.358e0 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+            THEN 1 ELSE 0 END AS BIGINT) AS ks_reject_05
+FROM d
+"""
+
+
+@register("orders_ks_test", oracle=_KS_ORACLE, bench=True,
+          doc="two-sample Kolmogorov-Smirnov D between URGENT and LOW "
+              "order prices — exact integer ECDF distance from the "
+              "value-grain histogram, distributed prefix sums")
+def orders_ks_test(spark, sf_dir):
+    """KS distance D = max_v |F1(v) - F2(v)| computed EXACTLY in
+    integers: per distinct value, the inclusive cumulative counts
+    cum1/cum2 give |F1 - F2| = |cum1*n2 - cum2*n1| / (n1*n2), so the
+    max runs over 128-bit integer cross-products (no float ever
+    decides the argmax) and only the final ratio and the 5%
+    large-sample verdict (c(alpha)=1.358 at alpha=.05) touch doubles
+    — the same IEEE tree both engines, integer-floored output.
+
+    Complements orders_mannwhitney_u on the same two groups: U sees
+    location shifts, D sees ANY distributional difference (shape,
+    spread, tails) — together the standard nonparametric pair.
+
+    Scale shape: value-grain histogram, cumulative counts through
+    ``_hist_prefix``'s two-pass bucketed form (both group counters in
+    one pass), then a single max-aggregate.  No row-grain sort or
+    global window; the 128-bit products run on histogram-grain rows.
+    """
+    f = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("g1"),
+    )
+    h = f.groupBy("v").agg(
+        F.count(F.when(F.col("g1"), 1)).alias("c1"),
+        F.count(F.when(~F.col("g1"), 1)).alias("c2"),
+    )
+    p = _hist_prefix(h, "v", {"cum1": "c1", "cum2": "c2"}, inclusive=True)
+    nn = h.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = p.crossJoin(F.broadcast(nn)).agg(
+        F.max(F.expr("abs(CAST(cum1 AS DECIMAL(38,0)) * n2"
+                     " - CAST(cum2 AS DECIMAL(38,0)) * n1)")).alias("dnum"),
+        F.first("n1").alias("n1"), F.first("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").alias("n_urgent"), F.col("n2").alias("n_low"),
+        F.expr("CAST(dnum AS BIGINT)").alias("d_num"),
+        F.expr("CAST(dnum * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+               " AS BIGINT)").alias("d_1e6"),
+        F.expr(
+            "CAST(CASE WHEN CAST(dnum AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            " > 1.358e0 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("ks_reject_05"),
+    )
+
+
+# --------------------------------------------------------------------
+# CUPED: variance-reduced A/B readout with a pre-period covariate
+# --------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 = 1 AS treat,
+         CAST(count(*) FILTER (WHERE event_type = 'view'
+              AND ts < TIMESTAMP '2024-01-08 00:00:00') AS BIGINT) AS x,
+         CAST(COALESCE(sum(CAST(floor(value * 10000.0e0) AS BIGINT))
+              FILTER (WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'), 0) AS BIGINT) AS y4
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y4) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y4) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y4 AS HUGEINT) * y4) AS HUGEINT) AS syy,
+         CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS n2,
+         CAST(sum(x) FILTER (WHERE NOT treat) AS BIGINT) AS sx1,
+         CAST(sum(x) FILTER (WHERE treat) AS BIGINT) AS sx2,
+         CAST(sum(y4) FILTER (WHERE NOT treat) AS BIGINT) AS sy1,
+         CAST(sum(y4) FILTER (WHERE treat) AS BIGINT) AS sy2
+  FROM pu
+), t AS (
+  SELECT n, n1, n2, sx1, sx2, sy1, sy2,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+  FROM m
+), th AS (
+  SELECT n, n1, n2, sx1, sx2, sy1, sy2, varxn, varyn, covn,
+         CASE WHEN varxn > 0.0e0 THEN covn / varxn ELSE 0.0e0 END AS theta4
+  FROM t
+)
+SELECT n AS n_users, n1 AS n_control, n2 AS n_treatment,
+       CAST(floor(theta4) AS BIGINT) AS theta_1e4,
+       CAST(floor(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS BIGINT)
+         AS diff_raw_1e4,
+       CAST(floor(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - theta4 * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+            AS BIGINT) AS diff_cuped_1e4,
+       CAST(CASE WHEN varxn > 0.0e0 AND varyn > 0.0e0 THEN
+         floor(covn * covn / (varxn * varyn) * 10000.0e0)
+       ELSE 0 END AS BIGINT) AS var_reduction_1e4
+FROM th
+"""
+
+
+@register("events_ab_cuped", oracle=_CUPED_ORACLE,
+          doc="CUPED variance-reduced A/B effect: pre-period view "
+              "count as covariate, experiment-period purchase value "
+              "as metric — theta from pooled integer moments, "
+              "adjusted lift plus the rho^2 variance reduction")
+def events_ab_cuped(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng
+    et al. 2013 — the industry-standard sensitivity booster): per
+    user, covariate x = week-1 view count (pre-period, fixed boundary
+    2024-01-08 so a user's covariate never moves), metric y =
+    post-boundary purchase value; theta = cov(x,y)/var(x) pooled,
+    reported effect = raw mean lift minus theta times the covariate
+    imbalance, and var_reduction = rho^2 (the fraction of metric
+    variance CUPED removes).
+
+    Exactness: per-user x is an integer and y accumulates per-row
+    1e-4 floors, so all five pooled moments are exact integer sums
+    (the x*y4 and y4^2 products outgrow int64 by ~sf100 — they
+    accumulate in DECIMAL(38,0)/HUGEINT); theta conveniently lands
+    in 1e-4 fixed point because y4 carries the scale.  Every double
+    expression replays one IEEE op tree; zero covariate variance
+    degrades to theta = 0 (plain diff) identically in both engines.
+
+    Scale shape: ONE scan -> user-grain groupBy (the only shuffle)
+    -> twelve-counter global aggregate.  The same conditional-
+    aggregation trick as events_ab_ztest keeps arm splits out of a
+    second pass.
+    """
+    pu = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")),
+                1)).alias("x"),
+            F.coalesce(
+                F.sum(F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp")),
+                    F.expr("CAST(floor(value * 10000.0e0) AS BIGINT)"))),
+                F.lit(0)).alias("y4"),
+        )
+        .select(
+            "x", "y4",
+            (md5_long(F.col("user_id").cast("string")) % 2 == 1).alias("treat"),
+        )
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y4")).alias("sxy"),
+        F.sum(F.expr("CAST(y4 AS DECIMAL(38,0)) * y4")).alias("syy"),
+        F.count(F.when(~F.col("treat"), 1)).alias("n1"),
+        F.count(F.when(F.col("treat"), 1)).alias("n2"),
+        F.sum(F.when(~F.col("treat"), F.col("x"))).alias("sx1"),
+        F.sum(F.when(F.col("treat"), F.col("x"))).alias("sx2"),
+        F.sum(F.when(~F.col("treat"), F.col("y4"))).alias("sy1"),
+        F.sum(F.when(F.col("treat"), F.col("y4"))).alias("sy2"),
+    )
+    t = m.select(
+        "n", "n1", "n2", "sx1", "sx2", "sy1", "sy2",
+        F.expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").alias("covn"),
+        F.expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").alias("varxn"),
+        F.expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+               " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").alias("varyn"),
+    )
+    th = t.select(
+        "*",
+        F.expr("CASE WHEN varxn > 0.0e0 THEN covn / varxn"
+               " ELSE 0.0e0 END").alias("theta4"),
+    )
+    return th.select(
+        F.col("n").alias("n_users"),
+        F.col("n1").alias("n_control"),
+        F.col("n2").alias("n_treatment"),
+        F.expr("CAST(floor(theta4) AS BIGINT)").alias("theta_1e4"),
+        F.expr("CAST(floor(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+               " - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS BIGINT)")
+        .alias("diff_raw_1e4"),
+        F.expr(
+            "CAST(floor(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+            " - theta4 * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS BIGINT)"
+        ).alias("diff_cuped_1e4"),
+        F.expr(
+            "CAST(CASE WHEN varxn > 0.0e0 AND varyn > 0.0e0 THEN"
+            " floor(covn * covn / (varxn * varyn) * 10000.0e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("var_reduction_1e4"),
+    )
+
+
+# --------------------------------------------------------------------
+# permutation test: clustering-correct inference via hash re-assignment
+# --------------------------------------------------------------------
+
+_PERM_B = 32
+
+_PERM_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT t.b,
+         CASE WHEN t.b = 0 THEN
+           CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % 2 = 1
+         ELSE
+           CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(user_id AS VARCHAR),
+                '#', CAST(t.b AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 1
+         END AS treat,
+         n_ev, n_conv
+  FROM pu CROSS JOIN (SELECT unnest(range(0, {_PERM_B} + 1)) AS b) t
+), s AS (
+  SELECT b,
+         CAST(sum(n_ev) FILTER (WHERE NOT treat) AS BIGINT) AS e1,
+         CAST(sum(n_ev) FILTER (WHERE treat) AS BIGINT) AS e2,
+         CAST(sum(n_conv) FILTER (WHERE NOT treat) AS BIGINT) AS c1,
+         CAST(sum(n_conv) FILTER (WHERE treat) AS BIGINT) AS c2
+  FROM arms GROUP BY b
+), st AS (
+  SELECT b,
+         CASE WHEN e1 > 0 AND e2 > 0 THEN
+           abs(CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE)
+               - CAST(c2 AS DOUBLE) / CAST(e2 AS DOUBLE))
+         ELSE 0.0e0 END AS stat
+  FROM s
+), obs AS (SELECT stat AS stat_obs FROM st WHERE b = 0)
+SELECT CAST({_PERM_B} AS BIGINT) AS n_perms,
+       CAST(count(*) FILTER (WHERE st.b > 0 AND st.stat >= obs.stat_obs)
+            AS BIGINT) AS n_extreme,
+       CAST((1 + count(*) FILTER (WHERE st.b > 0
+            AND st.stat >= obs.stat_obs)) * 10000
+            // ({_PERM_B} + 1) AS BIGINT) AS p_1e4,
+       CAST(floor(obs.stat_obs * 1000000.0e0) AS BIGINT) AS stat_obs_1e6
+FROM st CROSS JOIN obs
+GROUP BY obs.stat_obs
+"""
+
+
+@register("events_permutation_test", oracle=_PERM_ORACLE, bench=True,
+          doc="user-level permutation test of the conversion-rate "
+              "gap — 32 hash-seeded re-assignments, clustering-"
+              "correct p-value the naive event-grain z overstates")
+def events_permutation_test(spark, sf_dir):
+    """Permutation inference for the events_ab_ztest readout, done at
+    the grain that makes it CORRECT under clustering: each
+    pseudo-permutation b re-assigns whole USERS via md5(user#b)
+    parity (b=0 is the observed md5(user) assignment), recomputes the
+    event-grain conversion-rate gap, and the p-value is
+    (1 + #{|stat_b| >= |stat_obs|}) / (B+1).  Because users — not
+    events — are re-labeled, the null distribution preserves
+    within-user correlation, which the naive z (independence across
+    events) ignores; the spread between this p and the z's implied p
+    measures the design effect of clustering.
+
+    Exactness: the B+1 contingencies are integer sums regrouped from
+    the per-user relation; each |rate gap| is one identical IEEE
+    tree, the >=-comparison runs on identical doubles, and outputs
+    floor into fixed point (empty pseudo-arms score 0 — never
+    extreme — identically on both sides).
+
+    Scale shape: one scan -> user-grain groupBy (the only data-sized
+    shuffle) -> explode x(B+1) on the USER-grain relation (33x users,
+    not 33x events) -> 4(B+1) counters via map-side combine.  B is a
+    constant, so the whole null distribution costs one extra
+    user-grain pass regardless of corpus size.
+    """
+    pu = T(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_conv"),
+    )
+    arms = pu.select(
+        "n_ev", "n_conv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B))).alias("b"),
+        F.col("user_id"),
+    ).select(
+        "b", "n_ev", "n_conv",
+        F.when(
+            F.col("b") == 0,
+            md5_long(F.col("user_id").cast("string")) % 2 == 1,
+        ).otherwise(
+            md5_long(F.concat(F.col("user_id").cast("string"),
+                              F.lit("#"), F.col("b").cast("string"))) % 2 == 1
+        ).alias("treat"),
+    )
+    s = arms.groupBy("b").agg(
+        F.sum(F.when(~F.col("treat"), F.col("n_ev"))).alias("e1"),
+        F.sum(F.when(F.col("treat"), F.col("n_ev"))).alias("e2"),
+        F.sum(F.when(~F.col("treat"), F.col("n_conv"))).alias("c1"),
+        F.sum(F.when(F.col("treat"), F.col("n_conv"))).alias("c2"),
+    )
+    st = s.select(
+        "b",
+        F.expr(
+            "CASE WHEN e1 > 0 AND e2 > 0 THEN"
+            " abs(CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE)"
+            " - CAST(c2 AS DOUBLE) / CAST(e2 AS DOUBLE))"
+            " ELSE 0.0e0 END"
+        ).alias("stat"),
+    )
+    obs = st.filter(F.col("b") == 0).select(F.col("stat").alias("stat_obs"))
+    return (
+        st.crossJoin(F.broadcast(obs))
+        .groupBy("stat_obs")
+        .agg(
+            F.lit(_PERM_B).cast("long").alias("n_perms"),
+            F.count(F.when((F.col("b") > 0)
+                           & (F.col("stat") >= F.col("stat_obs")), 1))
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_perms", "n_extreme",
+            F.expr(f"CAST((1 + n_extreme) * 10000 div ({_PERM_B} + 1)"
+                   " AS BIGINT)").alias("p_1e4"),
+            F.expr("CAST(floor(stat_obs * 1000000.0e0) AS BIGINT)")
+            .alias("stat_obs_1e6"),
+        )
+    )

@@ -87,3 +87,65 @@ def windowed_ab_ztest(
         "n_control", "n_treatment", "conv_control", "conv_treatment",
         F.expr(_Z_EXPR).alias("z_1e4"),
     )
+
+
+def windowed_srm_check(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, nu_control, nu_treatment,
+    srm_chi2_1e6, srm_flag) — the live sample-ratio-mismatch alarm at
+    the randomization-unit grain, streaming sibling of the batch
+    ``events_srm_check``.
+
+    Why windowed SRM: assignment bugs are usually DEPLOY artifacts —
+    a bot filter or logging change that silently starves one arm from
+    some moment on.  The cumulative batch chi-squared dilutes a
+    recent break across the whole experiment; per-window counts
+    localize it to the hour it started.
+
+    Shape: the chained-windowed-aggregation pattern
+    (windowed_kanonymity's) — agg-1 distincts (window, user) with the
+    arm carried in the group key (it is a FUNCTION of the user, so
+    this adds no cardinality); agg-2 rolls windows up to the two arm
+    counters and the integer chi-squared ``(n1-n2)^2 * 1e6 //
+    (n1+n2)`` against the 5% critical value 3.841459.  State is
+    live-windows x distinct users — the same bound any exact
+    per-window distinct carries; beyond that scale the batch query is
+    the audit and a sketch (HLL) the monitor.
+    """
+    treat = md5_long(F.col(user_col).cast("string")) % 2 == 1
+    per_user = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            F.col(user_col).alias("u"),
+            treat.alias("treat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    counts = per_user.groupBy(
+        F.window(F.window_time("w"), window).alias("w2")
+    ).agg(
+        F.count(F.when(~F.col("treat"), 1)).alias("nu_control"),
+        F.count(F.when(F.col("treat"), 1)).alias("nu_treatment"),
+    )
+    return counts.select(
+        F.col("w2.start").alias("w_start"),
+        F.col("w2.end").alias("w_end"),
+        "nu_control", "nu_treatment",
+        F.expr(
+            "CAST(CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
+            " * (nu_control - nu_treatment) * 1000000"
+            " div (nu_control + nu_treatment) AS BIGINT)"
+        ).alias("srm_chi2_1e6"),
+        F.expr(
+            "CAST(CASE WHEN CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
+            " * (nu_control - nu_treatment) * 1000000"
+            " div (nu_control + nu_treatment) > 3841459"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
