@@ -1593,3 +1593,67 @@ def test_streaming_srm_check_batch_parity(spark, tmp_path):
     # the broken hour must alarm; at least one healthy hour must not
     flags = [v[3] for v in got.values()]
     assert 1 in flags and 0 in flags
+
+
+def test_streaming_ses_monitor_recursion_parity(spark, tmp_path):
+    """The streaming SES level: every emitted forecast equals the
+    per-step-floored integer recursion s' = (y*2^30 + s) div 2
+    replayed in Python over the same hour folds, across a
+    checkpoint restart (state carries the level), for two types."""
+    from wire_spark.streaming.forecast_stream import ses_monitor
+
+    src = str(tmp_path / "ses_in")
+    _write_jsonl(os.path.join(src, "b1.json"), [
+        {"event_type": t, "ts": f"2024-03-01T{h:02d}:{m:02d}:00"}
+        for t, hours in (("click", ((9, 6), (10, 3), (11, 9))),
+                         ("view", ((9, 2), (10, 4))))
+        for h, n in hours for m in range(n)
+    ])
+    stream = _file_stream(spark, src).select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    collected: list = []
+
+    def run_drain():
+        q = (
+            ses_monitor(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ses_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    # batch 2 exercises the restart: the level must survive the
+    # checkpoint and keep forecasting from where it left off
+    _write_jsonl(os.path.join(src, "b2.json"), [
+        {"event_type": "click", "ts": f"2024-03-01T12:{m:02d}:00"}
+        for m in range(2)
+    ])
+    run_drain()
+
+    series = {"click": [6, 3, 9, 2], "view": [2, 4]}
+    W = 1 << 30
+    expected = {}
+    for t, ys in series.items():
+        s = None
+        for i, y in enumerate(ys):
+            if s is None:
+                expected[(t, i)] = (y, None, None, 0)
+                s = y * W
+            else:
+                yhat4 = s * 10000 // W
+                expected[(t, i)] = (y, yhat4, abs(yhat4 - y * 10000), i)
+                s = (y * W + s) // 2
+    got = {}
+    for t in series:
+        rows = sorted((r for r in collected if r.event_type == t),
+                      key=lambda r: r.hr)
+        for i, r in enumerate(rows):
+            got[(t, i)] = (r.y, r.yhat_1e4, r.abs_err_1e4, r.n_hist)
+    assert got == expected
+    # the forecast for click's restart hour reflects all three prior
+    # hours: s after (6,3,9) = ((9*W + ((3*W + 6W)//2))//2) -> check
+    s = ((3 * (1 << 30) + 6 * (1 << 30)) // 2 + 9 * (1 << 30)) // 2
+    assert got[("click", 3)][1] == s * 10000 // (1 << 30)
