@@ -282,3 +282,15 @@ def test_permutation_test_matches_direct_reassignment(spark, sf_dir):
     assert row.n_extreme == extreme
     assert row.p_1e4 == (1 + extreme) * 10000 // 33
     assert row.stat_obs_1e6 == math.floor(obs * 1000000.0)
+
+
+def test_ks_single_scan_cached_histogram(spark, sf_dir):
+    """The group-total branch must read the CACHED histogram, not
+    re-derive the orders scan: exactly one FileScan in the final
+    plan (the silent-second-scan regression guard)."""
+    df = REG["orders_ks_test"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "InMemoryTableScan" in final

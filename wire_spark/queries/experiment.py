@@ -63,7 +63,8 @@ WITH e AS (
   FROM g
 ), s AS (
   SELECT k_groups, n_total,
-         a_sum - t_sum AS ssb, ssq - a_sum AS ssw
+         greatest(a_sum - t_sum, 0) AS ssb,
+         greatest(ssq - a_sum, 0) AS ssw
   FROM t
 )
 SELECT k_groups, n_total,
@@ -123,10 +124,15 @@ def events_anova_f(spark, sf_dir):
                " AS BIGINT)").alias("t_sum"),
         F.expr("CAST(sum(ss_g) div 100000000 AS BIGINT)").alias("ssq"),
     )
+    # clamp at 0: the per-group floors in a_sum can undershoot the
+    # true (non-negative) sums of squares by up to k units, so a
+    # degenerate corpus (identical group means / zero within-group
+    # variance) could otherwise report SSB or SSW = -1 and a
+    # negative F — clamped identically in the oracle and test replay
     s = t.select(
         "k_groups", "n_total",
-        (F.col("a_sum") - F.col("t_sum")).alias("ssb"),
-        (F.col("ssq") - F.col("a_sum")).alias("ssw"),
+        F.greatest(F.col("a_sum") - F.col("t_sum"), F.lit(0)).alias("ssb"),
+        F.greatest(F.col("ssq") - F.col("a_sum"), F.lit(0)).alias("ssw"),
     )
     return s.select(
         "k_groups", "n_total",
@@ -235,16 +241,23 @@ def events_fdr_bh(spark, sf_dir):
     k* is the largest flagged rank.  Ties rank deterministically by
     (p, metric name) on both engines.
 
-    Scale shape: one scan -> user x metric groupBy (the only
-    data-sized shuffle) -> explode x(B+1) on the USER-grain relations
-    -> (metrics x 33) counter rows via map-side combine.  The BH
-    windows run over the METRIC-grain relation (k rows, k = #event
-    types) — bounded by the metric battery, never by the corpus.
+    Scale shape: one scan -> user x metric groupBy (cached — the
+    user list derives from it too, so this is the only data-sized
+    shuffle and the only scan) -> explode x(B+1) on the USER-grain
+    relations -> (metrics x 33) counter rows via map-side combine.
+    The BH windows run over the METRIC-grain relation (k rows,
+    k = #event types) — bounded by the metric battery, never by the
+    corpus.
     """
+    from wire_spark.queries._util import tracked_cache
+
     ev = T(spark, sf_dir, "events").select("user_id", "event_type")
-    pu = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt"))
-    users = ev.select("user_id").distinct()
+    # cached: both the metric explode and the user list hang off this
+    # relation — deriving `users` from the raw events would pay a
+    # second parquet scan plus a second event-grain shuffle
+    pu = tracked_cache(ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")))
+    users = pu.select("user_id").distinct()
 
     def _treat():
         return F.when(

@@ -833,10 +833,18 @@ def orders_ks_test(spark, sf_dir):
         F.col("o_totalprice").alias("v"),
         (F.col("o_orderpriority") == "1-URGENT").alias("g1"),
     )
-    h = f.groupBy("v").agg(
+    from wire_spark.queries._util import tracked_cache
+
+    # cached: the prefix passes AND the group-total branch all hang
+    # off the histogram — without the cache the `nn` branch re-derives
+    # the orders scan (a silent second FileScan), and hanging nn off
+    # the prefix relation instead would re-run the two-pass window
+    # machinery (~4 extra stages) for two numbers the cached
+    # histogram aggregates in one
+    h = tracked_cache(f.groupBy("v").agg(
         F.count(F.when(F.col("g1"), 1)).alias("c1"),
         F.count(F.when(~F.col("g1"), 1)).alias("c2"),
-    )
+    ))
     p = _hist_prefix(h, "v", {"cum1": "c1", "cum2": "c2"}, inclusive=True)
     nn = h.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     d = p.crossJoin(F.broadcast(nn)).agg(

@@ -277,10 +277,11 @@ FROM z ORDER BY segment
               "activity segment — per-segment conversion lift and z, "
               "the WHO-did-it-move heterogeneity table")
 def events_cate_by_segment(spark, sf_dir):
-    """CATE table: users are segmented by PRE-period activity (event
-    count before the frozen 2024-01-08 boundary — the CUPED
-    covariate, so a user's segment can never be moved by the
-    treatment itself), outcome is POST-period purchase conversion at
+    """CATE table: users are segmented by PRE-period activity (ALL
+    events before the frozen 2024-01-08 boundary — the same frozen
+    boundary as events_ab_cuped, though CUPED's covariate counts
+    only views; freezing it means the treatment can never move a
+    user's segment), outcome is POST-period purchase conversion at
     the user grain, and each segment reports its own arm sizes,
     conversion lift, and pooled z.  A flat average hides a treatment
     that helps power users and hurts new ones; this is the standard

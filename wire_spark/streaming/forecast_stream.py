@@ -19,7 +19,10 @@ integer recursion is the spec here).  No floats anywhere in the
 state or the forecast.
 
 Scale notes: state is ONE integer per event type (O(#types)); the
-stateful shuffle keys on event_type.  Like anomaly_stream, raw
+stateful shuffle keys on event_type.  The LongType state bounds the
+per-hour count at 2^33 (~8.6e9 events/hour/type — the level is
+stored as y * 2^30); a hotter key must pre-aggregate upstream at a
+finer grain or carry a wider fixed point.  Like anomaly_stream, raw
 events fold into per-hour counts inside the Arrow state function
 (Spark disallows a streaming pre-aggregation before
 ``applyInPandasWithState``); at high volume, put a watermarked
