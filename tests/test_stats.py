@@ -294,3 +294,37 @@ def test_ks_single_scan_cached_histogram(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "InMemoryTableScan" in final
+
+
+def test_srm_sequential_matches_direct_cumulation(spark, sf_dir):
+    """Replay the first-seen-day cumulation, integer chi-squared,
+    and the integer OBF-shaped boundary at every look."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    first = {}
+    for r in ev:
+        d = r.ts.strftime("%Y-%m-%d")
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    per_day = {}
+    for u, d in first.items():
+        a = per_day.setdefault(d, [0, 0])
+        a[_md5_60(u) % 2] += 1
+    days = sorted(per_day)
+    K = len(days)
+    rows = {r.day: r for r in _run(spark, sf_dir, "events_srm_sequential")}
+    assert set(rows) == set(days)
+    nc = nt = 0
+    for i, d in enumerate(days, 1):
+        nc += per_day[d][0]
+        nt += per_day[d][1]
+        r = rows[d]
+        chi = (nc - nt) ** 2 * 1000000 // (nc + nt)
+        bound = 3841459 * K // i
+        assert (r.look, r.nu_control_cum, r.nu_treatment_cum) == (i, nc, nt)
+        assert (r.srm_chi2_1e6, r.bound_1e6) == (chi, bound)
+        assert r.flag == (1 if chi > bound else 0)
+    # the boundary must be monotone non-increasing to the nominal
+    # critical value at the final look
+    bs = [rows[d].bound_1e6 for d in days]
+    assert bs == sorted(bs, reverse=True) and bs[-1] == 3841459

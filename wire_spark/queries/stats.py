@@ -1154,3 +1154,115 @@ def events_permutation_test(spark, sf_dir):
             .alias("stat_obs_1e6"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# sequential SRM: daily cumulative assignment-integrity looks
+# --------------------------------------------------------------------
+
+_SRM_SEQ_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS d0,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 = 1 AS treat
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT d0 AS day,
+         CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS nc,
+         CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt
+  FROM fs GROUP BY d0
+), c AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS look,
+         CAST(count(*) OVER () AS BIGINT) AS k_looks,
+         CAST(sum(nc) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nu_control_cum,
+         CAST(sum(nt) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nu_treatment_cum
+  FROM d
+)
+SELECT day, look, nu_control_cum, nu_treatment_cum,
+       CAST(CAST((nu_control_cum - nu_treatment_cum) AS HUGEINT)
+            * (nu_control_cum - nu_treatment_cum) * 1000000
+            // (nu_control_cum + nu_treatment_cum) AS BIGINT)
+         AS srm_chi2_1e6,
+       CAST(3841459 * k_looks // look AS BIGINT) AS bound_1e6,
+       CAST(CASE WHEN CAST((nu_control_cum - nu_treatment_cum) AS HUGEINT)
+                      * (nu_control_cum - nu_treatment_cum) * 1000000
+                      // (nu_control_cum + nu_treatment_cum)
+                 > 3841459 * k_looks // look
+            THEN 1 ELSE 0 END AS BIGINT) AS flag
+FROM c ORDER BY look
+"""
+
+
+@register("events_srm_sequential", oracle=_SRM_SEQ_ORACLE, bench=True,
+          doc="daily sequential SRM looks: cumulative per-arm distinct "
+              "user counts and chi-squared against an OBF-shaped "
+              "inflated critical value — 100% integer arithmetic, "
+              "localizes WHEN assignment broke")
+def events_srm_sequential(spark, sf_dir):
+    """Sequential sibling of ``events_srm_check``: one look per day,
+    the chi-squared on CUMULATIVE per-arm distinct-user counts, and
+    the O'Brien-Fleming-shaped critical value 3.841459 * K/i (the z
+    boundary z_.975*sqrt(K/i) squared — conservative early, nominal
+    at the final look).  The batch SRM says WHETHER assignment is
+    broken; the daily flag column says WHEN it broke, without the
+    peeking inflation of re-running the fixed-horizon test each day.
+
+    A user enters the cumulative counts on their FIRST-SEEN day
+    (min event date), so each user is counted once and the counts
+    are true distincts; looks fall on days when at least one new
+    user appeared.
+
+    Exactness: 100% integer arithmetic — no doubles anywhere: the
+    chi-squared is the 128-bit product floored into 1e-6 units
+    (DECIMAL(38,0)/HUGEINT), and the boundary is the integer
+    division 3841459*K div i (operands non-negative, so Spark's
+    truncating div and DuckDB's flooring // agree).
+
+    Scale shape: one scan -> user-grain groupBy (the one data-sized
+    shuffle; min-date and the md5 arm are map-side partial) ->
+    day-grain counters; the cumulative window runs over the
+    calendar-bounded day relation (the events_group_sequential
+    exception).
+    """
+    fs = T(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("d0"))
+    d = fs.select(
+        F.col("d0").alias("day"),
+        (md5_long(F.col("user_id").cast("string")) % 2 == 1).alias("treat"),
+    ).groupBy("day").agg(
+        F.count(F.when(~F.col("treat"), 1)).alias("nc"),
+        F.count(F.when(F.col("treat"), 1)).alias("nt"),
+    )
+    from pyspark.sql import Window as W
+    w = W.orderBy("day")
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = d.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("look"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k_looks"),
+        F.sum("nc").over(w_cum).alias("nu_control_cum"),
+        F.sum("nt").over(w_cum).alias("nu_treatment_cum"),
+    )
+    return c.select(
+        "day", "look", "nu_control_cum", "nu_treatment_cum",
+        F.expr(
+            "CAST(CAST((nu_control_cum - nu_treatment_cum) AS DECIMAL(38,0))"
+            " * (nu_control_cum - nu_treatment_cum) * 1000000"
+            " div (nu_control_cum + nu_treatment_cum) AS BIGINT)"
+        ).alias("srm_chi2_1e6"),
+        F.expr("CAST(3841459 * k_looks div look AS BIGINT)").alias("bound_1e6"),
+        F.expr(
+            "CAST(CASE WHEN CAST((nu_control_cum - nu_treatment_cum)"
+            " AS DECIMAL(38,0))"
+            " * (nu_control_cum - nu_treatment_cum) * 1000000"
+            " div (nu_control_cum + nu_treatment_cum)"
+            " > 3841459 * k_looks div look"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("flag"),
+    ).orderBy("look")
