@@ -623,3 +623,78 @@ def test_hist_prefix_matches_naive_window_property(spark, rows, bucket):
     )
     got = sorted(map(tuple, got_df.select("part", "v", "ca", "cb").collect()))
     assert got == ref
+
+
+def test_attribution_multitouch_replay(spark, sf_dir):
+    """Replay first/last/linear attribution per channel from the raw
+    journeys; first- and last-touch totals must both equal the count
+    of converters with at least one touch."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {r.channel: r for r in
+            reg["events_attribution_multitouch"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type))
+    agg, n_conv = {}, 0
+    for evs in by_user.values():
+        purchases = sorted((t, i) for t, i, c in evs if c == "purchase")
+        if not purchases:
+            continue
+        conv = purchases[0]
+        touches = sorted((t, i, c) for t, i, c in evs
+                         if c != "purchase" and (t, i) < conv)
+        if not touches:
+            continue
+        n_conv += 1
+        k = len(touches)
+        for _, _, c in touches:
+            a = agg.setdefault(c, [0, 0, 0, 0])
+            a[0] += 1
+            a[3] += 1000000 // k
+        agg[touches[0][2]][1] += 1
+        agg[touches[-1][2]][2] += 1
+    assert rows and set(rows) == set(agg)
+    for c, (tc, fc, lc, lin) in agg.items():
+        r = rows[c]
+        assert (r.touches, r.first_touch, r.last_touch,
+                r.linear_credit_1e6) == (tc, fc, lc, lin)
+    assert sum(r.first_touch for r in rows.values()) == n_conv
+    assert sum(r.last_touch for r in rows.values()) == n_conv
+
+
+def test_edit_distance_lsh_matches_dp_model(spark, sf_dir):
+    """Every emitted pair's distance matches a classic Levenshtein
+    DP on the 256-char prefixes, satisfies the integer 0.8 gate, and
+    carries the exact floored similarity."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = reg["dedup_edit_distance_lsh"].fn(spark, sf_dir).collect()
+    assert rows
+    texts = {r.doc_id: r.text[:256] for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a, b = texts[r.d1], texts[r.d2]
+        d, m = lev(a, b), max(len(a), len(b))
+        assert r.edit_distance == d and d * 5 <= m
+        assert r.edit_sim_1e4 == (m - d) * 10000 // max(m, 1)
+        assert r.edit_sim_1e4 >= 8000

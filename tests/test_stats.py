@@ -328,3 +328,25 @@ def test_srm_sequential_matches_direct_cumulation(spark, sf_dir):
     # critical value at the final look
     bs = [rows[d].bound_1e6 for d in days]
     assert bs == sorted(bs, reverse=True) and bs[-1] == 3841459
+
+
+def test_benford_audit_replay(spark, sf_dir):
+    """Replay digit counts, exact expectations, and the 128-bit
+    chi-squared contributions; the nine rounded Benford constants
+    must partition n exactly."""
+    import math
+    rows = {r.digit: r for r in _run(spark, sf_dir, "orders_benford_audit")}
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    cnt = {}
+    for r in od:
+        d = int(str(int(math.floor(r.o_totalprice)))[0])
+        cnt[d] = cnt.get(d, 0) + 1
+    n = sum(cnt.values())
+    P = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+         6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    assert set(rows) == set(range(1, 10))
+    assert sum(r.expected_1e6 for r in rows.values()) == n * 1000000
+    for d in range(1, 10):
+        r, o, e = rows[d], cnt.get(d, 0), n * P[d]
+        assert (r.n_obs, r.expected_1e6) == (o, e)
+        assert r.chi2_contrib_1e6 == (o * 1000000 - e) ** 2 // max(e, 1)

@@ -151,3 +151,29 @@ def test_acf_and_ses_shuffle_only_day_grain(spark, sf_dir):
         assert final.count("FileScan parquet") == 1, name
         assert "SortMergeJoin" not in final, name
         assert "CartesianProduct" not in final, name
+
+
+def test_forecast_baselines_replay(spark, sf_dir):
+    """Replay the four baseline backtests with Python floor
+    division (// floors, matching the query's pmod-adjusted div)."""
+    y = _daily_counts(spark, sf_dir)
+    rows = {r.method: r for r in _run(spark, sf_dir,
+                                      "events_forecast_baselines")}
+    errs = {"naive": [], "seasonal_naive_7": [], "drift": [],
+            "expanding_mean": []}
+    for t in range(1, len(y)):          # 0-based; t>=1 is ix>=2
+        errs["naive"].append(abs(y[t] - y[t - 1]) * 1000000)
+        if t >= 7:
+            errs["seasonal_naive_7"].append(abs(y[t] - y[t - 7]) * 1000000)
+        if t >= 2:
+            pred = y[t - 1] * 1000000 + ((y[t - 1] - y[0]) * 1000000) // (t - 1)
+            errs["drift"].append(abs(y[t] * 1000000 - pred))
+        errs["expanding_mean"].append(
+            abs(y[t] * 1000000 - sum(y[:t]) * 1000000 // t))
+    assert set(rows) == set(errs)
+    for m, es in errs.items():
+        r = rows[m]
+        assert (r.n_evals, r.mae_1e6) == (len(es), sum(es) // max(len(es), 1))
+    # the drift/naive relation: both evaluate all but the warmup days
+    assert rows["naive"].n_evals == len(y) - 1
+    assert rows["drift"].n_evals == len(y) - 2

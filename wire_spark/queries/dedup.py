@@ -1434,3 +1434,90 @@ def dedup_containment(spark, sf_dir):
         )
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------
+# edit-distance near-dup: LSH-banded candidates verified by
+# bounded Levenshtein
+# --------------------------------------------------------------------
+
+_EDIT_LSH_ORACLE = _MINHASH_BANDS_CTE + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+), tx AS (
+  SELECT doc_id, substring(text, 1, 256) AS t FROM documents
+)
+SELECT c.d1, c.d2,
+       CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_distance,
+       CAST((greatest(length(ta.t), length(tb.t))
+             - levenshtein(ta.t, tb.t)) * 10000
+            // greatest(greatest(length(ta.t), length(tb.t)), 1)
+            AS BIGINT) AS edit_sim_1e4
+FROM cand c
+JOIN tx ta ON ta.doc_id = c.d1
+JOIN tx tb ON tb.doc_id = c.d2
+WHERE levenshtein(ta.t, tb.t) * 5
+      <= greatest(length(ta.t), length(tb.t))
+ORDER BY c.d1, c.d2
+"""
+
+
+@register("dedup_edit_distance_lsh", oracle=_EDIT_LSH_ORACLE, bench=True,
+          doc="edit-distance near-dup: MinHash-LSH banded candidates "
+              "verified by Levenshtein on 256-char prefixes, "
+              "similarity >= 0.8")
+def dedup_edit_distance_lsh(spark, sf_dir):
+    """Character-level near-duplicate detection: the repo's shared
+    MinHash-LSH bands (``minhash_band_signatures``) generate
+    candidate pairs, and each candidate is VERIFIED with exact
+    Levenshtein distance on the documents' 256-char prefixes —
+    keeping pairs whose edit similarity ``(maxlen - ld) / maxlen``
+    is >= 0.8 (the filter is the pure-integer form
+    ``ld * 5 <= maxlen``, no float threshold).
+
+    This is the complement of the token-level verifiers
+    (``dedup_minhash_lsh``'s Jaccard, ``dedup_simhash``): edit
+    distance catches in-token mutations (typo/casing/OCR noise)
+    that whole-token shingles weight too coarsely.
+
+    Scale shape: candidate generation is the banded bucket join —
+    never all-pairs — and the O(L^2) Levenshtein DP runs ONLY on
+    surviving candidates with L capped at 256 chars (<= 64k cells
+    per pair), the standard blocked record-linkage layout.  The
+    band relation is cached across both sides of the self-join
+    (tracked_cache, released by bench/CLI after the action).
+    """
+    sh, band = _minhash_bands(spark, sf_dir)
+    band = tracked_cache(band)
+    cand = (
+        band.alias("a").join(
+            band.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    tx = T(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 256).alias("t"))
+    ta = tx.select(F.col("doc_id").alias("d1"), F.col("t").alias("t1"))
+    tb = tx.select(F.col("doc_id").alias("d2"), F.col("t").alias("t2"))
+    ld = F.levenshtein("t1", "t2")
+    maxlen = F.greatest(F.length("t1"), F.length("t2"))
+    return (
+        cand.join(ta, "d1").join(tb, "d2")
+        .filter(ld * 5 <= maxlen)
+        .select(
+            "d1", "d2",
+            ld.cast("long").alias("edit_distance"),
+            ((maxlen - ld) * 10000)
+            .cast("long").alias("_num"),
+            F.greatest(maxlen, F.lit(1)).cast("long").alias("_den"))
+        .select(
+            "d1", "d2", "edit_distance",
+            F.expr("CAST(_num div _den AS BIGINT)").alias("edit_sim_1e4"))
+        .orderBy("d1", "d2")
+    )

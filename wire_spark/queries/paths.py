@@ -413,3 +413,126 @@ def session_dwell_percentiles(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------
+# multi-touch conversion attribution: first / last / linear credit
+# --------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id, ts AS cts, event_id AS cid
+  FROM (SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+), touch AS (
+  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid))
+), fl AS (
+  SELECT DISTINCT user_id,
+         first_value(channel) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS first_ch,
+         last_value(channel) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS last_ch,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM touch
+), lin AS (
+  SELECT t.channel, CAST(count(*) AS BIGINT) AS touches,
+         CAST(sum(1000000 // f.k) AS BIGINT) AS linear_credit_1e6
+  FROM touch t JOIN fl f ON t.user_id = f.user_id
+  GROUP BY t.channel
+), fcnt AS (
+  SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS first_touch
+  FROM fl GROUP BY 1
+), lcnt AS (
+  SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS last_touch
+  FROM fl GROUP BY 1
+)
+SELECT l.channel, l.touches,
+       coalesce(f.first_touch, 0) AS first_touch,
+       coalesce(lc.last_touch, 0) AS last_touch,
+       l.linear_credit_1e6
+FROM lin l
+LEFT JOIN fcnt f ON f.channel = l.channel
+LEFT JOIN lcnt lc ON lc.channel = l.channel
+ORDER BY l.channel
+"""
+
+
+@register("events_attribution_multitouch", oracle=_ATTRIBUTION_ORACLE,
+          bench=True,
+          doc="multi-touch conversion attribution: first-touch, "
+              "last-touch, and linear credit per channel over each "
+              "converter's pre-purchase event journey")
+def events_attribution_multitouch(spark, sf_dir):
+    """Marketing-attribution table: for every user whose journey
+    reaches a first ``purchase``, credit the non-purchase events
+    strictly before it (the touches) to their channels (event types)
+    under the three classic models — first-touch (1 conversion to
+    the earliest touch's channel), last-touch (to the latest), and
+    linear (each of the user's k touches gets ``1e6 div k``
+    micro-credits; the floored per-touch credit is identical across
+    engines, so per-channel sums agree exactly).
+
+    Ordering inside a journey uses the module's full tiebreak chain
+    (ts, event_id); "strictly before" compares the (ts, event_id)
+    pair lexicographically, so a touch sharing the conversion's
+    timestamp but with a lower event_id counts, same both engines.
+
+    Scale shape: ONE events scan — the per-user first conversion is
+    a conditional min-struct window over the user-hash partitioning,
+    touches are a filter of the same decorated rows, and the
+    first/last/k decorations reuse that partitioning (no second
+    scan, no second data-sized shuffle); the final per-channel
+    aggregate is the small-key reduction.  Per-user state is O(1) —
+    no journey is ever collected.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w_u = W.partitionBy("user_id")
+    dec = ev.withColumn(
+        "conv",
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.struct("ts", "event_id"))).over(w_u))
+    touch = (
+        dec.filter(
+            F.col("conv").isNotNull()
+            & (F.col("event_type") != "purchase")
+            & (F.struct("ts", "event_id") < F.col("conv")))
+        .select("user_id", F.col("event_type").alias("channel"),
+                "ts", "event_id")
+    )
+    w_o = w_u.orderBy("ts", "event_id")
+    w_f = w_o.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    fl = touch.select(
+        "user_id", "channel",
+        F.first("channel").over(w_f).alias("first_ch"),
+        F.last("channel").over(w_f).alias("last_ch"),
+        F.count(F.lit(1)).over(w_u).alias("k"),
+    )
+    lin = fl.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("touches"),
+        F.sum(F.expr("1000000 div k")).alias("linear_credit_1e6"),
+    )
+    per_user = fl.select("user_id", "first_ch", "last_ch").distinct()
+    fcnt = per_user.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("first_touch"))
+    lcnt = per_user.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch"))
+    return (
+        lin.join(fcnt, "channel", "left").join(lcnt, "channel", "left")
+        .select(
+            "channel", "touches",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+            "linear_credit_1e6")
+        .orderBy("channel")
+    )

@@ -1266,3 +1266,99 @@ def events_srm_sequential(spark, sf_dir):
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("flag"),
     ).orderBy("look")
+
+
+# --------------------------------------------------------------------
+# Benford first-digit audit: forensic data-quality check on amounts
+# --------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9; the rounded integers sum
+# to exactly 1,000,000, so expected counts partition n with no
+# remainder drift.
+_BENFORD_P_1E6 = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+_BENFORD_ORACLE = """
+WITH digits(digit, p_1e6) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+         (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+), obs AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs, CAST(d.p_1e6 AS BIGINT) AS p_1e6,
+         CAST(sum(coalesce(o.n_obs, 0)) OVER () AS BIGINT) AS n_total
+  FROM digits d LEFT JOIN obs o ON o.digit = d.digit
+)
+SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+       n_total * p_1e6 AS expected_1e6,
+       CAST(CAST((n_obs * 1000000 - n_total * p_1e6) AS HUGEINT)
+            * (n_obs * 1000000 - n_total * p_1e6)
+            // greatest(n_total * p_1e6, 1) AS BIGINT) AS chi2_contrib_1e6
+FROM j ORDER BY digit
+"""
+
+
+@register("orders_benford_audit", oracle=_BENFORD_ORACLE, bench=True,
+          doc="Benford first-digit forensic audit of order totals: "
+              "observed vs log10(1+1/d) expected counts and integer "
+              "chi-squared contributions in 1e-6 units")
+def orders_benford_audit(spark, sf_dir):
+    """First-digit (Benford's-law) audit of ``o_totalprice`` — the
+    classic forensic screen for fabricated or truncated monetary
+    data.  Emits, per leading digit 1-9: the observed count, the
+    Benford-expected count in 1e-6 units (``n * round(log10(1+1/d)
+    * 1e6)`` — the nine rounded constants sum to exactly 10^6, so
+    the expectations partition n), and the chi-squared contribution
+    ``(O - E)^2 / E`` floored into 1e-6 count units.
+
+    Leading-digit extraction is exact cross-engine: ``floor`` of the
+    DOUBLE price is an integral double (no rounding), the BIGINT
+    cast is exact, and the first character of its decimal rendering
+    is the digit — no float log10 anywhere.  The squared deviation
+    runs in DECIMAL(38,0)/HUGEINT (at 100 TB, n*1e6 ~ 1e16 and its
+    square overflows int64); the divisor is guarded with
+    ``greatest(..., 1)`` so a degenerate empty table agrees across
+    engines instead of NULL-vs-error divergence.
+
+    Scale shape: one scan -> 9-group partial-aggregated count (the
+    only data-sized step); the aggregated 9-row observed relation is
+    broadcast into the constant digit table (right side of the left
+    join — the side Spark can build), and the total-n window runs
+    over 9 rows.
+    Reference anchor: extends the analytics surface past
+    tarungka/wire's declared aggregation intent (ROADMAP.md:96-107).
+    """
+    digits = spark.createDataFrame(
+        list(_BENFORD_P_1E6), "digit long, p_1e6 long")
+    obs = (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).cast("long").alias("digit"))
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    from pyspark.sql import Window as W
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    j = (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit", "p_1e6",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
+        .withColumn("n_total", F.sum("n_obs").over(w_all))
+    )
+    return j.select(
+        "digit", "n_obs",
+        (F.col("n_total") * F.col("p_1e6")).alias("expected_1e6"),
+        F.expr(
+            "CAST(CAST((n_obs * 1000000 - n_total * p_1e6) AS DECIMAL(38,0))"
+            " * (n_obs * 1000000 - n_total * p_1e6)"
+            " div greatest(n_total * p_1e6, 1) AS BIGINT)"
+        ).alias("chi2_contrib_1e6"),
+    ).orderBy("digit")

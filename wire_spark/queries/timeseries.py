@@ -359,3 +359,132 @@ def events_cate_by_segment(spark, sf_dir):
         F.expr("CAST(floor(lift * 10000.0e0) AS BIGINT)").alias("lift_1e4"),
         F.expr("CAST(floor(zv * 10000.0e0) AS BIGINT)").alias("z_1e4"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------
+# one-step-ahead backtest of the four classic forecast baselines
+# --------------------------------------------------------------------
+
+_BASELINES_ORACLE = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day
+), dec AS (
+  SELECT y,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS ix,
+         CAST(first_value(y) OVER (ORDER BY day) AS BIGINT) AS y1,
+         CAST(lag(y, 1) OVER (ORDER BY day) AS BIGINT) AS l1,
+         CAST(lag(y, 7) OVER (ORDER BY day) AS BIGINT) AS l7,
+         CAST(sum(y) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS cum
+  FROM d
+), e AS (
+  SELECT
+    CASE WHEN ix >= 2 THEN abs(y - l1) * 1000000 END AS e_naive,
+    CASE WHEN ix >= 8 THEN abs(y - l7) * 1000000 END AS e_snaive,
+    CASE WHEN ix >= 3 THEN abs(y * 1000000
+         - (l1 * 1000000 + (l1 - y1) * 1000000 // (ix - 2))) END AS e_drift,
+    CASE WHEN ix >= 2 THEN abs(y * 1000000
+         - cum * 1000000 // (ix - 1)) END AS e_mean
+  FROM dec
+), a AS (
+  SELECT CAST(count(e_naive) AS BIGINT) AS nn,
+         CAST(coalesce(sum(e_naive), 0) AS BIGINT) AS sn,
+         CAST(count(e_snaive) AS BIGINT) AS ns,
+         CAST(coalesce(sum(e_snaive), 0) AS BIGINT) AS ss,
+         CAST(count(e_drift) AS BIGINT) AS nd,
+         CAST(coalesce(sum(e_drift), 0) AS BIGINT) AS sd,
+         CAST(count(e_mean) AS BIGINT) AS nm,
+         CAST(coalesce(sum(e_mean), 0) AS BIGINT) AS sm
+  FROM e
+)
+SELECT method, n_evals, CAST(s // greatest(n_evals, 1) AS BIGINT) AS mae_1e6
+FROM (
+  SELECT 'naive' AS method, nn AS n_evals, sn AS s FROM a
+  UNION ALL SELECT 'seasonal_naive_7', ns, ss FROM a
+  UNION ALL SELECT 'drift', nd, sd FROM a
+  UNION ALL SELECT 'expanding_mean', nm, sm FROM a
+) ORDER BY method
+"""
+
+
+@register("events_forecast_baselines", oracle=_BASELINES_ORACLE, bench=True,
+          doc="one-step-ahead backtest of the four classic forecast "
+              "baselines (naive, seasonal-naive-7, drift, expanding "
+              "mean) on the daily series: integer MAE in 1e-6 units")
+def events_forecast_baselines(spark, sf_dir):
+    """Hyndman's four benchmark forecasts, backtested one step ahead
+    on the daily activity series — the bar every real forecasting
+    model (including ``events_ses_forecast``) must clear: naive
+    (y[t-1]), seasonal naive (y[t-7]), drift (y[t-1] + the average
+    historical step), and the expanding mean.  Emits per-method eval
+    counts and MAE floored into 1e-6 units.
+
+    Exactness: the whole backtest is integer arithmetic.  The drift
+    slope numerator ``(y[t-1] - y[1]) * 1e6`` CAN be negative, where
+    Spark's ``div`` (truncate toward zero) and DuckDB's ``//``
+    (floor) diverge — the Spark side floors explicitly via
+    ``(a - pmod(a, b)) div b`` (pmod is non-negative, the adjusted
+    numerator is an exact multiple of b).  The expanding-mean
+    numerator is non-negative so plain div/``//`` agree.
+
+    Scale shape: one scan -> day-grain counts (map-side partial);
+    the decoration windows run over the calendar-bounded day
+    relation (the events_ses_forecast exception), and the backtest
+    reduces to ONE 8-column aggregate unpivoted into 4 rows — no
+    per-method re-derivation.
+    """
+    d = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = W.orderBy("day")
+    dec = d.select(
+        "y",
+        F.row_number().over(w).cast("long").alias("ix"),
+        F.first("y").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("y1"),
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 7).over(w).alias("l7"),
+        F.sum("y").over(
+            w.rowsBetween(W.unboundedPreceding, -1)).alias("cum"),
+    )
+    e = dec.select(
+        F.expr("CASE WHEN ix >= 2 THEN abs(y - l1) * 1000000 END")
+        .alias("e_naive"),
+        F.expr("CASE WHEN ix >= 8 THEN abs(y - l7) * 1000000 END")
+        .alias("e_snaive"),
+        F.expr(
+            "CASE WHEN ix >= 3 THEN abs(y * 1000000 - (l1 * 1000000"
+            " + ((l1 - y1) * 1000000 - pmod((l1 - y1) * 1000000, ix - 2))"
+            " div (ix - 2))) END"
+        ).alias("e_drift"),
+        F.expr(
+            "CASE WHEN ix >= 2 THEN"
+            " abs(y * 1000000 - cum * 1000000 div (ix - 1)) END"
+        ).alias("e_mean"),
+    )
+    a = e.agg(
+        F.count("e_naive").alias("nn"),
+        F.coalesce(F.sum("e_naive"), F.lit(0)).alias("sn"),
+        F.count("e_snaive").alias("ns"),
+        F.coalesce(F.sum("e_snaive"), F.lit(0)).alias("ss"),
+        F.count("e_drift").alias("nd"),
+        F.coalesce(F.sum("e_drift"), F.lit(0)).alias("sd"),
+        F.count("e_mean").alias("nm"),
+        F.coalesce(F.sum("e_mean"), F.lit(0)).alias("sm"),
+    )
+    return (
+        a.select(F.expr(
+            "stack(4, 'naive', nn, sn,"
+            " 'seasonal_naive_7', ns, ss,"
+            " 'drift', nd, sd,"
+            " 'expanding_mean', nm, sm) AS (method, n_evals, s)"))
+        .select(
+            "method", "n_evals",
+            F.expr("CAST(s div greatest(n_evals, 1) AS BIGINT)")
+            .alias("mae_1e6"))
+        .orderBy("method")
+    )
