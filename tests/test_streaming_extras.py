@@ -1657,3 +1657,76 @@ def test_streaming_ses_monitor_recursion_parity(spark, tmp_path):
     # hours: s after (6,3,9) = ((9*W + ((3*W + 6W)//2))//2) -> check
     s = ((3 * (1 << 30) + 6 * (1 << 30)) // 2 + 9 * (1 << 30)) // 2
     assert got[("click", 3)][1] == s * 10000 // (1 << 30)
+
+
+def test_streaming_attribution_monitor_parity(spark, tmp_path):
+    """The attribution monitor emits exactly the batch query's
+    per-user (first, last, k) rows when fed time-ordered batches:
+    conversion-moment emission, zero-touch suppression, the
+    (ts, event_id) tiebreak, post-conversion tombstoning, and state
+    survival across a checkpoint restart."""
+    from wire_spark.streaming.attribution_stream import attribution_monitor
+
+    src = str(tmp_path / "attr_in")
+    _write_jsonl(os.path.join(src, "b1.json"), [
+        # user 1: two touches then purchase then a post-conv touch
+        {"user_id": 1, "event_type": "click", "ts": "2024-03-01T09:00:00",
+         "event_id": 1},
+        {"user_id": 1, "event_type": "view", "ts": "2024-03-01T09:05:00",
+         "event_id": 2},
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-03-01T09:10:00",
+         "event_id": 3},
+        {"user_id": 1, "event_type": "click", "ts": "2024-03-01T09:15:00",
+         "event_id": 4},
+        # user 2: purchase with zero prior touches -> suppressed
+        {"user_id": 2, "event_type": "purchase", "ts": "2024-03-01T09:00:00",
+         "event_id": 5},
+        # user 3: touches only, no purchase yet
+        {"user_id": 3, "event_type": "view", "ts": "2024-03-01T09:01:00",
+         "event_id": 6},
+        {"user_id": 3, "event_type": "error", "ts": "2024-03-01T09:02:00",
+         "event_id": 7},
+        # user 4: touch and purchase share a timestamp; the lower
+        # event_id folds first, so the touch counts
+        {"user_id": 4, "event_type": "click", "ts": "2024-03-01T09:03:00",
+         "event_id": 10},
+        {"user_id": 4, "event_type": "purchase", "ts": "2024-03-01T09:03:00",
+         "event_id": 11},
+    ])
+    stream = attribution_monitor(
+        _file_stream(spark, src).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+    )
+    collected: list = []
+
+    def run_drain():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "attr_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    got = {(r.user_id): (r.first_touch, r.last_touch, r.n_touches)
+           for r in collected}
+    assert got == {1: ("click", "view", 2), 4: ("click", "click", 1)}
+
+    # restart leg: user 3 converts (touch state survived the
+    # checkpoint); user 1's second purchase is tombstoned
+    _write_jsonl(os.path.join(src, "b2.json"), [
+        {"user_id": 3, "event_type": "purchase", "ts": "2024-03-01T10:00:00",
+         "event_id": 20},
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-03-01T10:01:00",
+         "event_id": 21},
+    ])
+    collected.clear()
+    run_drain()
+    got2 = {(r.user_id): (r.first_touch, r.last_touch, r.n_touches)
+            for r in collected}
+    assert got2 == {3: ("view", "error", 2)}
