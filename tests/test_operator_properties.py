@@ -698,3 +698,70 @@ def test_edit_distance_lsh_matches_dp_model(spark, sf_dir):
         assert r.edit_distance == d and d * 5 <= m
         assert r.edit_sim_1e4 == (m - d) * 10000 // max(m, 1)
         assert r.edit_sim_1e4 >= 8000
+
+
+def test_fulfillment_lag_replay(spark, sf_dir):
+    """Replay per-order first-ship lag and the per-priority rollup."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {r.priority: r for r in
+            reg["orders_fulfillment_lag"].fn(spark, sf_dir).collect()}
+    orders = {r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+              for r in load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderpriority", "o_orderdate")
+              .collect()}
+    first_ship = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate").collect():
+        d = r.l_shipdate.date()
+        k = r.l_orderkey
+        if k not in first_ship or d < first_ship[k]:
+            first_ship[k] = d
+    per = {}
+    for k, (prio, od) in orders.items():
+        if k not in first_ship:
+            continue
+        per.setdefault(prio, []).append((first_ship[k] - od).days)
+    assert set(rows) == set(per)
+    for prio, lags in per.items():
+        r = rows[prio]
+        assert (r.n_orders, r.min_lag_days, r.max_lag_days) == (
+            len(lags), min(lags), max(lags))
+        # both engines TRUNCATE integer division toward zero (Spark
+        # div; DuckDB // on integer operands) — Python // floors, so
+        # the replay must truncate explicitly for negative sums
+        s = sum(lags) * 10000
+        trunc = -((-s) // len(lags)) if s < 0 else s // len(lags)
+        assert r.avg_lag_1e4 == trunc
+        assert r.n_over_60d == sum(1 for d in lags if d > 60)
+
+
+def test_substitution_savings_replay(spark, sf_dir):
+    """Replay the blocked cheapest-other-brand model: every emitted
+    row's alternative is the true minimum over different-brand
+    same-type/same-size parts, and no saving opportunity is missed."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {r.p_partkey: r for r in
+            reg["part_substitution_savings"].fn(spark, sf_dir).collect()}
+    parts = [(r.p_partkey, r.p_brand, r.p_type, r.p_size,
+              int(r.p_retailprice * 100 + 0.5))
+             for r in load_table(spark, sf_dir, "part").collect()]
+    blocks = {}
+    for pk, br, ty, sz, c in parts:
+        blocks.setdefault((ty, sz), []).append((pk, br, c))
+    expected = {}
+    for (ty, sz), members in blocks.items():
+        for pk, br, c in members:
+            others = [mc for mpk, mbr, mc in members if mbr != br]
+            if others and min(others) < c:
+                expected[pk] = (br, c, min(others), c - min(others))
+    assert rows and set(rows) == set(expected)
+    for pk, (br, c, alt, sav) in expected.items():
+        r = rows[pk]
+        assert (r.p_brand, r.cents, r.alt_cents, r.savings_cents) == (
+            br, c, alt, sav)

@@ -566,3 +566,178 @@ def unpivot_lineitem_measures(spark, sf_dir):
         )
         .orderBy("flag", "measure")
     )
+
+
+# --------------------------------------------------------------------
+# order fulfillment lag by priority
+# --------------------------------------------------------------------
+
+_FULFILLMENT_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(min(l.l_shipdate) AS DATE)) AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(d) AS BIGINT) AS min_lag_days,
+       CAST(max(d) AS BIGINT) AS max_lag_days,
+       CAST(sum(d) * 10000 // count(*) AS BIGINT) AS avg_lag_1e4,
+       CAST(count(*) FILTER (WHERE d > 60) AS BIGINT) AS n_over_60d
+FROM lag GROUP BY priority ORDER BY priority
+"""
+
+
+@register("orders_fulfillment_lag", oracle=_FULFILLMENT_ORACLE, bench=True,
+          doc="order fulfillment lag by priority: days from order date "
+              "to FIRST line shipment — count, min/max, integer 1e-4 "
+              "average, and the over-60-day tail")
+def orders_fulfillment_lag(spark, sf_dir):
+    """Operational latency rollup: per order, the days between
+    ``o_orderdate`` and the EARLIEST ``l_shipdate`` of its lines
+    (first physical movement), summarized per order priority — the
+    table an ops review reads to see whether urgent orders actually
+    ship sooner, with the over-60-day tail as the SLA-breach count.
+
+    Exactness: day differences are exact integers (both engines
+    subtract DATE-truncated values — no tz or DST arithmetic
+    involved in whole-day diffs of date-typed values), and the
+    average is one TRUNCATING integer division into 1e-4 days —
+    measured: DuckDB's ``//`` on integer operands truncates toward
+    zero exactly like Spark's ``div`` (the floor-vs-truncate
+    divergence documented elsewhere applies to Python ``//``
+    replays and float paths, not to integer ``//``), which matters
+    here because the synthetic data ships lines BEFORE the order
+    date, so per-priority sums go negative.  Sums stay in int64 to
+    ~1e15 order-days.
+
+    Scale shape: the orders-lineitem join is the schema's big
+    co-partitioned equi-join (both sides hash on orderkey — AQE
+    handles skew); per-order min is map-side partial; the
+    per-priority rollup reduces to 5 keys. One scan each side,
+    nothing collected.
+    """
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("first_ship").cast("date"),
+                       F.col("o_orderdate").cast("date")).cast("long")
+            .alias("d"))
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("d").alias("min_lag_days"),
+            F.max("d").alias("max_lag_days"),
+            F.expr("CAST(sum(d) * 10000 div count(*) AS BIGINT)")
+            .alias("avg_lag_1e4"),
+            F.count(F.when(F.col("d") > 60, 1)).alias("n_over_60d"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------
+# part substitution savings: cheapest other-brand equivalent
+# --------------------------------------------------------------------
+
+_SUBSTITUTION_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+), best AS (
+  SELECT p_type, p_size, cents AS best_cents, p_brand AS best_brand
+  FROM (SELECT p_type, p_size, cents, p_brand,
+               row_number() OVER (PARTITION BY p_type, p_size
+                                  ORDER BY cents, p_brand, p_partkey) AS rn
+        FROM p)
+  WHERE rn = 1
+), alt AS (
+  SELECT a.p_type, a.p_size, min(a.cents) AS alt_best_cents
+  FROM p a JOIN best b ON a.p_type = b.p_type AND a.p_size = b.p_size
+  WHERE a.p_brand <> b.best_brand
+  GROUP BY a.p_type, a.p_size
+)
+SELECT p.p_partkey, p.p_brand, p.cents,
+       CASE WHEN p.p_brand = b.best_brand THEN a.alt_best_cents
+            ELSE b.best_cents END AS alt_cents,
+       p.cents - CASE WHEN p.p_brand = b.best_brand THEN a.alt_best_cents
+                      ELSE b.best_cents END AS savings_cents
+FROM p
+JOIN best b ON p.p_type = b.p_type AND p.p_size = b.p_size
+LEFT JOIN alt a ON p.p_type = a.p_type AND p.p_size = a.p_size
+WHERE CASE WHEN p.p_brand = b.best_brand THEN a.alt_best_cents
+           ELSE b.best_cents END IS NOT NULL
+  AND p.cents > CASE WHEN p.p_brand = b.best_brand THEN a.alt_best_cents
+                     ELSE b.best_cents END
+ORDER BY p.p_partkey
+"""
+
+
+@register("part_substitution_savings", oracle=_SUBSTITUTION_ORACLE,
+          bench=True,
+          doc="procurement substitution: per part, the cheapest "
+              "same-type/same-size part of a DIFFERENT brand and the "
+              "savings in cents — attribute-blocked, no pair explosion")
+def part_substitution_savings(spark, sf_dir):
+    """Entity-resolution-flavored procurement analysis: for every
+    part that has a cheaper interchangeable alternative — same
+    ``p_type`` and ``p_size``, DIFFERENT ``p_brand`` — emit the
+    alternative's price and the savings.  The per-block cheapest
+    row (deterministic (cents, brand, partkey) tiebreak) serves
+    most parts; parts that ARE the cheapest brand compare against
+    the cheapest OTHER-brand row, so a block with a single brand
+    offers no substitutes.
+
+    This is the LINEAR formulation of attribute-blocked matching:
+    rather than materializing within-block pairs (quadratic in
+    block size — (type, size) blocks grow linearly with the
+    catalog), each part joins two per-block aggregates.  Prices
+    round half-up to exact integer cents on both engines before
+    any comparison, so ties break identically.
+
+    Scale shape: one part scan; the block-best window sorts WITHIN
+    (type, size) hash partitions (parallel across the fixed
+    type x size grid); two block-grain broadcast-sized aggregates
+    join back — no pairwise relation is ever built.
+    """
+    from pyspark.sql import Window as W
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    w = W.partitionBy("p_type", "p_size").orderBy(
+        "cents", "p_brand", "p_partkey")
+    best = (
+        p.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("p_type", "p_size", F.col("cents").alias("best_cents"),
+                F.col("p_brand").alias("best_brand"))
+    )
+    alt = (
+        p.join(best, ["p_type", "p_size"])
+        .filter(F.col("p_brand") != F.col("best_brand"))
+        .groupBy("p_type", "p_size")
+        .agg(F.min("cents").alias("alt_best_cents"))
+    )
+    alt_cents = F.when(F.col("p_brand") == F.col("best_brand"),
+                       F.col("alt_best_cents")).otherwise(F.col("best_cents"))
+    return (
+        p.join(best, ["p_type", "p_size"])
+        .join(alt, ["p_type", "p_size"], "left")
+        .filter(alt_cents.isNotNull() & (F.col("cents") > alt_cents))
+        .select(
+            "p_partkey", "p_brand", "cents",
+            alt_cents.alias("alt_cents"),
+            (F.col("cents") - alt_cents).alias("savings_cents"))
+        .orderBy("p_partkey")
+    )
