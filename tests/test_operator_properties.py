@@ -765,3 +765,31 @@ def test_substitution_savings_replay(spark, sf_dir):
         r = rows[pk]
         assert (r.p_brand, r.cents, r.alt_cents, r.savings_cents) == (
             br, c, alt, sav)
+
+
+def test_pr_curve_replay_and_invariants(spark, sf_dir):
+    """Replay the PR curve from raw rows; recall must be monotone
+    non-increasing in s, the lowest threshold must have recall 1e6,
+    and (tp, fp) must agree with model_auc_rank's class totals."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = sorted(reg["model_pr_curve"].fn(spark, sf_dir).collect(),
+                  key=lambda r: r.s)
+    docs = [(1 if r.lang == "en" else 0, len(r.text.split(" ")))
+            for r in load_table(spark, sf_dir, "documents")
+            .select("lang", "text").collect()]
+    P = sum(y for y, _ in docs)
+    N = len(docs) - P
+    assert {r.s for r in rows} == {s for _, s in docs}
+    for r in rows:
+        tp = sum(1 for y, s in docs if y == 1 and s >= r.s)
+        fp = sum(1 for y, s in docs if y == 0 and s >= r.s)
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.precision_1e6 == tp * 1000000 // max(tp + fp, 1)
+        assert r.recall_1e6 == tp * 1000000 // max(P, 1)
+    recalls = [r.recall_1e6 for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    assert rows[0].recall_1e6 == 1000000 and rows[0].tp == P
+    assert rows[0].fp == N

@@ -1748,3 +1748,101 @@ def conformal_interval_audit(spark, sf_dir):
             .alias("coverage_1e4"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# precision-recall curve — the ROC sibling for rare-positive regimes
+# --------------------------------------------------------------------
+
+_PR_CURVE_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+  FROM documents
+), h AS (
+  SELECT s,
+         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS pos_c,
+         CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS neg_c
+  FROM d GROUP BY s
+), c AS (
+  SELECT s,
+         CAST(COALESCE(sum(pos_c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS pos_below,
+         CAST(COALESCE(sum(neg_c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS neg_below
+  FROM h
+), tot AS (
+  SELECT CAST(sum(pos_c) AS BIGINT) AS p, CAST(sum(neg_c) AS BIGINT) AS n
+  FROM h
+)
+SELECT c.s,
+       tot.p - c.pos_below AS tp,
+       tot.n - c.neg_below AS fp,
+       CAST((tot.p - c.pos_below) * 1000000
+            // greatest(tot.p - c.pos_below + tot.n - c.neg_below, 1)
+            AS BIGINT) AS precision_1e6,
+       CAST((tot.p - c.pos_below) * 1000000 // greatest(tot.p, 1)
+            AS BIGINT) AS recall_1e6
+FROM c, tot ORDER BY c.s
+"""
+
+
+@register("model_pr_curve", oracle=_PR_CURVE_ORACLE, bench=True,
+          doc="exact precision-recall curve from the per-score "
+              "histogram: one operating point per distinct score "
+              "(predict positive at score >= s), integer 1e-6 "
+              "precision/recall — no row-grain sort")
+def model_pr_curve(spark, sf_dir):
+    """The precision-recall companion to ``model_auc_rank``'s ROC:
+    for every distinct score s (token count predicting lang='en',
+    the same scoring rule, so the two tables describe one model),
+    the confusion counts and precision/recall of the classifier
+    "positive iff score >= s".  PR is the curve that matters in
+    rare-positive regimes (dup detection, PII hits) where ROC's
+    false-positive RATE hides an avalanche of false positives.
+
+    Exactness: tp/fp fall out of the strictly-below prefix sums as
+    ``total - below`` — all integers; precision and recall are one
+    floored division each into 1e-6 units (numerators <= 9.2e12
+    rows stay within int64 after the 1e6 scale; denominators are
+    >= 1 by construction at real thresholds and guarded for the
+    degenerate empty relation).
+
+    Scale shape: one scan -> map-combinable score histogram ->
+    ``_hist_prefix`` two-pass prefix sums (never a single-partition
+    window over the histogram); class totals are a ONE-ROW
+    broadcast aggregate of the same cached bucketed histogram, so
+    the per-score join is a broadcast nested loop against one row,
+    not a shuffle."""
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("s"),
+    )
+    h = d.groupBy("s").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("pos_c"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("neg_c"),
+    )
+    c = _hist_prefix(h, "s", {"pos_below": "pos_c", "neg_below": "neg_c"},
+                     inclusive=False)
+    tot = c.groupBy().agg(
+        F.max(F.col("pos_below") + F.col("pos_c")).alias("p"),
+        F.max(F.col("neg_below") + F.col("neg_c")).alias("n"),
+    ).filter(F.col("p").isNotNull())
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            (F.col("p") - F.col("pos_below")).alias("tp"),
+            (F.col("n") - F.col("neg_below")).alias("fp"),
+            F.expr(
+                "CAST((p - pos_below) * 1000000"
+                " div greatest(p - pos_below + n - neg_below, 1)"
+                " AS BIGINT)").alias("precision_1e6"),
+            F.expr(
+                "CAST((p - pos_below) * 1000000 div greatest(p, 1)"
+                " AS BIGINT)").alias("recall_1e6"),
+        )
+        .orderBy("s")
+    )
