@@ -154,8 +154,10 @@ def test_acf_and_ses_shuffle_only_day_grain(spark, sf_dir):
 
 
 def test_forecast_baselines_replay(spark, sf_dir):
-    """Replay the four baseline backtests with Python floor
-    division (// floors, matching the query's pmod-adjusted div)."""
+    """Replay the four baseline backtests; the drift slope divides
+    with TRUNCATION toward zero (what Spark div and DuckDB integer
+    // both do), so the Python // (which floors) is adjusted on
+    negative numerators."""
     y = _daily_counts(spark, sf_dir)
     rows = {r.method: r for r in _run(spark, sf_dir,
                                       "events_forecast_baselines")}
@@ -166,7 +168,9 @@ def test_forecast_baselines_replay(spark, sf_dir):
         if t >= 7:
             errs["seasonal_naive_7"].append(abs(y[t] - y[t - 7]) * 1000000)
         if t >= 2:
-            pred = y[t - 1] * 1000000 + ((y[t - 1] - y[0]) * 1000000) // (t - 1)
+            num = (y[t - 1] - y[0]) * 1000000
+            slope = -((-num) // (t - 1)) if num < 0 else num // (t - 1)
+            pred = y[t - 1] * 1000000 + slope
             errs["drift"].append(abs(y[t] * 1000000 - pred))
         errs["expanding_mean"].append(
             abs(y[t] * 1000000 - sum(y[:t]) * 1000000 // t))

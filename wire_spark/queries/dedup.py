@@ -297,20 +297,30 @@ def _minhash_bands(spark, sf_dir):
     return sh, minhash_band_signatures(sh)
 
 
-def _minhash_pairs(spark, sf_dir):
-    """Verified near-dup pairs (>= 0.8 Jaccard) from MinHash-LSH band
-    candidates — the scale-path edge generator shared by
-    dedup_minhash_lsh and dedup_components_lsh."""
-    sh, band = _minhash_bands(spark, sf_dir)
-    band = tracked_cache(band)  # reused on both sides of the LSH bucket join
+def _lsh_candidate_pairs(band: "DataFrame") -> "DataFrame":
+    """Distinct (d1 < d2) candidate pairs from a band-signature
+    relation — THE single home of the LSH bucket self-join, shared
+    by the Jaccard-verified pair generator and the edit-distance
+    verifier so a banding or tiebreak change cannot silently
+    diverge between the two dedup families.  Callers cache ``band``
+    first: it feeds both sides of the join."""
     a, b = band.alias("a"), band.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bsig") == F.col("b.bsig"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def _minhash_pairs(spark, sf_dir):
+    """Verified near-dup pairs (>= 0.8 Jaccard) from MinHash-LSH band
+    candidates — the scale-path edge generator shared by
+    dedup_minhash_lsh and dedup_components_lsh."""
+    sh, band = _minhash_bands(spark, sf_dir)
+    band = tracked_cache(band)  # reused on both sides of the LSH bucket join
+    cand = _lsh_candidate_pairs(band)
     # exact-verify ONLY the candidates: intersect counts via two joins
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
@@ -1489,18 +1499,8 @@ def dedup_edit_distance_lsh(spark, sf_dir):
     band relation is cached across both sides of the self-join
     (tracked_cache, released by bench/CLI after the action).
     """
-    sh, band = _minhash_bands(spark, sf_dir)
-    band = tracked_cache(band)
-    cand = (
-        band.alias("a").join(
-            band.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"),
-                F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    band = tracked_cache(_minhash_bands(spark, sf_dir)[1])
+    cand = _lsh_candidate_pairs(band)
     tx = T(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 256).alias("t"))
     ta = tx.select(F.col("doc_id").alias("d1"), F.col("t").alias("t1"))

@@ -422,12 +422,13 @@ def events_forecast_baselines(spark, sf_dir):
     counts and MAE floored into 1e-6 units.
 
     Exactness: the whole backtest is integer arithmetic.  The drift
-    slope numerator ``(y[t-1] - y[1]) * 1e6`` CAN be negative, where
-    Spark's ``div`` (truncate toward zero) and DuckDB's ``//``
-    (floor) diverge — the Spark side floors explicitly via
-    ``(a - pmod(a, b)) div b`` (pmod is non-negative, the adjusted
-    numerator is an exact multiple of b).  The expanding-mean
-    numerator is non-negative so plain div/``//`` agree.
+    slope numerator ``(y[t-1] - y[1]) * 1e6`` CAN be negative —
+    measured (and recorded in the verify recipe): DuckDB's ``//``
+    on INTEGER operands truncates toward zero exactly like Spark's
+    ``div``, so the plain quotient is engine-identical including on
+    negative slopes; only a Python ``//`` replay (which FLOORS)
+    needs a truncation adjustment.  The expanding-mean numerator is
+    non-negative, where every convention agrees.
 
     Scale shape: one scan -> day-grain counts (map-side partial);
     the decoration windows run over the calendar-bounded day
@@ -458,8 +459,7 @@ def events_forecast_baselines(spark, sf_dir):
         .alias("e_snaive"),
         F.expr(
             "CASE WHEN ix >= 3 THEN abs(y * 1000000 - (l1 * 1000000"
-            " + ((l1 - y1) * 1000000 - pmod((l1 - y1) * 1000000, ix - 2))"
-            " div (ix - 2))) END"
+            " + (l1 - y1) * 1000000 div (ix - 2))) END"
         ).alias("e_drift"),
         F.expr(
             "CASE WHEN ix >= 2 THEN"

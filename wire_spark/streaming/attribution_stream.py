@@ -4,9 +4,11 @@
 Each user carries four scalars of state — (converted, touch count,
 first channel, last channel).  Touches fold in as they arrive; the
 moment the user's FIRST ``purchase`` folds in, one attribution row is
-emitted (first-touch / last-touch channels and the touch count — the
-per-user relation the batch query aggregates into per-channel
-credit), and every later event for that user is ignored.  This is
+emitted (first-touch / last-touch channels and the touch count —
+enough to rebuild the batch query's first/last-touch per-channel
+rollups; NOT its per-channel ``touches``/linear-credit columns,
+which need every touch's channel and live only in the batch form),
+and every later event for that user is ignored.  This is
 the live "which channel just converted someone" feed; the batch
 query remains the exact per-channel rollup.
 
