@@ -793,3 +793,38 @@ def test_pr_curve_replay_and_invariants(spark, sf_dir):
     assert recalls == sorted(recalls, reverse=True)
     assert rows[0].recall_1e6 == 1000000 and rows[0].tp == P
     assert rows[0].fp == N
+
+
+def test_time_to_convert_replay(spark, sf_dir):
+    """Replay signup-to-first-purchase delays in microseconds and
+    the exact type-1 deciles over the hour histogram."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {r.decile: r for r in
+            reg["events_time_to_convert"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts").collect()
+    su, pu = {}, {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in su or r.ts < su[r.user_id]:
+                su[r.user_id] = r.ts
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in su \
+                and r.ts >= su[r.user_id]:
+            if r.user_id not in pu or r.ts < pu[r.user_id]:
+                pu[r.user_id] = r.ts
+    delays = sorted(
+        int((pu[u] - su[u]).total_seconds() * 1000000) // 3600000000
+        for u in pu)
+    n = len(delays)
+    assert n > 0 and set(rows) == set(range(1, 10))
+    for q in range(1, 10):
+        thr = (q * n + 9) // 10
+        assert (rows[q].delay_hours, rows[q].n_converters) == (
+            delays[thr - 1], n)
+    # deciles are monotone
+    ds = [rows[q].delay_hours for q in range(1, 10)]
+    assert ds == sorted(ds)

@@ -536,3 +536,108 @@ def events_attribution_multitouch(spark, sf_dir):
             "linear_credit_1e6")
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------
+# time-to-convert deciles: signup -> first purchase delay profile
+# --------------------------------------------------------------------
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH su AS (
+  SELECT user_id, min(ts) AS su
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+  SELECT e.user_id, s.su, min(e.ts) AS pu
+  FROM events e JOIN su s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.su
+  GROUP BY e.user_id, s.su
+), dh AS (
+  SELECT CAST((epoch_us(pu) - epoch_us(su)) // 3600000000 AS BIGINT) AS h
+  FROM pu
+), hist AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM dh GROUP BY h
+), p AS (
+  SELECT h, CAST(sum(c) OVER (ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+), n AS (
+  SELECT max(cum) AS n_u FROM p
+), d AS (
+  SELECT t.q, (t.q * n.n_u + 9) // 10 AS thr, n.n_u
+  FROM n CROSS JOIN (SELECT unnest(range(1, 10)) AS q) t
+)
+SELECT CAST(d.q AS BIGINT) AS decile,
+       CAST(min(p.h) AS BIGINT) AS delay_hours,
+       CAST(min(d.n_u) AS BIGINT) AS n_converters
+FROM p JOIN d ON p.cum >= d.thr
+GROUP BY d.q ORDER BY decile
+"""
+
+
+@register("events_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE,
+          bench=True,
+          doc="time-to-convert profile: exact deciles of the "
+              "signup-to-first-purchase delay in whole hours, "
+              "histogram-navigated — no row-grain sort")
+def events_time_to_convert(spark, sf_dir):
+    """Activation-latency distribution: for every user whose journey
+    contains a ``signup`` and a ``purchase`` at-or-after it, the
+    delay from FIRST signup to FIRST subsequent purchase, floored
+    into whole hours — reported as exact type-1 deciles.  The
+    onboarding-funnel companion to ``events_attribution_multitouch``
+    (who converts) and ``session_dwell_percentiles`` (how long they
+    linger): this says how LONG activation takes, the metric a
+    "did the new onboarding flow speed up conversion" review reads.
+
+    Exactness: delays are computed in MICROSECONDS (``unix_micros``
+    / ``epoch_us`` — Spark's second-grain ``unix_timestamp``
+    TRUNCATES micros and would disagree with DuckDB's fractional
+    ``epoch()`` on sub-second components) then floored to hours by
+    one non-negative integer division; deciles are "smallest hour
+    whose inclusive cumulative count reaches ``(q*n + 9) div 10``",
+    exactly the QTE machinery.
+
+    Scale shape: one events scan -> conditional min-struct window
+    keyed on user (the one data-sized shuffle, reused by the
+    follow-on user-grain groupBy) -> hour-grain histogram ->
+    ``_hist_prefix`` two-pass cumulative counts; the converter
+    total falls out of the prefix MAXIMA and the 9-row decile
+    probe broadcasts back.
+    """
+    from wire_spark.queries.features import _hist_prefix
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w_u = W.partitionBy("user_id")
+    dec = ev.withColumn(
+        "su", F.min(F.when(F.col("event_type") == "signup",
+                           F.col("ts"))).over(w_u))
+    pu = (
+        dec.filter(
+            F.col("su").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("su")))
+        .groupBy("user_id", "su")
+        .agg(F.min("ts").alias("pu"))
+    )
+    dh = pu.select(
+        F.expr("(unix_micros(pu) - unix_micros(su)) div 3600000000")
+        .cast("long").alias("h"))
+    hist = dh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    p = _hist_prefix(hist, "h", {"cum": "c"})
+    n = p.groupBy().agg(F.max("cum").alias("n_u")).filter(
+        F.col("n_u").isNotNull())
+    d = n.select(
+        F.explode(F.expr("sequence(1, 9)")).alias("q"), "n_u",
+    ).select(
+        F.col("q").cast("long").alias("q"),
+        F.expr("(q * n_u + 9) div 10").alias("thr"),
+        "n_u",
+    )
+    return (
+        p.crossJoin(F.broadcast(d))
+        .filter(F.col("cum") >= F.col("thr"))
+        .groupBy(F.col("q").alias("decile"))
+        .agg(F.min("h").alias("delay_hours"),
+             F.min("n_u").alias("n_converters"))
+        .orderBy("decile")
+    )
