@@ -828,3 +828,30 @@ def test_time_to_convert_replay(spark, sf_dir):
     # deciles are monotone
     ds = [rows[q].delay_hours for q in range(1, 10)]
     assert ds == sorted(ds)
+
+
+def test_rolling_active_7d_replay(spark, sf_dir):
+    """Replay rolling 7-day distinct actives; WAU >= DAU everywhere,
+    stickiness is the exact floored ratio, and a day's WAU equals
+    the union of the trailing week's daily user sets."""
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {r.day: r for r in
+            reg["events_rolling_active_7d"].fn(spark, sf_dir).collect()}
+    per_day = {}
+    for r in load_table(spark, sf_dir, "events").select(
+            "user_id", "ts").collect():
+        per_day.setdefault(r.ts.strftime("%Y-%m-%d"), set()).add(r.user_id)
+    import datetime as dt
+    assert set(rows) == set(per_day)
+    for day, users in per_day.items():
+        d = dt.date.fromisoformat(day)
+        wau_set = set()
+        for back in range(7):
+            wau_set |= per_day.get(str(d - dt.timedelta(days=back)), set())
+        r = rows[day]
+        assert (r.dau, r.wau) == (len(users), len(wau_set))
+        assert r.wau >= r.dau
+        assert r.stickiness_1e4 == len(users) * 10000 // len(wau_set)

@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T
+from wire_spark.queries._util import T, tracked_cache
 
 # --------------------------------------------------------------------
 # first-order Markov transition matrix between event types
@@ -640,4 +640,91 @@ def events_time_to_convert(spark, sf_dir):
         .agg(F.min("h").alias("delay_hours"),
              F.min("n_u").alias("n_converters"))
         .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------
+# rolling 7-day distinct active users + stickiness
+# --------------------------------------------------------------------
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ix
+  FROM events
+), win AS (
+  SELECT DISTINCT user_id, ix + i.i AS wix
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+), days AS (
+  SELECT DISTINCT ix FROM ud
+), wau AS (
+  SELECT w.wix AS ix, CAST(count(*) AS BIGINT) AS wau
+  FROM win w JOIN days d ON d.ix = w.wix GROUP BY w.wix
+), dau AS (
+  SELECT ix, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY ix
+)
+SELECT strftime(DATE '2024-01-01' + CAST(a.ix AS INT), '%Y-%m-%d') AS day,
+       d.dau, a.wau,
+       CAST(d.dau * 10000 // a.wau AS BIGINT) AS stickiness_1e4
+FROM wau a JOIN dau d ON d.ix = a.ix
+ORDER BY day
+"""
+
+
+@register("events_rolling_active_7d", oracle=_ROLLING_ACTIVE_ORACLE,
+          bench=True,
+          doc="rolling 7-day distinct active users per day plus the "
+              "DAU/WAU stickiness ratio — exact, via presence-window "
+              "explode, never a distinct-over-sliding-window")
+def events_rolling_active_7d(spark, sf_dir):
+    """Per activity day: the EXACT count of distinct users active in
+    the trailing 7 days (the classic WAU curve) alongside that day's
+    DAU and the DAU/WAU stickiness ratio in 1e-4 units.  Rolling
+    DISTINCT does not decompose over daily counts (a user active on
+    3 of the 7 days must count once), so the scalable exact form is
+    presence-interval expansion: each (user, day) presence covers
+    the 7 window-days it can serve, and the window count is a plain
+    distinct-then-count — never a count(distinct) OVER a sliding
+    range (which Spark cannot evaluate incrementally and would
+    re-scan per window at any engine).
+
+    Exactness: day indices are integer datediffs from a fixed epoch
+    (2024-01-01) and the ratio is one floored non-negative division;
+    no timestamps survive past the first projection.
+
+    Scale shape: one scan -> distinct (user, day-ix) — user-day
+    grain, the relation everything else derives from, cached across
+    its three consumers -> a 7-row broadcast explode (7x user-day,
+    bounded) -> distinct + count per window day.  All shuffles are
+    on user-day or day keys; nothing is ever row-grain sorted.
+    """
+    ev = T(spark, sf_dir, "events")
+    ud = tracked_cache(
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .alias("ix")).distinct())
+    i7 = spark.range(7).select(F.col("id").cast("int").alias("i"))
+    win = (
+        ud.crossJoin(F.broadcast(i7))
+        .select("user_id", (F.col("ix") + F.col("i")).alias("wix"))
+        .distinct()
+    )
+    days = ud.select("ix").distinct()
+    wau = (
+        win.join(days, win.wix == days.ix)
+        .groupBy("wix").agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = ud.groupBy("ix").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, wau.wix == dau.ix)
+        .select(
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), F.col("wix")),
+                "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.expr("CAST(dau * 10000 div wau AS BIGINT)")
+            .alias("stickiness_1e4"),
+        )
+        .orderBy("day")
     )
