@@ -855,3 +855,55 @@ def test_rolling_active_7d_replay(spark, sf_dir):
         assert (r.dau, r.wau) == (len(users), len(wau_set))
         assert r.wau >= r.dau
         assert r.stickiness_1e4 == len(users) * 10000 // len(wau_set)
+
+
+def test_cohort_ltv_triangle_replay(spark, sf_dir):
+    """Replay the LTV triangle from raw journeys: per-cell buyers and
+    revenue, cohort-cumulative revenue, and per-signup LTV; the
+    cohort grid must align with retention_cohorts' conventions."""
+    import math
+
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    reg = load_registry()
+    rows = {(r.cohort_week, r.week_n): r for r in
+            reg["cohort_ltv_triangle"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value").collect()
+
+    def week_start(ts):
+        d = ts.date()
+        return d - __import__("datetime").timedelta(days=d.weekday())
+
+    cohort = {}
+    for r in ev:
+        if r.event_type == "signup":
+            w = week_start(r.ts)
+            if r.user_id not in cohort or w < cohort[r.user_id]:
+                cohort[r.user_id] = w
+    n_cohort, cells = {}, {}
+    for u, w in cohort.items():
+        n_cohort[w] = n_cohort.get(w, 0) + 1
+    for r in ev:
+        if r.event_type != "purchase" or r.user_id not in cohort:
+            continue
+        cw = cohort[r.user_id]
+        if r.ts.date() < cw:
+            continue
+        wn = (week_start(r.ts) - cw).days // 7
+        c = cells.setdefault((cw, wn), [set(), 0])
+        c[0].add(r.user_id)
+        c[1] += int(math.floor(r.value * 10000.0))
+    expected = {}
+    for (cw, wn), (buyers, rev) in cells.items():
+        if wn <= 8:
+            cum = sum(v for (c2, w2), (_, v) in cells.items()
+                      if c2 == cw and w2 <= wn)
+            expected[(str(cw), wn)] = (
+                len(buyers), rev, cum, cum // n_cohort[cw])
+    assert rows and set(rows) == set(expected)
+    for k, (nb, rev, cum, ltv) in expected.items():
+        r = rows[k]
+        assert (r.n_buyers, r.rev_v4, r.cum_rev_v4,
+                r.ltv_per_signup_v4) == (nb, rev, cum, ltv)

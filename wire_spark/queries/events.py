@@ -645,3 +645,112 @@ def events_survival_hazard(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------
+# LTV cohort triangle: value-weighted sibling of retention_cohorts
+# --------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH signups AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), cs AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM signups GROUP BY cohort_week
+), purch AS (
+  SELECT s.cohort_week,
+         CAST(floor(date_diff('day', s.cohort_week,
+              date_trunc('week', e.ts)) / 7.0) AS BIGINT) AS week_n,
+         e.user_id,
+         CAST(floor(e.value * 10000.0e0) AS BIGINT) AS v4
+  FROM events e JOIN signups s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.cohort_week
+), g AS (
+  SELECT cohort_week, week_n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         CAST(sum(v4) AS BIGINT) AS rev_v4
+  FROM purch GROUP BY cohort_week, week_n
+), c AS (
+  SELECT cohort_week, week_n, n_buyers, rev_v4,
+         CAST(sum(rev_v4) OVER (PARTITION BY cohort_week ORDER BY week_n
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_rev_v4
+  FROM g
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_n, c.n_buyers, c.rev_v4, c.cum_rev_v4,
+       CAST(c.cum_rev_v4 // cs.n_cohort AS BIGINT) AS ltv_per_signup_v4
+FROM c JOIN cs ON cs.cohort_week = c.cohort_week
+WHERE c.week_n <= 8
+ORDER BY cohort_week, week_n
+"""
+
+
+@register("cohort_ltv_triangle", oracle=_LTV_ORACLE, bench=True,
+          doc="LTV cohort triangle: signup week x weeks-since-signup "
+              "purchase revenue, cumulative revenue, and per-signup "
+              "LTV in 1e-4 units — the value-weighted sibling of "
+              "retention_cohorts")
+def cohort_ltv_triangle(spark, sf_dir):
+    """The growth team's second table: where ``retention_cohorts``
+    counts WHO came back, this sums WHAT they spent — per (signup
+    cohort week, weeks since signup): distinct buyers, revenue,
+    cumulative cohort revenue, and cumulative revenue per SIGNUP
+    (the LTV curve a payback-period model reads).  Cohort
+    conventions (week truncation, week_n arithmetic, the <= 8
+    horizon) are identical to retention_cohorts so the two
+    triangles align row-for-row.
+
+    Exactness: purchase values floor into 1e-4 fixed point at the
+    row (the QTE idiom), all aggregates are integer sums, and the
+    per-signup LTV is one floored division by the cohort's signup
+    count (>= 1 by construction — a cohort exists only if someone
+    signed up in it).  Weeks with zero purchases emit no row; the
+    cumulative sum over present rows is unaffected.
+
+    Scale shape: the signup argmin and the purchase join shuffle on
+    user_id (uniform key); the cohort x week rollup reduces to a
+    calendar-bounded grid, the cumulative window runs over <= 9
+    rows per cohort, and the cohort-size join is grid-grain.
+    """
+    e = T(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    cs = signups.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week")) / F.lit(7.0)
+            ).cast("long").alias("week_n"),
+            "user_id",
+            F.expr("CAST(floor(value * 10000.0e0) AS BIGINT)").alias("v4"),
+        )
+    )
+    g = purch.groupBy("cohort_week", "week_n").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("v4").alias("rev_v4"),
+    )
+    w = (W.partitionBy("cohort_week").orderBy("week_n")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = g.withColumn("cum_rev_v4", F.sum("rev_v4").over(w))
+    return (
+        c.join(cs, "cohort_week")
+        .filter(F.col("week_n") <= 8)
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n", "n_buyers", "rev_v4", "cum_rev_v4",
+            F.expr("CAST(cum_rev_v4 div n_cohort AS BIGINT)")
+            .alias("ltv_per_signup_v4"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
