@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, msum, r4
+from wire_spark.queries._util import T, msum, r4, tracked_cache
 
 _TYPE_STATS_ORACLE = """
 SELECT
@@ -715,7 +715,10 @@ def cohort_ltv_triangle(spark, sf_dir):
     rows per cohort, and the cohort-size join is grid-grain.
     """
     e = T(spark, sf_dir, "events")
-    signups = (
+    # cached: signups feeds the cohort-size aggregate AND the
+    # purchase join — uncached, each consumer re-derives it from its
+    # own parquet scan (observed: 3 FileScans in the final plan)
+    signups = tracked_cache(
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
