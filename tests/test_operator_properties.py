@@ -900,8 +900,11 @@ def test_cohort_ltv_triangle_replay(spark, sf_dir):
         if wn <= 8:
             cum = sum(v for (c2, w2), (_, v) in cells.items()
                       if c2 == cw and w2 <= wn)
-            expected[(str(cw), wn)] = (
-                len(buyers), rev, cum, cum // n_cohort[cw])
+            # both engines TRUNCATE integer division; Python //
+            # floors, which diverges if refunds make cum negative
+            nc = n_cohort[cw]
+            ltv = -((-cum) // nc) if cum < 0 else cum // nc
+            expected[(str(cw), wn)] = (len(buyers), rev, cum, ltv)
     assert rows and set(rows) == set(expected)
     for k, (nb, rev, cum, ltv) in expected.items():
         r = rows[k]

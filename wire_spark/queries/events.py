@@ -335,6 +335,18 @@ ORDER BY cohort_week, week_n
 """
 
 
+def _signup_cohorts(e):
+    """(user_id, cohort_week) — the signup-cohort convention shared
+    by retention_cohorts and cohort_ltv_triangle, extracted so their
+    documented row-for-row alignment is structural: one Monday-start
+    week truncation, argmin over each user's signup events."""
+    return (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+
+
 @register("retention_cohorts", oracle=_RETENTION_ORACLE, bench=True,
           doc="weekly retention cohorts: signup week x weeks-since-signup "
               "distinct-user activity")
@@ -344,11 +356,7 @@ def retention_cohorts(spark, sf_dir):
     join broadcasts at test scale and shuffles on user_id (uniform
     key) at 100 TB."""
     e = T(spark, sf_dir, "events")
-    signups = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
-    )
+    signups = _signup_cohorts(e)
     activity = (
         e.join(signups, "user_id")
         .filter(F.col("ts") >= F.col("cohort_week"))
@@ -704,10 +712,12 @@ def cohort_ltv_triangle(spark, sf_dir):
 
     Exactness: purchase values floor into 1e-4 fixed point at the
     row (the QTE idiom), all aggregates are integer sums, and the
-    per-signup LTV is one floored division by the cohort's signup
-    count (>= 1 by construction — a cohort exists only if someone
-    signed up in it).  Weeks with zero purchases emit no row; the
-    cumulative sum over present rows is unaffected.
+    per-signup LTV is one TRUNCATING integer division (Spark div ==
+    DuckDB integer //, including on a negative cumulative revenue if
+    refunds ever appear) by the cohort's signup count (>= 1 by
+    construction — a cohort exists only if someone signed up in it).
+    Weeks with zero purchases emit no row; the cumulative sum over
+    present rows is unaffected.
 
     Scale shape: the signup argmin and the purchase join shuffle on
     user_id (uniform key); the cohort x week rollup reduces to a
@@ -718,11 +728,7 @@ def cohort_ltv_triangle(spark, sf_dir):
     # cached: signups feeds the cohort-size aggregate AND the
     # purchase join — uncached, each consumer re-derives it from its
     # own parquet scan (observed: 3 FileScans in the final plan)
-    signups = tracked_cache(
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
-    )
+    signups = tracked_cache(_signup_cohorts(e))
     cs = signups.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort"))
     purch = (
