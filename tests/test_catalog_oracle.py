@@ -100,3 +100,44 @@ def test_register_rejects_cross_module_name_collision():
     register("q1_pricing_summary", oracle=original.oracle,
              doc=original.doc, bench=original.bench)(fn)
     assert REGISTRY["q1_pricing_summary"].fn is fn
+
+
+def test_degenerate_empty_input_parity(spark, sf_dir, tmp_path):
+    """Empty-corpus cross-engine agreement for the queries that once
+    diverged on it (Spark ANSI DIVIDE_BY_ZERO vs DuckDB NULL-banding,
+    the no-groupBy all-NULL sentinel row, oracle-side log2(0)) — the
+    guards must keep both engines emitting identical rows when every
+    table is empty."""
+    import duckdb
+
+    from wire_spark.engine import load_table
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    empty = str(tmp_path / "sf_empty")
+    for t in tables:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{empty}/{t}.parquet")
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{empty}/{t}.parquet/*.parquet')")
+    reg = load_registry()
+    once_diverged = [
+        "events_ab_ztest", "events_srm_check", "events_ab_power_mde",
+        "events_funnel_conversion", "events_funnel_3step",
+        "referential_integrity_audit", "orders_ks_test",
+        "bloom_join_prune",
+    ]
+    for name in once_diverged:
+        sdf = reg[name].fn(spark, empty)
+        scols = sorted(sdf.columns)
+        srows = sorted([tuple(r[c] for c in scols) for r in sdf.collect()],
+                       key=repr)
+        res = con.execute(reg[name].oracle)
+        oc = [d[0] for d in res.description]
+        idx = sorted(range(len(oc)), key=lambda i: oc[i])
+        orows = sorted([tuple(row[i] for i in idx)
+                        for row in res.fetchall()], key=repr)
+        assert scols == sorted(oc), name
+        assert srows == orows, (name, srows, orows)

@@ -443,13 +443,13 @@ WITH li AS (
 )
 SELECT * FROM (
   SELECT 'lineitem->orders' AS edge, n_child, n_keys, n_orphan,
-         ((n_child - n_orphan) * 10000) // n_child AS coverage_bp FROM li
+         ((n_child - n_orphan) * 10000) // greatest(n_child, 1) AS coverage_bp FROM li
   UNION ALL
   SELECT 'orders->customer', n_child, n_keys, n_orphan,
-         ((n_child - n_orphan) * 10000) // n_child FROM oc
+         ((n_child - n_orphan) * 10000) // greatest(n_child, 1) FROM oc
   UNION ALL
   SELECT 'customer->nation', n_child, n_keys, n_orphan,
-         ((n_child - n_orphan) * 10000) // n_child FROM cn
+         ((n_child - n_orphan) * 10000) // greatest(n_child, 1) FROM cn
 ) ORDER BY edge
 """
 
@@ -482,7 +482,7 @@ def referential_integrity_audit(spark, sf_dir):
             F.count(F.when(parent[pkey].isNull(), 1)).alias("n_orphan"),
         ).select(
             "edge", "n_child", "n_keys", "n_orphan",
-            F.expr("((n_child - n_orphan) * 10000) div n_child")
+            F.expr("((n_child - n_orphan) * 10000) div greatest(n_child, 1)")
             .alias("coverage_bp"),
         )
 

@@ -250,7 +250,7 @@ SELECT
   (SELECT count(*) FROM clickers) AS n_clickers,
   (SELECT count(*) FROM converted) AS n_converted,
   floor((SELECT count(*) FROM converted) * 1.0
-        / (SELECT count(*) FROM clickers) * 10000.0) / 10000.0
+        / greatest((SELECT count(*) FROM clickers), 1) * 10000.0) / 10000.0
     AS conversion_rate
 """
 
@@ -304,7 +304,8 @@ def events_funnel_conversion(spark, sf_dir):
     )
     n_converted = converted.agg(F.count(F.lit(1)).alias("n_converted"))
     rate = F.floor(
-        F.col("n_converted") * F.lit(1.0) / F.col("n_clickers") * F.lit(10000.0)
+        F.col("n_converted") * F.lit(1.0)
+        / F.greatest(F.col("n_clickers"), F.lit(1)) * F.lit(10000.0)
     ) / F.lit(10000.0)
     return n_clickers.crossJoin(n_converted).select(
         "n_clickers", "n_converted", rate.alias("conversion_rate")
@@ -478,10 +479,10 @@ SELECT CAST(tot.n AS BIGINT) AS n_users,
        CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
-       ((SELECT count(*) FROM c) * 10000) // (SELECT count(*) FROM v)
-         AS click_rate_bp,
-       ((SELECT count(*) FROM p) * 10000) // (SELECT count(*) FROM c)
-         AS purchase_rate_bp
+       ((SELECT count(*) FROM c) * 10000)
+         // greatest((SELECT count(*) FROM v), 1) AS click_rate_bp,
+       ((SELECT count(*) FROM p) * 10000)
+         // greatest((SELECT count(*) FROM c), 1) AS purchase_rate_bp
 FROM tot
 """
 
@@ -532,8 +533,9 @@ def events_funnel_3step(spark, sf_dir):
         .crossJoin(F.broadcast(np_))
         .select(
             "n_users", "n_view", "n_click", "n_purchase",
-            F.expr("(n_click * 10000) div n_view").alias("click_rate_bp"),
-            F.expr("(n_purchase * 10000) div n_click")
+            F.expr("(n_click * 10000) div greatest(n_view, 1)")
+            .alias("click_rate_bp"),
+            F.expr("(n_purchase * 10000) div greatest(n_click, 1)")
             .alias("purchase_rate_bp"),
         )
     )

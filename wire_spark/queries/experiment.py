@@ -351,14 +351,14 @@ WITH e AS (
   FROM e
 ), p AS (
   SELECT n_control, n_treatment, c1, c2,
-         CAST(c1 AS DOUBLE) / CAST(n_control AS DOUBLE) AS p1,
-         CAST(c2 AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS p2
+         CAST(c1 AS DOUBLE) / CAST(greatest(n_control, 1) AS DOUBLE) AS p1,
+         CAST(c2 AS DOUBLE) / CAST(greatest(n_treatment, 1) AS DOUBLE) AS p2
   FROM s
 ), d AS (
   SELECT n_control, n_treatment, p1, p2,
          (1.959964e0 + 0.841621e0)
-           * sqrt(p1 * (1.0e0 - p1) / CAST(n_control AS DOUBLE)
-                  + p2 * (1.0e0 - p2) / CAST(n_treatment AS DOUBLE)) AS mde,
+           * sqrt(p1 * (1.0e0 - p1) / CAST(greatest(n_control, 1) AS DOUBLE)
+                  + p2 * (1.0e0 - p2) / CAST(greatest(n_treatment, 1) AS DOUBLE)) AS mde,
          CASE WHEN p1 <> p2 THEN
            ceil((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)
                 * (p1 * (1.0e0 - p1) + p2 * (1.0e0 - p2))
@@ -419,15 +419,17 @@ def events_ab_power_mde(spark, sf_dir):
     )
     p = s.select(
         "n_control", "n_treatment",
-        F.expr("CAST(c1 AS DOUBLE) / CAST(n_control AS DOUBLE)").alias("p1"),
-        F.expr("CAST(c2 AS DOUBLE) / CAST(n_treatment AS DOUBLE)").alias("p2"),
+        F.expr("CAST(c1 AS DOUBLE)"
+               " / CAST(greatest(n_control, 1) AS DOUBLE)").alias("p1"),
+        F.expr("CAST(c2 AS DOUBLE)"
+               " / CAST(greatest(n_treatment, 1) AS DOUBLE)").alias("p2"),
     )
     d = p.select(
         "n_control", "n_treatment", "p1", "p2",
         F.expr(
             "(1.959964e0 + 0.841621e0)"
-            " * sqrt(p1 * (1.0e0 - p1) / CAST(n_control AS DOUBLE)"
-            " + p2 * (1.0e0 - p2) / CAST(n_treatment AS DOUBLE))"
+            " * sqrt(p1 * (1.0e0 - p1) / CAST(greatest(n_control, 1) AS DOUBLE)"
+            " + p2 * (1.0e0 - p2) / CAST(greatest(n_treatment, 1) AS DOUBLE))"
         ).alias("mde"),
         F.expr(
             "CASE WHEN p1 <> p2 THEN"

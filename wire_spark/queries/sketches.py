@@ -278,7 +278,7 @@ WITH build AS (
 ),
 params AS (
   SELECT CAST(POWER(2, GREATEST({_BLOOM_MIN_LOG2}, LEAST({_BLOOM_MAX_LOG2},
-         CEIL(LOG2(20.0 * COUNT(DISTINCT c_custkey)))))) AS BIGINT) AS nbits
+         CEIL(LOG2(20.0 * GREATEST(COUNT(DISTINCT c_custkey), 1)))))) AS BIGINT) AS nbits
   FROM build
 ),
 build_bits AS (

@@ -57,10 +57,10 @@ WITH e AS (
   FROM e
 ), p AS (
   SELECT *,
-         CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS p1,
-         CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS p2,
+         CAST(conv_control AS DOUBLE) / CAST(greatest(n_control, 1) AS DOUBLE) AS p1,
+         CAST(conv_treatment AS DOUBLE) / CAST(greatest(n_treatment, 1) AS DOUBLE) AS p2,
          CAST(conv_control + conv_treatment AS DOUBLE)
-           / CAST(n_control + n_treatment AS DOUBLE) AS pp
+           / CAST(greatest(n_control + n_treatment, 1) AS DOUBLE) AS pp
   FROM s
 )
 SELECT n_control, n_treatment, conv_control, conv_treatment,
@@ -68,8 +68,8 @@ SELECT n_control, n_treatment, conv_control, conv_treatment,
        floor(p2 * 10000.0e0) / 10000.0e0 AS rate_treatment,
        CAST(CASE WHEN pp > 0.0e0 AND pp < 1.0e0 THEN
          floor((p1 - p2) / sqrt(pp * (1.0e0 - pp)
-               * (1.0e0 / CAST(n_control AS DOUBLE)
-                  + 1.0e0 / CAST(n_treatment AS DOUBLE))) * 10000.0e0)
+               * (1.0e0 / CAST(greatest(n_control, 1) AS DOUBLE)
+                  + 1.0e0 / CAST(greatest(n_treatment, 1) AS DOUBLE))) * 10000.0e0)
        ELSE 0 END AS BIGINT) AS z_1e4
 FROM p
 """
@@ -111,12 +111,13 @@ def events_ab_ztest(spark, sf_dir):
     )
     p = s.select(
         "*",
-        F.expr("CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)")
-        .alias("p1"),
-        F.expr("CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)")
-        .alias("p2"),
+        F.expr("CAST(conv_control AS DOUBLE)"
+               " / CAST(greatest(n_control, 1) AS DOUBLE)").alias("p1"),
+        F.expr("CAST(conv_treatment AS DOUBLE)"
+               " / CAST(greatest(n_treatment, 1) AS DOUBLE)").alias("p2"),
         F.expr("CAST(conv_control + conv_treatment AS DOUBLE)"
-               " / CAST(n_control + n_treatment AS DOUBLE)").alias("pp"),
+               " / CAST(greatest(n_control + n_treatment, 1) AS DOUBLE)")
+        .alias("pp"),
     )
     return p.select(
         "n_control", "n_treatment", "conv_control", "conv_treatment",
@@ -125,8 +126,8 @@ def events_ab_ztest(spark, sf_dir):
         F.expr(
             "CAST(CASE WHEN pp > 0.0e0 AND pp < 1.0e0 THEN "
             "floor((p1 - p2) / sqrt(pp * (1.0e0 - pp) "
-            "* (1.0e0 / CAST(n_control AS DOUBLE) "
-            "+ 1.0e0 / CAST(n_treatment AS DOUBLE))) * 10000.0e0) "
+            "* (1.0e0 / CAST(greatest(n_control, 1) AS DOUBLE) "
+            "+ 1.0e0 / CAST(greatest(n_treatment, 1) AS DOUBLE))) * 10000.0e0) "
             "ELSE 0 END AS BIGINT)"
         ).alias("z_1e4"),
     )
@@ -704,10 +705,10 @@ WITH u AS (
 SELECT nu_control, nu_treatment,
        CAST(CAST((nu_control - nu_treatment) AS HUGEINT)
             * (nu_control - nu_treatment) * 1000000
-            // (nu_control + nu_treatment) AS BIGINT) AS srm_chi2_1e6,
+            // greatest(nu_control + nu_treatment, 1) AS BIGINT) AS srm_chi2_1e6,
        CAST(CASE WHEN CAST((nu_control - nu_treatment) AS HUGEINT)
                       * (nu_control - nu_treatment) * 1000000
-                      // (nu_control + nu_treatment) > 3841459
+                      // greatest(nu_control + nu_treatment, 1) > 3841459
             THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
 FROM s
 """
@@ -751,12 +752,12 @@ def events_srm_check(spark, sf_dir):
         F.expr(
             "CAST(CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
             " * (nu_control - nu_treatment) * 1000000"
-            " div (nu_control + nu_treatment) AS BIGINT)"
+            " div greatest(nu_control + nu_treatment, 1) AS BIGINT)"
         ).alias("srm_chi2_1e6"),
         F.expr(
             "CAST(CASE WHEN CAST((nu_control - nu_treatment) AS DECIMAL(38,0))"
             " * (nu_control - nu_treatment) * 1000000"
-            " div (nu_control + nu_treatment) > 3841459"
+            " div greatest(nu_control + nu_treatment, 1) > 3841459"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
     )
@@ -851,7 +852,10 @@ def orders_ks_test(spark, sf_dir):
         F.max(F.expr("abs(CAST(cum1 AS DECIMAL(38,0)) * n2"
                      " - CAST(cum2 AS DECIMAL(38,0)) * n1)")).alias("dnum"),
         F.first("n1").alias("n1"), F.first("n2").alias("n2"),
-    )
+        # the no-groupBy agg over an EMPTY relation emits one all-NULL
+        # sentinel row where the oracle's GROUP BY emits zero rows —
+        # drop it (the quality_gini_stump lesson)
+    ).filter(F.col("dnum").isNotNull())
     return d.select(
         F.col("n1").alias("n_urgent"), F.col("n2").alias("n_low"),
         F.expr("CAST(dnum AS BIGINT)").alias("d_num"),
