@@ -141,3 +141,40 @@ def test_degenerate_empty_input_parity(spark, sf_dir, tmp_path):
                         for row in res.fetchall()], key=repr)
         assert scols == sorted(oc), name
         assert srows == orows, (name, srows, orows)
+
+
+def test_degenerate_one_row_parity(spark, sf_dir, tmp_path):
+    """One-row-corpus cross-engine agreement for the queries whose
+    variance/share denominators once hit Spark-ANSI DIVIDE_BY_ZERO
+    there (n-1 terms, zero-width histograms, single-class AUC) —
+    the nullif guards must NULL-band exactly like DuckDB."""
+    import duckdb
+
+    from wire_spark.engine import load_table
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    one = str(tmp_path / "sf_one")
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        df.orderBy(df.columns[0]).limit(1).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{one}/{t}.parquet")
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{one}/{t}.parquet/*.parquet')")
+    reg = load_registry()
+    once_diverged = ["events_drift_audit", "quantile_histogram_sketch",
+                     "model_auc_rank", "events_linear_trend"]
+    for name in once_diverged:
+        sdf = reg[name].fn(spark, one)
+        scols = sorted(sdf.columns)
+        srows = sorted([tuple(r[c] for c in scols) for r in sdf.collect()],
+                       key=repr)
+        res = con.execute(reg[name].oracle)
+        oc = [d[0] for d in res.description]
+        idx = sorted(range(len(oc)), key=lambda i: oc[i])
+        orows = sorted([tuple(row[i] for i in idx)
+                        for row in res.fetchall()], key=repr)
+        assert scols == sorted(oc), name
+        assert srows == orows, (name, srows, orows)

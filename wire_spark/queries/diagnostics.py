@@ -408,10 +408,13 @@ def events_drift_audit(spark, sf_dir):
         counts.crossJoin(F.broadcast(tot))
         .select(
             "event_type", "n_first", "n_second",
-            F.expr("(n_first * 10000) div t1").alias("share_first_bp"),
-            F.expr("(n_second * 10000) div t2").alias("share_second_bp"),
-            F.expr("abs((n_first * 10000) div t1 - "
-                   "(n_second * 10000) div t2)").alias("drift_bp"),
+            F.expr("(n_first * 10000) div nullif(t1, 0)")
+            .alias("share_first_bp"),
+            F.expr("(n_second * 10000) div nullif(t2, 0)")
+            .alias("share_second_bp"),
+            F.expr("abs((n_first * 10000) div nullif(t1, 0) - "
+                   "(n_second * 10000) div nullif(t2, 0))")
+            .alias("drift_bp"),
         )
         .orderBy("event_type")
     )

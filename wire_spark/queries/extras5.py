@@ -342,7 +342,8 @@ def events_linear_trend(spark, sf_dir):
     return s.select(
         "event_type", "n",
         F.expr("sy div n").alias("mean_y4"),
-        F.expr("CAST(floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))"
+        F.expr("CAST(floor(((n * sxy - sx * sy) * 1.0"
+               " / nullif(n * sxx - sx * sx, 0))"
                " * 1000000.0) AS BIGINT)").alias("slope_1e6"),
     ).orderBy("event_type")
 

@@ -902,8 +902,8 @@ def model_auc_rank(spark, sf_dir):
             F.col("p").alias("n_pos"),
             F.col("n").alias("n_neg"),
             F.expr(
-                "CAST(num * 10000 div (2 * CAST(p AS DECIMAL(19,0)) "
-                "* CAST(n AS DECIMAL(19,0))) AS BIGINT)"
+                "CAST(num * 10000 div nullif(2 * CAST(p AS DECIMAL(19,0)) "
+                "* CAST(n AS DECIMAL(19,0)), 0) AS BIGINT)"
             ).alias("auc_1e4"),
         )
     )

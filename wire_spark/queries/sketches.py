@@ -224,7 +224,7 @@ def quantile_histogram_sketch(spark, sf_dir):
         F.least(
             F.floor(
                 (F.col("o_totalprice") - F.col("mn")) * F.lit(1024.0)
-                / (F.col("mx") - F.col("mn"))
+                / F.expr("nullif(mx - mn, 0.0e0)")
             ).cast("long"),
             F.lit(1023).cast("long"),
         ).alias("bin")
