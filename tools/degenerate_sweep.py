@@ -6,6 +6,7 @@ Usage:
     python tools/degenerate_sweep.py empty      # all tables empty
     python tools/degenerate_sweep.py one_row    # one row per table
     python tools/degenerate_sweep.py clicks     # events: clicks only
+    python tools/degenerate_sweep.py nulls      # NULL value/props/lang
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -32,6 +33,7 @@ KNOWN_EMPTY = {"rollup_flag_status", "cube_flag_status",
                "rollup_time_lattice", "grouping_sets_mixed",
                "graph_pagerank_personalized"}
 KNOWN_ONE_ROW = {"graph_pagerank_personalized"}
+KNOWN_NULLS: set[str] = set()
 
 
 def build_corpus(spark, mode: str, dst: str) -> None:
@@ -48,6 +50,19 @@ def build_corpus(spark, mode: str, dst: str) -> None:
             df = df.orderBy(df.columns[0]).limit(1)
         elif mode == "clicks" and t == "events":
             df = df.filter("event_type = 'click'")
+        elif mode == "nulls":
+            from pyspark.sql import functions as F
+            if t == "events":
+                df = df.withColumn(
+                    "value", F.when(F.col("event_id") % 2 == 0,
+                                    F.col("value"))
+                ).withColumn(
+                    "props", F.when(F.col("event_id") % 3 == 0,
+                                    F.col("props")))
+            if t == "documents":
+                df = df.withColumn(
+                    "lang", F.when(F.col("doc_id") % 2 == 0,
+                                   F.col("lang")))
         df.coalesce(1).write.mode("overwrite").parquet(p)
 
 
@@ -58,7 +73,7 @@ def main() -> int:
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
     known = {"empty": KNOWN_EMPTY, "one_row": KNOWN_ONE_ROW,
-             "clicks": set()}[mode]
+             "clicks": set(), "nulls": KNOWN_NULLS}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

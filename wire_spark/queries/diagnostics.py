@@ -81,7 +81,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), mpos AS (
   SELECT DISTINCT event_type, n,
          CAST(floor((n - 1) * 0.5::DOUBLE) AS BIGINT) + 1 AS lo_rn,
@@ -97,6 +97,7 @@ WITH ranked AS (
 ), dev AS (
   SELECT e.event_type, e.event_id, abs(e.value - med.med) AS d
   FROM events e JOIN med ON e.event_type = med.event_type
+  WHERE e.value IS NOT NULL
 ), dranked AS (
   SELECT event_type, d,
          row_number() OVER (PARTITION BY event_type
@@ -156,7 +157,9 @@ def robust_outliers_mad(spark, sf_dir):
     computes the SAME output (same oracle) via histogram-navigated
     quantiles with no per-key sort — and reserve this form for the
     verification pass."""
-    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).filter(F.col("value").isNotNull())
 
     def _exact_median(df, val_col, key="event_type", tie="event_id"):
         from pyspark.sql import Window as W
@@ -238,7 +241,9 @@ def robust_outliers_mad_bucketed(spark, sf_dir):
     (type, bucket) with only selected-bucket rows surviving."""
     from wire_spark.queries.sketches import bucketed_quantiles
 
-    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).filter(F.col("value").isNotNull())
     med = (
         bucketed_quantiles(ev, (0.5,))
         .select("event_type", F.col("n").alias("n_events"),

@@ -1351,7 +1351,7 @@ def quality_gini_stump(spark, sf_dir):
 _MI_ORACLE = """
 WITH d AS (
   SELECT least(9, CAST(n_chars AS BIGINT) // 64) AS xb, lang
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ), xy AS (
   SELECT xb, lang, CAST(count(*) AS BIGINT) AS n_xy FROM d GROUP BY xb, lang
 ), mx AS (
@@ -1389,7 +1389,9 @@ def feature_mutual_information(spark, sf_dir):
     itself (cell-grain, no second scan), addends floored to integer
     micro-nats before the exact sum — partitioning-independent and
     engine-identical, same discipline as corpus_js_divergence."""
-    d = T(spark, sf_dir, "documents").select(
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    ).select(
         F.expr("least(9, CAST(n_chars AS BIGINT) div 64)").alias("xb"),
         "lang",
     )

@@ -23,7 +23,8 @@ from wire_spark.catalog import register
 from wire_spark.queries._util import T
 
 _LANGID_ORACLE = """
-WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+           WHERE lang IS NOT NULL),
 tri AS (
   SELECT doc_id, lang,
          unnest([substring(t, i, 3) for i in range(1, length(t) - 1)]) AS tri
@@ -82,7 +83,9 @@ def text_langid_trigram_trained(spark, sf_dir):
     classification data here (self-classification), which is the
     deterministic-oracle form; train/test splitting composes with
     `train_val_test_split`."""
-    d = T(spark, sf_dir, "documents").select(
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    ).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("t")
     )
     trigrams = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"

@@ -498,7 +498,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), pos AS (
   SELECT r.event_type, p.p, r.n,
          CAST(floor((r.n - 1) * p.p) AS BIGINT) + 1 AS lo_rn,
@@ -544,7 +544,9 @@ def percentile_bucketed_exact(spark, sf_dir):
     order-compatible with (value, event_id), so global rank =
     cumulative-before(bucket) + within-bucket rank, and the result
     is bit-identical to the sort-everything form at any scale."""
-    ev = T(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).filter(F.col("value").isNotNull())
     interp = bucketed_quantiles(ev, (0.5, 0.9, 0.99))
     t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
     return (
