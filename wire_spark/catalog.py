@@ -69,75 +69,77 @@ _QUERY_MODULES = (
 # first (in this order); everything else follows in registration
 # order.
 #
-# Round 9 window (50 slots, regenerated by tools/rotate_window.py
-# after the decision-analytics wave): the 41 queries that have NEVER
-# held a driver-green row (4 added late in r7/r8 outside those
-# windows, 37 added this round — 7 curation wave, 10 hypothesis-test
-# wave, 6 experiment-decision wave, 3 time-series wave, sequential
-# SRM, Benford audit, multi-touch attribution, forecast baselines,
-# edit-distance dedup, fulfillment lag, substitution savings,
-# PR curve, time-to-convert deciles, rolling 7-day actives, LTV
-# triangle), then 9 of the 49 queries whose newest green is round 5
-# — the stalest cohort.
-# The remaining r5 greens are deferred to r10 for lack of slots (the
-# rotate_window.py "deferred near the staleness horizon" list —
-# simple, code-stable shapes; at r10 they are 5 rounds stale and the
-# freshness test forces them in).
+# Round 10 window (50 slots): the 40 queries whose newest driver
+# green is round 5 — the freshness-forced cohort (at r10 they hit the
+# staleness horizon; CORRECTNESS_r09 covered every never-checked
+# query, so the whole window goes to refresh) — then the 7
+# degenerate-sweep-hardened queries that were edited after their
+# newest driver green and were NOT in the r9 window
+# (events_drift_audit / events_funnel_3step / events_linear_trend /
+# referential_integrity_audit / model_auc_rank /
+# feature_mutual_information / quality_gini_stump; the other 6
+# hardened names are already inside the forced 40), then the 3
+# stalest r6 greens to fill the window.  VERDICT r9 "Next round" #1.
 # Freshness is machine-audited: tools/freshness.py regenerates
 # FRESHNESS.json from the CORRECTNESS_r*.json history and
 # tests/test_freshness.py asserts every registry query is either
-# inside this window or green within the last 4 rounds.
+# inside this window or green within the last MAX_STALENESS_ROUNDS=5
+# rounds, and that the registry size never exceeds the rotation
+# capacity (window × MAX_STALENESS_ROUNDS = 250).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "cohort_ltv_triangle",
-    "conformal_interval_audit",
-    "curation_data_card",
-    "dedup_edit_distance_lsh",
-    "embedding_hard_negatives",
-    "events_ab_cuped",
-    "events_ab_power_mde",
-    "events_ab_ztest",
-    "events_acf_daily",
-    "events_anova_f",
-    "events_attribution_multitouch",
-    "events_cate_by_segment",
-    "events_chi2_independence",
-    "events_did_lift",
-    "events_fdr_bh",
-    "events_forecast_baselines",
-    "events_group_sequential",
-    "events_permutation_test",
-    "events_quantile_treatment_effect",
-    "events_rolling_active_7d",
-    "events_ses_forecast",
-    "events_srm_check",
-    "events_srm_sequential",
-    "events_time_to_convert",
-    "events_welch_ttest",
-    "governance_dp_counts",
-    "model_pr_curve",
-    "orders_benford_audit",
-    "orders_fulfillment_lag",
-    "orders_ks_test",
-    "orders_mannwhitney_u",
-    "part_substitution_savings",
-    "quality_naive_bayes_confusion",
-    "quality_tree_depth2",
-    "search_hybrid_rrf",
-    "shard_shuffle_plan",
-    "split_stratification_audit",
-    "text_perplexity_bands",
-    "text_readability_forcast",
-    "tokenizer_oov_rate",
-    "unpivot_lineitem_measures",
-    "ann_ivf_lloyd_cosine",
-    "ann_lsh_multiprobe_cosine",
-    "bloom_join_prune",
-    "cdc_apply_state",
-    "cdc_op_stats",
-    "context_chunking_plan",
-    "corpus_clean_split",
-    "curation_mixing_weights",
-    "dedup_components_star",
+    # -- the 40 freshness-forced r5 greens --
+    "dedup_embedding_cosine_lsh",
+    "dedup_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_rate_by_source",
+    "embedding_quantize_int8",
+    "events_funnel_conversion",
+    "events_markov_transitions",
+    "events_resample_ffill",
+    "events_seasonal_anomaly",
+    "events_time_decay",
+    "events_trigram_paths",
+    "events_type_correlation",
+    "events_user_growth",
+    "graph_pagerank_neardup",
+    "length_bucket_histogram",
+    "negative_sampling_pairs",
+    "null_semantics_audit",
+    "percentile_bucketed_exact",
+    "q12_priority_classes",
+    "q1_pricing_summary",
+    "quantile_histogram_sketch",
+    "retention_cohorts",
+    "robust_outliers_mad",
+    "robust_outliers_mad_bucketed",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_length",
+    "sample_weighted_per_source",
+    "session_dwell_percentiles",
+    "sketch_hll_distinct",
+    "skew_audit_events_user",
+    "source_contamination_matrix",
+    "text_bigram_logprob",
+    "text_collocations_lift",
+    "text_langid_trigram_trained",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "text_token_entropy",
+    "window_range_frame_30m",
+    "window_session_10m",
+    "window_tumbling_hourly",
+    # -- degenerate-hardened after their newest green, not in r9 window --
+    "events_drift_audit",
+    "events_funnel_3step",
+    "events_linear_trend",
+    "referential_integrity_audit",
+    "model_auc_rank",
+    "feature_mutual_information",
+    "quality_gini_stump",
+    # -- stalest r6 greens, filling the window --
+    "embedding_gram_matrix",
+    "embedding_power_iteration",
+    "events_changepoint_cusum",
 )
 
 
