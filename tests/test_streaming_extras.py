@@ -1730,3 +1730,86 @@ def test_streaming_attribution_monitor_parity(spark, tmp_path):
     got2 = {(r.user_id): (r.first_touch, r.last_touch, r.n_touches)
             for r in collected}
     assert got2 == {3: ("view", "error", 2)}
+
+
+def test_streaming_srm_sequential_batch_parity(spark, tmp_path):
+    """The sequential-SRM monitor run over ONE micro-batch holding
+    every day emits EXACTLY the batch ``events_srm_sequential`` rows
+    for the same exposures (k_planned = observed K), and a checkpoint
+    restart continues look index + cumulative counts with the
+    boundary clamped at the final nominal value past k_planned."""
+    import hashlib
+
+    from wire_spark.queries.stats import events_srm_sequential
+    from wire_spark.streaming.ab_stream import srm_sequential_monitor
+
+    def is_treat(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == 1
+
+    pool = list(range(1, 2000))
+    ctrl = [u for u in pool if not is_treat(u)]
+    trt = [u for u in pool if is_treat(u)]
+    day_users = {
+        "2024-03-01": ctrl[:20] + trt[:20],       # balanced
+        "2024-03-02": ctrl[20:40] + trt[20:40],   # balanced
+        "2024-03-03": trt[40:160],                # control arm starved
+    }
+    rows = [{"user_id": u, "ts": f"{d}T09:00:00"}
+            for d, us in day_users.items() for u in us]
+
+    # batch side: the same exposures as an events table — one event
+    # per user, so the batch query's first-seen day IS the exposure day
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(int(r["user_id"]),
+          dt.datetime.strptime(r["ts"], "%Y-%m-%dT%H:%M:%S"),
+          "view") for r in rows],
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+    batch = {r.look: (r.day, r.nu_control_cum, r.nu_treatment_cum,
+                      r.srm_chi2_1e6, r.bound_1e6, r.flag)
+             for r in events_srm_sequential(spark, sf).collect()}
+    assert len(batch) == 3
+
+    src = str(tmp_path / "srmseq_in")
+    _write_jsonl(os.path.join(src, "b1.json"), rows)
+    stream = srm_sequential_monitor(
+        _file_stream(spark, src).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        ),
+        k_planned=3,
+    )
+    collected: list = []
+
+    def run_drain():
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _e: collected.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "srmseq_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    got = {r.look: (r.day, r.nu_control_cum, r.nu_treatment_cum,
+                    r.srm_chi2_1e6, r.bound_1e6, r.flag)
+           for r in collected}
+    assert got == batch
+    # the starved day must alarm; the balanced days must not
+    assert [batch[i][5] for i in (1, 2, 3)] == [0, 0, 1]
+
+    # restart leg: a 4th look past k_planned — state survived the
+    # checkpoint and the boundary clamps at nominal 3841459
+    _write_jsonl(os.path.join(src, "b2.json"), [
+        {"user_id": u, "ts": "2024-03-04T09:00:00"} for u in ctrl[40:60]
+    ])
+    collected.clear()
+    run_drain()
+    assert len(collected) == 1
+    r4 = collected[0]
+    cum_c, cum_t = 40 + 20, 40 + 120
+    chi2 = (cum_c - cum_t) ** 2 * 1000000 // (cum_c + cum_t)
+    assert (r4.look, r4.nu_control_cum, r4.nu_treatment_cum,
+            r4.srm_chi2_1e6, r4.bound_1e6, r4.flag) == (
+        4, cum_c, cum_t, chi2, 3841459, 1 if chi2 > 3841459 else 0)

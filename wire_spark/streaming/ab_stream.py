@@ -26,8 +26,13 @@ reference.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from wire_spark.queries._util import md5_long
 
@@ -148,4 +153,127 @@ def windowed_srm_check(
             " div (nu_control + nu_treatment) > 3841459"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------
+# sequential SRM monitor: cumulative daily looks with an OBF boundary
+# --------------------------------------------------------------------
+
+SRM_SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("experiment", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("look", T.LongType()),
+        T.StructField("nu_control_cum", T.LongType()),
+        T.StructField("nu_treatment_cum", T.LongType()),
+        T.StructField("srm_chi2_1e6", T.LongType()),
+        T.StructField("bound_1e6", T.LongType()),
+        T.StructField("flag", T.LongType()),
+    ]
+)
+
+_SRM_SEQ_STATE = "look LONG, cum_c LONG, cum_t LONG"
+
+
+def _srm_seq_fold(k_planned: int):
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        look, cum_c, cum_t = state.get if state.exists else (0, 0, 0)
+        days: dict[str, list[int]] = {}
+        for pdf in pdfs:
+            for day, treat in zip(pdf["day"], pdf["treat"]):
+                d = days.setdefault(day, [0, 0])
+                d[1 if treat else 0] += 1
+        out: dict[str, list] = {f.name: [] for f in SRM_SEQ_SCHEMA.fields}
+        for day in sorted(days):
+            dc, dt_ = days[day]
+            cum_c += dc
+            cum_t += dt_
+            look += 1
+            # Python ints are arbitrary precision, so the squared
+            # difference matches the batch query's DECIMAL(38,0) exactly
+            chi2 = (cum_c - cum_t) ** 2 * 1000000 // (cum_c + cum_t)
+            bound = max(3841459 * k_planned // look, 3841459)
+            out["experiment"].append(key[0])
+            out["day"].append(day)
+            out["look"].append(look)
+            out["nu_control_cum"].append(cum_c)
+            out["nu_treatment_cum"].append(cum_t)
+            out["srm_chi2_1e6"].append(chi2)
+            out["bound_1e6"].append(bound)
+            out["flag"].append(1 if chi2 > bound else 0)
+        state.update((look, cum_c, cum_t))
+        yield pd.DataFrame(out)
+
+    return fold
+
+
+def srm_sequential_monitor(
+    exposures: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    exp_col: str | None = None,
+    k_planned: int = 14,
+) -> DataFrame:
+    """Live sequential SRM: per closed day, (experiment, day, look,
+    nu_control_cum, nu_treatment_cum, srm_chi2_1e6, bound_1e6, flag)
+    — the cumulative chi-squared on per-arm exposure counts against
+    the O'Brien-Fleming-shaped boundary ``3841459 * k_planned div
+    look``.  Streaming sibling of the batch ``events_srm_sequential``
+    (queries/stats.py): the batch query is the retrospective audit
+    (K = observed days); this monitor is the live form, where K is
+    the PLANNED number of daily looks fixed at design time — exactly
+    how group-sequential monitoring is specified in practice.  Looks
+    past ``k_planned`` clamp the boundary at the final nominal value
+    3841459 (1e-6 units of the 5% chi-squared critical value).
+
+    Input contract: an EXPOSURE stream — one row per user at first
+    exposure (an assignment-service feed, or an upstream watermarked
+    ``dropDuplicates([user])`` query writing to this monitor's
+    source; Spark disallows chaining that dedup in front of
+    ``applyInPandasWithState`` in one query — two stateful
+    operators).  Feeding raw events instead counts a user once per
+    day-batch they appear in, overstating n; the arm SPLIT stays
+    unbiased, so the monitor degrades conservative, but the batch
+    query is the audit of record.
+
+    Arm assignment is the same ``md5_long(user) % 2`` arithmetic as
+    every batch experiment query — computed Spark-side (JVM codegen)
+    before the stateful shuffle, so a user holds one arm across the
+    whole family.
+
+    Within one micro-batch, days fold in ascending order; a day split
+    across micro-batches contributes one look per batch (the
+    ses_monitor convention — streaming semantics; the batch query is
+    the one-look-per-day exact form).  Use file-per-trigger or an
+    upstream daily aggregation to align batches with days.
+
+    Scale shape: state is THREE integers per experiment (look,
+    cum_c, cum_t); the stateful shuffle keys on the experiment id.
+    One task per experiment is the right grain for an exposure-rate
+    stream (users/day, not events/day); thousands of concurrent
+    experiments spread across tasks by key.
+
+    Reference behavioral anchor: stateful transforms on the ingest
+    path (tarungka/wire ROADMAP.md:100, SURVEY §2.6); the sequential
+    boundary itself is a training-pipeline extension.
+    """
+    exp = (
+        F.col(exp_col).cast("string")
+        if exp_col is not None
+        else F.lit("default")
+    )
+    rows = exposures.select(
+        exp.alias("experiment"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        (md5_long(F.col(user_col).cast("string")) % 2 == 1).alias("treat"),
+    )
+    return rows.groupBy("experiment").applyInPandasWithState(
+        _srm_seq_fold(k_planned),
+        outputStructType=SRM_SEQ_SCHEMA,
+        stateStructType=_SRM_SEQ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
