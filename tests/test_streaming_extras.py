@@ -1813,3 +1813,85 @@ def test_streaming_srm_sequential_batch_parity(spark, tmp_path):
     assert (r4.look, r4.nu_control_cum, r4.nu_treatment_cum,
             r4.srm_chi2_1e6, r4.bound_1e6, r4.flag) == (
         4, cum_c, cum_t, chi2, 3841459, 1 if chi2 > 3841459 else 0)
+
+
+def test_streaming_welch_ttest_windows(spark, tmp_path):
+    """Per closed window the Welch monitor reproduces the batch
+    query's exact moment arithmetic (Python replay of the identical
+    integer moments + IEEE op tree), NULL values are excluded, and a
+    both-arms-constant window reports t = 0 instead of NaN."""
+    import hashlib
+    import math
+
+    from wire_spark.streaming.ab_stream import windowed_welch_ttest
+
+    def is_treat(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == 1
+
+    ctrl = [u for u in range(1, 400) if not is_treat(u)]
+    trt = [u for u in range(1, 400) if is_treat(u)]
+    rows = []
+    # hour 9: clear mean gap (control ~ 10.x, treatment ~ 14.x)
+    for i, u in enumerate(ctrl[:25]):
+        rows.append({"user_id": u, "ts": f"2024-03-01 09:{i:02d}:00",
+                     "value": 10.0 + i * 0.13})
+    for i, u in enumerate(trt[:25]):
+        rows.append({"user_id": u, "ts": f"2024-03-01 09:{i:02d}:30",
+                     "value": 14.0 + i * 0.11})
+    rows.append({"user_id": ctrl[30], "ts": "2024-03-01 09:05:10",
+                 "value": None})  # excluded
+    # hour 10: both arms constant -> zero pooled SE -> t = 0
+    for i, u in enumerate(ctrl[25:35] + trt[25:35]):
+        rows.append({"user_id": u, "ts": f"2024-03-01 10:{i:02d}:00",
+                     "value": 5.0})
+    # hour 11: inside the watermark horizon -> never emitted, but
+    # late enough (11:45 - 30min = 11:15 > 11:00) to close hour 10
+    rows.append({"user_id": ctrl[40], "ts": "2024-03-01 11:45:00",
+                 "value": 1.0})
+
+    src = str(tmp_path / "welch_in")
+    _write_jsonl(os.path.join(src, "b1.json"), rows)
+    stream = _file_stream(spark, src).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        windowed_welch_ttest(stream, window="1 hour",
+                             watermark="30 minutes")
+        .writeStream.format("memory").queryName("welch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "welch_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start.hour: (r.n_control, r.n_treatment, r.mean_control,
+                         r.mean_treatment, r.t_1e4)
+        for r in spark.sql("SELECT * FROM welch").collect()
+    }
+
+    def replay(vals_c, vals_t):
+        n1, n2 = len(vals_c), len(vals_t)
+        s1 = sum(math.floor(v * 10000.0) for v in vals_c)
+        s2 = sum(math.floor(v * 10000.0) for v in vals_t)
+        q1 = sum(math.floor(v * v * 100.0) for v in vals_c)
+        q2 = sum(math.floor(v * v * 100.0) for v in vals_t)
+        m1 = (float(s1) / 10000.0) / float(n1)
+        m2 = (float(s2) / 10000.0) / float(n2)
+        x1 = (float(q1) / 100.0) / float(n1)
+        x2 = (float(q2) / 100.0) / float(n2)
+        v1 = (x1 - m1 * m1) * float(n1) / (float(n1) - 1.0)
+        v2 = (x2 - m2 * m2) * float(n2) / (float(n2) - 1.0)
+        se2 = v1 / float(n1) + v2 / float(n2)
+        t = (math.floor((m1 - m2) / math.sqrt(se2) * 10000.0)
+             if se2 > 0.0 else 0)
+        return (n1, n2, math.floor(m1 * 10000.0) / 10000.0,
+                math.floor(m2 * 10000.0) / 10000.0, t)
+
+    exp9 = replay([10.0 + i * 0.13 for i in range(25)],
+                  [14.0 + i * 0.11 for i in range(25)])
+    exp10 = replay([5.0] * 10, [5.0] * 10)
+    assert got == {9: exp9, 10: exp10}
+    assert exp10[4] == 0 and exp9[4] < 0  # treatment mean higher

@@ -156,6 +156,108 @@ def windowed_srm_check(
     )
 
 
+def windowed_welch_ttest(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, n_control, n_treatment,
+    mean_control, mean_treatment, t_1e4) — Welch's unequal-variance t
+    between the arms' value distributions, the continuous-metric
+    guardrail that pairs with ``windowed_ab_ztest``'s rate z (a
+    latency or revenue regression moves the MEAN long before it moves
+    any conversion rate).
+
+    Same moment discipline as the batch ``events_welch_ttest``
+    (queries/stats.py): each row contributes the integers
+    floor(v*1e4) and floor(v*v*1e2), summed order-free per window
+    (second moment in DECIMAL(38,0) — outgrows int64 around sf3000),
+    then mean/variance/t replay the batch query's exact IEEE op tree
+    on the window-grain aggregate.  Rows with NULL value are excluded
+    (observed-values semantics, the NULL-sweep rule).  Degenerate
+    windows (an empty arm, or both arms constant so the pooled SE is
+    zero) report t = 0 via explicit gates rather than NaN.
+
+    Shape: ONE watermarked windowed aggregation (six conditional
+    counters), closed-form per-row arithmetic after it.  State is
+    live-windows x 1 row — bounded by the watermark horizon.  Append
+    mode emits only closed windows, so every row is final.
+    """
+    treat = md5_long(F.col(user_col).cast("string")) % 2 == 1
+    agg = (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col).alias("ts"),
+            treat.alias("g2"),
+            F.col(value_col).alias("v"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.when(~F.col("g2"), 1)).alias("n1"),
+            F.count(F.when(F.col("g2"), 1)).alias("n2"),
+            F.sum(F.when(~F.col("g2"),
+                         F.expr("CAST(floor(v * 10000.0e0) AS BIGINT)")))
+            .alias("s1"),
+            F.sum(F.when(F.col("g2"),
+                         F.expr("CAST(floor(v * 10000.0e0) AS BIGINT)")))
+            .alias("s2"),
+            F.sum(F.when(~F.col("g2"),
+                         F.expr("CAST(floor(v * v * 100.0e0)"
+                                " AS DECIMAL(38,0))"))).alias("q1"),
+            F.sum(F.when(F.col("g2"),
+                         F.expr("CAST(floor(v * v * 100.0e0)"
+                                " AS DECIMAL(38,0))"))).alias("q2"),
+        )
+    )
+    d = agg.select(
+        "*",
+        F.expr("CAST(s1 AS DOUBLE) / 10000.0e0 / CAST(n1 AS DOUBLE)")
+        .alias("m1"),
+        F.expr("CAST(s2 AS DOUBLE) / 10000.0e0 / CAST(n2 AS DOUBLE)")
+        .alias("m2"),
+        F.expr("CAST(q1 AS DOUBLE) / 100.0e0 / CAST(n1 AS DOUBLE)")
+        .alias("x1"),
+        F.expr("CAST(q2 AS DOUBLE) / 100.0e0 / CAST(n2 AS DOUBLE)")
+        .alias("x2"),
+    )
+    v = d.select(
+        "*",
+        F.expr(
+            "CASE WHEN n1 > 1 THEN (x1 - m1 * m1) * CAST(n1 AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) - 1.0e0) ELSE 0.0e0 END"
+        ).alias("v1"),
+        F.expr(
+            "CASE WHEN n2 > 1 THEN (x2 - m2 * m2) * CAST(n2 AS DOUBLE)"
+            " / (CAST(n2 AS DOUBLE) - 1.0e0) ELSE 0.0e0 END"
+        ).alias("v2"),
+    )
+    return v.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        F.col("n1").alias("n_control"),
+        F.col("n2").alias("n_treatment"),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN floor(m1 * 10000.0e0) / 10000.0e0"
+            " ELSE 0.0e0 END"
+        ).alias("mean_control"),
+        F.expr(
+            "CASE WHEN n2 > 0 THEN floor(m2 * 10000.0e0) / 10000.0e0"
+            " ELSE 0.0e0 END"
+        ).alias("mean_treatment"),
+        F.expr(
+            "CAST(CASE WHEN n1 > 1 AND n2 > 1 AND"
+            " v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0.0e0"
+            " THEN floor((m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE)"
+            " + v2 / CAST(n2 AS DOUBLE)) * 10000.0e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t_1e4"),
+    )
+
+
 # --------------------------------------------------------------------
 # sequential SRM monitor: cumulative daily looks with an OBF boundary
 # --------------------------------------------------------------------
