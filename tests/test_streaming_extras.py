@@ -1772,7 +1772,12 @@ def test_streaming_srm_sequential_batch_parity(spark, tmp_path):
     assert len(batch) == 3
 
     src = str(tmp_path / "srmseq_in")
-    _write_jsonl(os.path.join(src, "b1.json"), rows)
+    # NULL ts (would crash the fold's sorted()) and NULL user (would
+    # silently count as control) must both be excluded, not counted
+    _write_jsonl(os.path.join(src, "b1.json"), rows + [
+        {"user_id": ctrl[70], "ts": None},
+        {"user_id": None, "ts": "2024-03-01T09:00:00"},
+    ])
     stream = srm_sequential_monitor(
         _file_stream(spark, src).select(
             F.col("user_id").cast("long").alias("user_id"),
@@ -1840,6 +1845,10 @@ def test_streaming_welch_ttest_windows(spark, tmp_path):
                      "value": 14.0 + i * 0.11})
     rows.append({"user_id": ctrl[30], "ts": "2024-03-01 09:05:10",
                  "value": None})  # excluded
+    rows.append({"user_id": ctrl[31], "ts": None,
+                 "value": 99.0})  # NULL ts: no unevictable NULL window
+    rows.append({"user_id": None, "ts": "2024-03-01 09:06:00",
+                 "value": 99.0})  # NULL user: belongs to neither arm
     # hour 10: both arms constant -> zero pooled SE -> t = 0
     for i, u in enumerate(ctrl[25:35] + trt[25:35]):
         rows.append({"user_id": u, "ts": f"2024-03-01 10:{i:02d}:00",

@@ -93,9 +93,10 @@ def generate(root: str = ".") -> str:
         lines.append("|---|---|---|---|")
         for q in qs:
             g = fresh.get(q.name, {}).get("newest_green")
+            green = f"r{g}" if g is not None else "never"
             doc = first_sentence(q.doc).replace("|", "\\|")
             lines.append(
-                f"| `{q.name}` | r{g} | {'yes' if q.bench else ''} | {doc} |"
+                f"| `{q.name}` | {green} | {'yes' if q.bench else ''} | {doc} |"
             )
         lines.append("")
     lines.append(END)
@@ -107,8 +108,16 @@ def main(root: str = ".") -> None:
     text = open(path).read()
     section = generate(root)
     if BEGIN in text:
+        if END not in text:
+            raise SystemExit(
+                "COVERAGE.md has the BEGIN marker but no END marker — "
+                "refusing to rewrite (would delete everything after BEGIN)"
+            )
         pre = text.split(BEGIN)[0]
-        post = text.split(END, 1)[1] if END in text else ""
+        # the section already ends with one newline after END; strip
+        # the previous run's leading newlines from the remainder so
+        # regeneration is byte-idempotent
+        post = text.split(END, 1)[1].lstrip("\n")
         text = pre + section + post
     else:
         text = text.rstrip() + "\n\n" + section

@@ -188,7 +188,16 @@ def windowed_welch_ttest(
     """
     treat = md5_long(F.col(user_col).cast("string")) % 2 == 1
     agg = (
-        stream.filter(F.col(value_col).isNotNull())
+        # NULL event times would form a NULL window group that append
+        # mode can never close (its end never passes the watermark) —
+        # an unevictable state row per query lifetime; NULL users
+        # belong to neither arm.  Observed-rows semantics on all three
+        # columns, mirroring the batch family's NULL-sweep rule.
+        stream.filter(
+            F.col(value_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(user_col).isNotNull()
+        )
         .select(
             F.col(ts_col).alias("ts"),
             treat.alias("g2"),
@@ -367,7 +376,14 @@ def srm_sequential_monitor(
         if exp_col is not None
         else F.lit("default")
     )
-    rows = exposures.select(
+    # NULL ts would put a None day key into the Python fold (sorted()
+    # raises on None-vs-str and kills the query); NULL user_id would
+    # fold as falsy treat — i.e. silently count as CONTROL — where
+    # the batch query's conditional counts skip NULL arms entirely.
+    # Filter both at input: observed-exposures semantics.
+    rows = exposures.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
         exp.alias("experiment"),
         F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
         (md5_long(F.col(user_col).cast("string")) % 2 == 1).alias("treat"),
