@@ -49,6 +49,7 @@ FAMILIES: dict[str, tuple[str, str]] = {
     "experiment": ("Experiment decisions", "LLM brief: ANOVA, FDR, power, QTE, DiD"),
     "timeseries": ("Time series", "LLM brief: ACF, SES, baselines, CATE"),
     "search": ("Search / retrieval", "LLM brief: BM25, phrase, hybrid RRF"),
+    "preference": ("Preference analytics", "LLM brief: RLHF pairwise contests, Wilson bounds, Bradley-Terry"),
     "extras": ("Relational extras", "SURVEY §2.6"),
     "extras2": ("Relational extras (2)", "SURVEY §2.6"),
     "extras3": ("Relational extras (3)", "SURVEY §2.6"),

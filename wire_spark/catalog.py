@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "wire_spark.queries.stats",
     "wire_spark.queries.experiment",
     "wire_spark.queries.timeseries",
+    "wire_spark.queries.preference",
 )
 
 # The driver's CORRECTNESS file records only the FIRST 50 names in
@@ -87,6 +88,9 @@ _QUERY_MODULES = (
 # rounds, and that the registry size never exceeds the rotation
 # capacity (window × MAX_STALENESS_ROUNDS = 250).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (added r10): preference family --
+    "preference_bt_strength",
+    "preference_winrate_wilson",
     # -- the 40 freshness-forced r5 greens --
     "dedup_embedding_cosine_lsh",
     "dedup_jaccard_capped",
@@ -136,9 +140,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "model_auc_rank",
     "feature_mutual_information",
     "quality_gini_stump",
-    # -- stalest r6 greens, filling the window --
-    "embedding_gram_matrix",
-    "embedding_power_iteration",
+    # -- stalest r6 green, filling the window (the other r6 fills
+    #    yielded their slots to the two never-checked queries; the
+    #    whole r6 cohort is due at r11 regardless) --
     "events_changepoint_cusum",
 )
 
