@@ -910,3 +910,56 @@ def test_cohort_ltv_triangle_replay(spark, sf_dir):
         r = rows[k]
         assert (r.n_buyers, r.rev_v4, r.cum_rev_v4,
                 r.ltv_per_signup_v4) == (nb, rev, cum, ltv)
+
+
+def test_source_ablation_loso_replay(spark, sf_dir):
+    """Full plain-Python replay of the leave-one-source-out readout:
+    token/stopword counts per the shared regexes, complement
+    arithmetic, and the fixed-point floors — plus the accounting
+    identity that token shares sum to ~1e6."""
+    import re
+
+    from wire_spark.catalog import load_registry
+    from wire_spark.engine import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text").collect()
+    ws = re.compile(r"\S+")
+    stopw = re.compile(r"\b(?:the|a|of|and|in)\b")
+    agg = {}
+    for r in docs:
+        if r.text is None or r.source is None:
+            continue
+        n, t, s = agg.get(r.source, (0, 0, 0))
+        agg[r.source] = (n + 1, t + len(ws.findall(r.text)),
+                         s + len(stopw.findall(r.text)))
+    nn = sum(v[0] for v in agg.values())
+    tok_g = sum(v[1] for v in agg.values())
+    stop_g = sum(v[2] for v in agg.values())
+    want = {}
+    for src, (n, t, s) in agg.items():
+        loso_tok = ((tok_g - t) * 10000 // (nn - n)) if nn > n else None
+        loso_stop = ((stop_g - s) * 1000000 // (tok_g - t)) \
+            if tok_g > t else None
+        want[src] = (
+            n, t * 1000000 // tok_g, loso_tok,
+            None if loso_tok is None else loso_tok - tok_g * 10000 // nn,
+            loso_stop,
+            None if loso_stop is None
+            else loso_stop - stop_g * 1000000 // tok_g,
+        )
+    rows = load_registry()["source_ablation_loso"].fn(
+        spark, sf_dir).collect()
+    assert len(rows) == len(want) and rows
+    for r in rows:
+        assert want[r.source] == (
+            r.n_docs, r.token_share_1e6, r.loso_mean_tok_1e4,
+            r.delta_mean_tok_1e4, r.loso_stop_1e6, r.delta_stop_1e6)
+    # floors lose < 1 unit each: shares sum into (1e6 - k, 1e6]
+    share_sum = sum(r.token_share_1e6 for r in rows)
+    assert 1000000 - len(rows) < share_sum <= 1000000
+    # a dropped above-average-length source must lower the LOSO mean
+    for r in rows:
+        src_mean = agg[r.source][1] * 10000 // agg[r.source][0]
+        if r.loso_mean_tok_1e4 is not None and src_mean > tok_g * 10000 // nn:
+            assert r.delta_mean_tok_1e4 <= 0

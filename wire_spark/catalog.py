@@ -88,9 +88,10 @@ _QUERY_MODULES = (
 # rounds, and that the registry size never exceeds the rotation
 # capacity (window × MAX_STALENESS_ROUNDS = 250).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (added r10): preference family --
+    # -- never driver-checked (added r10) --
     "preference_bt_strength",
     "preference_winrate_wilson",
+    "source_ablation_loso",
     # -- the 40 freshness-forced r5 greens --
     "dedup_embedding_cosine_lsh",
     "dedup_jaccard_capped",
@@ -140,10 +141,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "model_auc_rank",
     "feature_mutual_information",
     "quality_gini_stump",
-    # -- stalest r6 green, filling the window (the other r6 fills
-    #    yielded their slots to the two never-checked queries; the
-    #    whole r6 cohort is due at r11 regardless) --
-    "events_changepoint_cusum",
+    # (the three r6 fills yielded their slots to the never-checked
+    #  r10 additions; the whole r6 cohort is due at r11 regardless)
 )
 
 

@@ -407,3 +407,127 @@ def text_perplexity_bands(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "ppl_band")
     )
+
+
+# --------------------------------------------------------------------
+# leave-one-source-out ablation: per-source metric attribution
+# --------------------------------------------------------------------
+
+_LOSO_ORACLE = r"""
+WITH d AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+         CAST(length(regexp_extract_all(text,
+              '\b(?:the|a|of|and|in)\b')) AS BIGINT) AS stop
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS tok_s,
+         CAST(sum(stop) AS BIGINT) AS stop_s
+  FROM d GROUP BY 1
+), g AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         CAST(sum(tok_s) AS BIGINT) AS tok_g,
+         CAST(sum(stop_s) AS BIGINT) AS stop_g
+  FROM s
+)
+SELECT source, n_docs,
+       CAST(CAST(tok_s AS HUGEINT) * 1000000 // tok_g AS BIGINT)
+         AS token_share_1e6,
+       CAST(CAST(tok_g - tok_s AS HUGEINT) * 10000
+            // nullif(nn - n_docs, 0) AS BIGINT) AS loso_mean_tok_1e4,
+       CAST(CAST(tok_g - tok_s AS HUGEINT) * 10000
+            // nullif(nn - n_docs, 0)
+            - CAST(tok_g AS HUGEINT) * 10000 // nn AS BIGINT)
+         AS delta_mean_tok_1e4,
+       CAST(CAST(stop_g - stop_s AS HUGEINT) * 1000000
+            // nullif(tok_g - tok_s, 0) AS BIGINT) AS loso_stop_1e6,
+       CAST(CAST(stop_g - stop_s AS HUGEINT) * 1000000
+            // nullif(tok_g - tok_s, 0)
+            - CAST(stop_g AS HUGEINT) * 1000000 // tok_g AS BIGINT)
+         AS delta_stop_1e6
+FROM s, g
+ORDER BY source
+"""
+
+
+@register("source_ablation_loso", bench=True, oracle=_LOSO_ORACLE,
+          doc="leave-one-source-out ablation: how corpus-level mean "
+              "token count and stopword share move when each source "
+              "is dropped — the source-attribution readout behind "
+              "mixing decisions")
+def source_ablation_loso(spark, sf_dir):
+    """For every source: its token share of the corpus, and the
+    corpus-level mean-tokens-per-doc and stopword-share the corpus
+    would have WITHOUT it (plus signed deltas vs the full-corpus
+    values) — the leave-one-out attribution a mixing loop reads
+    before reweighting or dropping a source.  For additive metrics
+    the ablation is closed-form from per-source sums (complement =
+    total minus the source), so the whole readout is ONE scan; no
+    retraining, no per-ablation pass.
+
+    Exactness: token and stopword counts are integers; every ratio is
+    an integer fixed-point floor (HUGEINT/DECIMAL(38,0) widening —
+    token totals reach ~1e12 at 100 TB and the 1e6 scaling would
+    overflow int64), and the single-source degenerate (complement is
+    empty) NULL-bands identically via nullif on both engines.
+
+    Scale shape: one documents scan, map-side combine to source
+    grain (sources are few); the global row is an aggregate OVER the
+    source relation (never a second scan) broadcast back by the
+    planner.  NULL text/source rows are excluded on both sides
+    (observed-rows rule; Spark's size(NULL) is -1, not 0).
+
+    Reference anchor: none — LLM-brief extension (mixing weights /
+    data-card family, like curation_mixing_weights).
+    """
+    from wire_spark.functions.text import stopword_tokens, ws_tokens
+
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "source",
+        F.size(ws_tokens("text")).cast("long").alias("tok"),
+        F.size(stopword_tokens("text")).cast("long").alias("stop"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tok_s"),
+        F.sum("stop").alias("stop_s"),
+    )
+    g = s.agg(
+        F.sum("n_docs").alias("nn"),
+        F.sum("tok_s").alias("tok_g"),
+        F.sum("stop_s").alias("stop_g"),
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "source", "n_docs",
+            F.expr(
+                "CAST(CAST(tok_s AS DECIMAL(38,0)) * 1000000 div tok_g"
+                " AS BIGINT)"
+            ).alias("token_share_1e6"),
+            F.expr(
+                "CAST(CAST(tok_g - tok_s AS DECIMAL(38,0)) * 10000"
+                " div nullif(nn - n_docs, 0) AS BIGINT)"
+            ).alias("loso_mean_tok_1e4"),
+            F.expr(
+                "CAST(CAST(tok_g - tok_s AS DECIMAL(38,0)) * 10000"
+                " div nullif(nn - n_docs, 0)"
+                " - CAST(tok_g AS DECIMAL(38,0)) * 10000 div nn"
+                " AS BIGINT)"
+            ).alias("delta_mean_tok_1e4"),
+            F.expr(
+                "CAST(CAST(stop_g - stop_s AS DECIMAL(38,0)) * 1000000"
+                " div nullif(tok_g - tok_s, 0) AS BIGINT)"
+            ).alias("loso_stop_1e6"),
+            F.expr(
+                "CAST(CAST(stop_g - stop_s AS DECIMAL(38,0)) * 1000000"
+                " div nullif(tok_g - tok_s, 0)"
+                " - CAST(stop_g AS DECIMAL(38,0)) * 1000000 div tok_g"
+                " AS BIGINT)"
+            ).alias("delta_stop_1e6"),
+        )
+        .orderBy("source")
+    )
