@@ -7,6 +7,7 @@ Usage:
     python tools/degenerate_sweep.py one_row    # one row per table
     python tools/degenerate_sweep.py clicks     # events: clicks only
     python tools/degenerate_sweep.py nulls      # NULL value/props/lang
+    python tools/degenerate_sweep.py unicode    # multibyte/emoji text
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -34,6 +35,18 @@ KNOWN_EMPTY = {"rollup_flag_status", "cube_flag_status",
                "graph_pagerank_personalized"}
 KNOWN_ONE_ROW = {"graph_pagerank_personalized"}
 KNOWN_NULLS: set[str] = set()
+KNOWN_UNICODE: set[str] = set()
+
+# Hostile text hunting cross-engine string-semantics divergences:
+# multibyte Latin, CJK (no spaces), an emoji, Greek with a WORD-FINAL
+# SIGMA (Java String.toLowerCase is context-sensitive: Σ at word end
+# lowers to ς, while DuckDB's utf8proc maps it to σ — if any query
+# lowercases then compares, this catches it), Turkish dotted capital
+# İ (expands to i + combining dot on both engines), a combining
+# accent, and an NBSP (non-ASCII whitespace: \s in both regex engines
+# is ASCII-only, so NBSP glues tokens).
+_UNI = (" héllo wörld 日本語テキスト 🚀 ΣΟΦΟΣ İstanbul café"
+        " a b")
 
 
 def build_corpus(spark, mode: str, dst: str) -> None:
@@ -63,6 +76,18 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 df = df.withColumn(
                     "lang", F.when(F.col("doc_id") % 2 == 0,
                                    F.col("lang")))
+        elif mode == "unicode" and t == "documents":
+            from pyspark.sql import functions as F
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+                .when(F.col("doc_id") % 13 == 0, F.lit("    "))
+                .when(F.col("doc_id") % 5 == 0,
+                      F.concat(F.col("text"), F.lit(_UNI)))
+                .when(F.col("doc_id") % 7 == 0,
+                      F.concat(F.lit(_UNI + " "), F.col("text")))
+                .otherwise(F.col("text")),
+            )
         df.coalesce(1).write.mode("overwrite").parquet(p)
 
 
@@ -73,7 +98,8 @@ def main() -> int:
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
     known = {"empty": KNOWN_EMPTY, "one_row": KNOWN_ONE_ROW,
-             "clicks": set(), "nulls": KNOWN_NULLS}[mode]
+             "clicks": set(), "nulls": KNOWN_NULLS,
+             "unicode": KNOWN_UNICODE}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

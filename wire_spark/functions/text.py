@@ -22,6 +22,22 @@ STOPWORD_PATTERN = LANG_MARKERS["en"]
 BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column | str) -> Column:
+    """Locale-free ASCII case fold for EXACT pipelines (hashing,
+    dedup fingerprints, token identity, group keys).
+
+    Unicode lower() is engine-dependent — measured r10: Java (Spark)
+    lowers word-final Σ to ς and İ to i+combining-dot, DuckDB's
+    utf8proc gives σ and bare i — so any cross-engine-compared
+    normalization must fold only A-Z.  Mirror in SQL with
+    translate(text, 'A..Z', 'a..z')."""
+    return F.translate(text, _AZ_UPPER, _AZ_LOWER)
+
+
 def ws_tokens(text: Column | str) -> Column:
     """Whitespace tokens (regexp, no split-artifact empties)."""
     return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
@@ -47,9 +63,14 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def quality_score(text: Column | str, n_chars: Column | str) -> Column:
     """0.4*length + 0.3*lexical-diversity + 0.3*stopword-signal
-    (heuristic-filter shape: cheap proxies for document quality)."""
+    (heuristic-filter shape: cheap proxies for document quality).
+
+    Zero-token documents score NULL: the token-count denominator is
+    nullif-guarded because Spark 4 (ANSI) raises DIVIDE_BY_ZERO even
+    for DOUBLE 0/0 while DuckDB NULL-bands — the unicode-sweep
+    divergence class (empty / whitespace-only text)."""
     toks = ws_tokens(text)
-    n = F.size(toks)
+    n = F.nullif(F.size(toks), F.lit(0))
     chars = F.col(n_chars) if isinstance(n_chars, str) else n_chars
     length_score = F.least(F.lit(1.0), chars / F.lit(500.0))
     diversity = F.size(F.array_distinct(toks)) * F.lit(1.0) / n
@@ -58,5 +79,6 @@ def quality_score(text: Column | str, n_chars: Column | str) -> Column:
 
 
 def fingerprint(text: Column | str) -> Column:
-    """Content fingerprint: md5 of whitespace-normalized lowercase."""
-    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    """Content fingerprint: md5 of whitespace-normalized,
+    ASCII-case-folded text (see ascii_lower for why not lower())."""
+    return F.md5(ascii_lower(F.regexp_replace(text, r"\s+", " ")))

@@ -318,7 +318,10 @@ def corpus_clean_split(spark, sf_dir):
         F.col("d2").alias("doc_id")
     ).distinct()
     toks = ws_tokens("text")
-    n_tokens = F.size(toks)
+    # nullif: zero-token docs get NULL quality on both engines (the
+    # oracle's 0/0 NULL-bands, NULL >= 0.4 filters them out; Spark 4
+    # ANSI would otherwise raise — unicode-sweep class)
+    n_tokens = F.nullif(F.size(toks), F.lit(0))
     quality = (
         F.lit(0.4) * F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
         + F.lit(0.3) * (F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens)
@@ -428,11 +431,11 @@ def context_chunking_plan(spark, sf_dir):
 _BUDGET_ORACLE = """
 WITH per_doc AS (
   SELECT source,
-         len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+         len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != ''))
            AS n_tokens,
-         CAST(floor(len(list_distinct(list_filter(string_split(lower(text), ' '),
+         CAST(floor(len(list_distinct(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                     x -> x != ''))) * 10000.0
-              / len(list_filter(string_split(lower(text), ' '), x -> x != '')))
+              / len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')))
            AS BIGINT) AS q4
   FROM documents
 ), per_source AS (
@@ -483,13 +486,16 @@ def curation_token_budget_plan(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    words = "filter(split(lower(text), ' '), x -> x != '')"
+    words = "filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')"
     per_doc = T(spark, sf_dir, "documents").select(
         "source",
         F.expr(f"size({words})").alias("n_tokens"),
         F.expr(
+            # nullif: zero-token docs carry NULL q4 (the oracle's 0/0
+            # NULL-bands; both engines' sum() then skips them) rather
+            # than raising under Spark-ANSI — unicode-sweep class
             f"cast(floor(size(array_distinct({words})) * 10000.0 "
-            f"/ size({words})) as long)"
+            f"/ nullif(size({words}), 0)) as long)"
         ).alias("q4"),
     )
     per_source = per_doc.groupBy("source").agg(

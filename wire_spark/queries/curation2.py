@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T, md5_long
 
 # --------------------------------------------------------------------
@@ -35,7 +36,7 @@ WITH d AS (
               ELSE 'c_test' END AS split
   FROM documents
 ), tok AS (
-  SELECT split, unnest(string_split(lower(text), ' ')) AS token FROM d
+  SELECT split, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token FROM d
 ), tok2 AS (SELECT split, token FROM tok WHERE token != ''),
 vocab AS (
   SELECT token FROM tok2 WHERE split = 'a_train'
@@ -80,7 +81,7 @@ def tokenizer_oov_rate(spark, sf_dir):
         .select(
             F.when(b < 80, "a_train").when(b < 90, "b_val")
             .otherwise("c_test").alias("split"),
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+            F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"),
         )
         .filter(F.col("token") != "")
     )
@@ -116,7 +117,7 @@ def tokenizer_oov_rate(spark, sf_dir):
 
 _FORCAST_ORACLE = """
 WITH tok AS (
-  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+  SELECT lang, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT lang, token FROM tok WHERE token != '')
 SELECT lang,
@@ -154,7 +155,7 @@ def text_readability_forcast(spark, sf_dir):
         T(spark, sf_dir, "documents")
         .select(
             "lang",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+            F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"),
         )
         .filter(F.col("token") != "")
     )
@@ -329,7 +330,7 @@ def curation_data_card(spark, sf_dir):
 
 _PPL_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 uni AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
@@ -379,7 +380,7 @@ def text_perplexity_bands(spark, sf_dir):
     tok = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+            F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"),
         )
         .filter(F.col("token") != "")
     )
@@ -481,7 +482,7 @@ def source_ablation_loso(spark, sf_dir):
     Reference anchor: none — LLM-brief extension (mixing weights /
     data-card family, like curation_mixing_weights).
     """
-    from wire_spark.functions.text import stopword_tokens, ws_tokens
+    from wire_spark.functions.text import ascii_lower, stopword_tokens, ws_tokens
 
     d = T(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & F.col("source").isNotNull()

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import (T, md5_long, t4, t6, tracked_cache,
                                       word_shingles)
 
@@ -883,7 +884,7 @@ def dedup_components_star(spark, sf_dir):
 
 _WINNOW_ORACLE = """
 WITH w AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+  SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
 ), sh AS (
   SELECT doc_id,
          [ CAST(CONCAT('0x', SUBSTRING(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15)) AS BIGINT)
@@ -915,16 +916,22 @@ def winnow_pair_overlap(docs, k: int = 3, w: int = 4, df_cap: int = 100):
     word run of length >= w + k - 1 selects at least one common
     fingerprint in both documents — property-tested with planted runs
     in tests/test_operator_properties.py."""
-    words = F.split(F.lower(F.col("text")), " ")
-    n = F.size(words)
+    words = F.split(ascii_lower(F.col("text")), " ")
+    # docs shorter than one k-gram must drop BEFORE the positional
+    # transform: Spark's sequence(1, n-k+1) with n < k descends
+    # through 0 and slice(words, 0, k) raises INVALID_PARAMETER_VALUE
+    # under ANSI (the unicode-sweep empty-text crash); DuckDB's range
+    # is empty for the same bounds
+    wd = docs.select("doc_id", words.alias("ws")).filter(
+        F.size("ws") >= k)
     # positional (NOT distinct) k-gram hashes
     hs = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
+        F.sequence(F.lit(1), F.size("ws") - (k - 1)),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, k))), 1, 15), 16, 10
         ).cast("long"),
     )
-    d = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= w)
+    d = wd.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= w)
     m = F.size("hs")
     wins = F.transform(
         F.sequence(F.lit(1), m - (w - 1)), lambda i: F.array_min(F.slice("hs", i, w))
@@ -1457,7 +1464,14 @@ _EDIT_LSH_ORACLE = _MINHASH_BANDS_CTE + """
   FROM band a JOIN band b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 ), tx AS (
-  SELECT doc_id, substring(text, 1, 256) AS t FROM documents
+  -- ASCII projection before the prefix: DuckDB's levenshtein is
+  -- BYTE-grain while Spark's is codepoint-grain (measured r10:
+  -- levenshtein('🚀','x') = 4 vs 1), so the engines agree only on
+  -- single-byte code points; the verifier compares the documents'
+  -- printable-ASCII projections
+  SELECT doc_id,
+         substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS t
+  FROM documents
 )
 SELECT c.d1, c.d2,
        CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_distance,
@@ -1501,8 +1515,14 @@ def dedup_edit_distance_lsh(spark, sf_dir):
     """
     band = tracked_cache(_minhash_bands(spark, sf_dir)[1])
     cand = _lsh_candidate_pairs(band)
+    # ASCII projection before the prefix: DuckDB levenshtein is
+    # byte-grain, Spark's codepoint-grain (measured: '🚀' vs 'x' = 4
+    # vs 1) — they agree exactly on single-byte code points, so the
+    # verifier compares printable-ASCII projections on both engines
     tx = T(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 256).alias("t"))
+        "doc_id",
+        F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 256)
+        .alias("t"))
     ta = tx.select(F.col("doc_id").alias("d1"), F.col("t").alias("t1"))
     tb = tx.select(F.col("doc_id").alias("d2"), F.col("t").alias("t2"))
     ld = F.levenshtein("t1", "t2")

@@ -394,12 +394,17 @@ def multimodal_frame_plan(spark, sf_dir):
 
 _FEATURE_ORACLE = """
 WITH pos AS (
-  SELECT doc_id, source, text, len(text) AS n,
-         unnest(range(1, len(text) + 1)) AS i
-  FROM documents WHERE len(text) > 0
+  -- BYTE grain, not characters: the kernel histograms the UTF-8
+  -- payload bytes (it stands in for a binary-media embedding), so
+  -- the oracle walks hex(encode(text)) pairwise; ord(char) would
+  -- diverge on multibyte text (unicode sweep)
+  SELECT doc_id, source, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n,
+         unnest(range(0, octet_length(encode(text)))) AS i
+  FROM documents WHERE octet_length(encode(text)) > 0
 ), hist AS (
   SELECT doc_id, source, n,
-         ord(substring(text, i, 1)) % 16 AS bkt,
+         CAST(CONCAT('0x', substring(h, 2 * i + 1, 2)) AS INT) % 16 AS bkt,
          CAST(count(*) AS BIGINT) AS c
   FROM pos GROUP BY doc_id, source, n, bkt
 ), share AS (

@@ -20,10 +20,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T
 
 _LANGID_ORACLE = """
-WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+WITH d AS (SELECT doc_id, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
            WHERE lang IS NOT NULL),
 tri AS (
   SELECT doc_id, lang,
@@ -86,7 +87,7 @@ def text_langid_trigram_trained(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull()
     ).select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+        "doc_id", "lang", ascii_lower(F.col("text")).alias("t")
     )
     trigrams = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
     # training counts map-combine straight to the (lang, tri) grain:

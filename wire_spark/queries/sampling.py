@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T, md5_long, t4
 
 # --------------------------------------------------------------------
@@ -103,7 +104,7 @@ def train_val_test_split(spark, sf_dir):
 
 _ZIPF_ORACLE = """
 WITH tok AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+  SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token FROM documents
 ), freq AS (
   SELECT token, count(*) AS freq FROM tok WHERE token != '' GROUP BY token
 ), total_t AS (SELECT sum(freq) AS total FROM freq),
@@ -132,7 +133,7 @@ def token_zipf(spark, sf_dir):
     for the count, partial top-k for the rank cut."""
     d = T(spark, sf_dir, "documents")
     tok = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     total = freq.agg(F.sum("freq").alias("total"))
@@ -367,7 +368,7 @@ def curation_interleave_schedule(spark, sf_dir):
 
 _DEDUP_WSAMPLE_ORACLE = ("""
 WITH RECURSIVE w AS (
-  SELECT doc_id, lower(text) AS t FROM documents
+  SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
 ), g AS (
   SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t FROM w
 ), sh AS (

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T, md5_long
 from wire_spark.queries.features import _hist_prefix
 
@@ -542,7 +543,7 @@ WITH d AS (
   FROM documents
 ), tok AS (
   SELECT doc_id, lang, is_train,
-         unnest(string_split(lower(text), ' ')) AS t
+         unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t
   FROM d
 ), tok2 AS (SELECT * FROM tok WHERE t != ''),
 tc AS (
@@ -626,7 +627,7 @@ def quality_naive_bayes_confusion(spark, sf_dir):
     )
     tok2 = d.select(
         "doc_id", "lang", "is_train",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("t"),
     ).filter(F.col("t") != "")
     train_tok = tok2.filter(F.col("is_train"))
     tc = train_tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))

@@ -62,8 +62,10 @@ def text_token_stats(spark, sf_dir):
             F.size(bpe_tokens("text")).alias("n_bpe_tokens"),
             F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
             t4(
+                # nullif: Spark 4 ANSI raises on 0/0 where the DuckDB
+                # oracle NULL-bands (zero-token docs, unicode sweep)
                 F.length(F.regexp_replace("text", r"\s", "")) * F.lit(1.0)
-                / F.size(toks)
+                / F.nullif(F.size(toks), F.lit(0))
             ).alias("avg_token_len"),
         )
         .orderBy("doc_id")
@@ -100,7 +102,9 @@ ORDER BY doc_id
 def text_quality_score(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     toks = ws_tokens("text")
-    n_tokens = F.size(toks)
+    # nullif: zero-token docs get NULL ratios matching the oracle's
+    # 0/0 NULL-band (Spark-ANSI would raise — unicode-sweep class)
+    n_tokens = F.nullif(F.size(toks), F.lit(0))
     length_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
     diversity = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
     stop_ratio = F.size(stopword_tokens("text")) * F.lit(1.0) / n_tokens
@@ -182,8 +186,8 @@ def text_lang_id(spark, sf_dir):
 _FP_ORACLE = r"""
 SELECT
   doc_id,
-  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
-  substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS shard_key
+  md5(translate(regexp_replace(text, '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
+  substring(md5(translate(regexp_replace(text, '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), 1, 4) AS shard_key
 FROM documents
 ORDER BY doc_id
 """

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T, t4
 
 # --------------------------------------------------------------------
@@ -28,7 +29,7 @@ from wire_spark.queries._util import T, t4
 
 _TFIDF_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 tf AS (
@@ -68,7 +69,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     identical without the cut."""
     tok = (
         T(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .select("doc_id", F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
     # tf holds one row per (doc, token) — df and the doc count both
@@ -101,7 +102,7 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 _COLLOC_ORACLE = """
 WITH w AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+  SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
 ), big AS (
   SELECT unnest([ {'a': words[i], 'b': words[i+1]}
                   for i in range(1, len(words)) ]) AS bg
@@ -133,8 +134,12 @@ def text_collocations_lift(spark, sf_dir):
     is TakeOrdered. The c_ab >= 5 support floor is the standard
     noise cut and bounds the ranked set."""
     w = T(spark, sf_dir, "documents").select(
-        F.split(F.lower(F.col("text")), " ").alias("words")
-    )
+        F.split(ascii_lower(F.col("text")), " ").alias("words")
+    ).filter(F.size("words") >= 2)
+    # the >= 2 filter above is load-bearing: Spark's sequence(1, 0)
+    # yields the DESCENDING [1, 0] (not empty like DuckDB's range),
+    # and element_at(words, 2) on a 1-token doc then raises under
+    # ANSI — the unicode-sweep empty-text crash
     idx = F.sequence(F.lit(1), F.size("words") - 1)
     bg = (
         w.select(
@@ -175,7 +180,7 @@ def text_collocations_lift(spark, sf_dir):
 
 _REPETITION_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 per_tok AS (
@@ -208,7 +213,7 @@ def text_repetition_ratio(spark, sf_dir):
     TakeOrdered; all ratios exact-integer rationals."""
     per_tok = (
         T(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .select("doc_id", F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -236,7 +241,7 @@ def text_repetition_ratio(spark, sf_dir):
 
 _LOGPROB_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 uni AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
@@ -275,7 +280,7 @@ def text_unigram_logprob(spark, sf_dir):
     shuffles on doc_id once; top-30 via TakeOrdered."""
     tok = (
         T(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .select("doc_id", F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))

@@ -16,11 +16,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
+from wire_spark.functions.text import ascii_lower
 from wire_spark.queries._util import T
 
 _ENTROPY_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
   FROM documents
 ), tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
 pt AS (SELECT doc_id, token, count(*) AS c FROM tok2 GROUP BY 1, 2),
@@ -53,7 +54,7 @@ def text_token_entropy(spark, sf_dir):
         T(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+            F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"),
         )
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
@@ -83,7 +84,7 @@ def text_token_entropy(spark, sf_dir):
 _BIGRAM_ORACLE = """
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '') AS words
   FROM documents
 ), w2 AS (SELECT doc_id, words FROM w WHERE len(words) >= 2),
 occ AS (
@@ -136,7 +137,7 @@ def text_bigram_logprob(spark, sf_dir):
     occ = (
         docs.select(
             "doc_id",
-            F.expr("filter(split(lower(text), ' '), x -> x != '')").alias(
+            F.expr("filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')").alias(
                 "words"
             ),
         )
@@ -193,7 +194,7 @@ def text_bigram_logprob(spark, sf_dir):
 _GOPHER_ORACLE = """
 WITH w AS (
   SELECT source,
-         list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '') AS words
   FROM documents
 ), m AS (
   SELECT source,
@@ -262,7 +263,7 @@ def text_gopher_quality_rules(spark, sf_dir):
     """
     d = T(spark, sf_dir, "documents").select(
         "source",
-        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("words"),
+        F.expr("filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')").alias("words"),
     )
     m = d.select(
         "source",
@@ -311,7 +312,7 @@ def gopher_pass_all(text_col: str = "text"):
     Parity with the batch audit is pinned by
     tests/test_streaming_extras.py::test_streaming_gopher_gate_matches_batch.
     """
-    words = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    words = f"filter(split(translate({text_col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')"
     nw = f"size({words})"
     sumlen = f"aggregate({words}, 0, (acc, x) -> acc + length(x))"
     nstop = f"size(filter({words}, x -> x IN ('the', 'a', 'of', 'and', 'in')))"
@@ -335,7 +336,7 @@ def gopher_pass_all(text_col: str = "text"):
 
 _BPE_ORACLE = """
 WITH w AS (
-  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+  SELECT unnest(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != ''))
     AS word
   FROM documents
 ), wc AS (
@@ -375,7 +376,7 @@ def text_bpe_pair_counts(spark, sf_dir):
     so an unguarded sequence fabricates pairs for 1-char words."""
     d = T(spark, sf_dir, "documents").select(
         F.explode(
-            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            F.expr("filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')")
         ).alias("word")
     )
     wc = (
@@ -402,7 +403,7 @@ def text_bpe_pair_counts(spark, sf_dir):
 
 _BPE_MERGE_ORACLE = """
 WITH w AS (
-  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+  SELECT unnest(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != ''))
     AS word
   FROM documents
 ), wc AS (
@@ -459,7 +460,7 @@ def text_bpe_second_merge(spark, sf_dir):
     shuffles, zero corpus passes."""
     d = T(spark, sf_dir, "documents").select(
         F.explode(
-            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            F.expr("filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')")
         ).alias("word")
     )
     wc = (
