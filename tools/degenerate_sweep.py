@@ -8,6 +8,7 @@ Usage:
     python tools/degenerate_sweep.py clicks     # events: clicks only
     python tools/degenerate_sweep.py nulls      # NULL value/props/lang
     python tools/degenerate_sweep.py unicode    # multibyte/emoji text
+    python tools/degenerate_sweep.py extremes   # NaN/inf/huge doubles
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -36,6 +37,7 @@ KNOWN_EMPTY = {"rollup_flag_status", "cube_flag_status",
 KNOWN_ONE_ROW = {"graph_pagerank_personalized"}
 KNOWN_NULLS: set[str] = set()
 KNOWN_UNICODE: set[str] = set()
+KNOWN_EXTREMES: set[str] = set()
 
 # Hostile text hunting cross-engine string-semantics divergences:
 # multibyte Latin, CJK (no spaces), an emoji, Greek with a WORD-FINAL
@@ -76,6 +78,23 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 df = df.withColumn(
                     "lang", F.when(F.col("doc_id") % 2 == 0,
                                    F.col("lang")))
+        elif mode == "extremes" and t == "events":
+            from pyspark.sql import functions as F
+            # non-finite and edge-magnitude doubles in the measure
+            # column: the numeric sibling of the unicode text sweep
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 23 == 0,
+                       F.lit(float("nan")))
+                .when(F.col("event_id") % 29 == 0,
+                      F.lit(float("inf")))
+                .when(F.col("event_id") % 31 == 0,
+                      F.lit(float("-inf")))
+                .when(F.col("event_id") % 37 == 0, F.lit(1.0e308))
+                .when(F.col("event_id") % 41 == 0, F.lit(-1.0e308))
+                .when(F.col("event_id") % 43 == 0, F.lit(-0.0))
+                .otherwise(F.col("value")),
+            )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -99,7 +118,7 @@ def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
     known = {"empty": KNOWN_EMPTY, "one_row": KNOWN_ONE_ROW,
              "clicks": set(), "nulls": KNOWN_NULLS,
-             "unicode": KNOWN_UNICODE}[mode]
+             "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

@@ -12,6 +12,44 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Measurement hygiene for the ``events.value`` measure: non-finite
+#: readings (NaN/±inf) and magnitudes past the engine's fixed-point
+#: budget (|v| ≤ 1e12 keeps v*1e6 inside int64) become NULL, which
+#: every aggregate/floor path already handles identically on both
+#: engines (the nulls-sweep class).  Sanitizing the VALUE instead of
+#: filtering ROWS preserves group/window/join structure — counts,
+#: sessions, lag/lead positions and as-of matches are unchanged.
+#: The string is valid in BOTH dialects (Spark SQL and DuckDB ship
+#: isnan()); Spark uses it via F.expr, oracles via a CTE that
+#: shadows the events view with ``SELECT * REPLACE (… AS value)``.
+#: Introduced by the r10 ``extremes`` degenerate sweep (21 hits:
+#: ANSI long-overflow on CAST(floor(1e308*1e4)) and NaN conversion
+#: errors in DuckDB).
+SANITIZE_VALUE = (
+    "CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 "
+    "THEN NULL ELSE value END"
+)
+
+#: Oracle-side prelude: shadow the events view with the sanitized
+#: measure.  Append other CTEs after it or follow with plain SQL.
+EVENTS_SANITIZED_CTE = (
+    # main.events: DuckDB rejects a CTE that references the same-named
+    # view unqualified (circular-CTE check); the driver registers all
+    # views in the default main schema
+    f"WITH events AS (SELECT * REPLACE (({SANITIZE_VALUE}) AS value) "
+    "FROM main.events)"
+)
+
+
+def events_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with the sanitized measure column — the
+    Spark-side twin of :data:`EVENTS_SANITIZED_CTE`."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "events").withColumn(
+        "value", F.expr(SANITIZE_VALUE))
+
+
 #: DataFrames cached by catalog queries, awaiting release.  Catalog
 #: functions are lazy (the caller runs the action), so a query cannot
 #: unpersist its own cache — instead every ``.cache()`` inside a

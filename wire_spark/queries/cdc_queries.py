@@ -16,10 +16,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T
+from wire_spark.queries._util import events_sane
 
 _ENVELOPE_SQL_CTE = """
-WITH env AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value)
+  OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value)
+  FROM main.events),
+env AS (
   SELECT
     lpad(CAST(event_id AS VARCHAR), 12, '0') AS resume_token,
     CASE event_type
@@ -54,7 +57,7 @@ ORDER BY document_id
 
 
 def _envelope(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = events_sane(spark, sf_dir)
     op = (
         F.when(F.col("event_type") == "signup", "insert")
         .when(F.col("event_type") == "purchase", "delete")

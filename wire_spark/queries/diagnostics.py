@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T
+from wire_spark.queries._util import events_sane, T
 
 _SKEW_ORACLE = """
 WITH per_key AS (
@@ -76,7 +76,8 @@ def skew_audit_events_user(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _MAD_ORACLE = """
-WITH ranked AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+ranked AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
@@ -157,7 +158,7 @@ def robust_outliers_mad(spark, sf_dir):
     computes the SAME output (same oracle) via histogram-navigated
     quantiles with no per-key sort — and reserve this form for the
     verification pass."""
-    ev = T(spark, sf_dir, "events").select(
+    ev = events_sane(spark, sf_dir).select(
         "event_type", "event_id", "value"
     ).filter(F.col("value").isNotNull())
 
@@ -241,7 +242,7 @@ def robust_outliers_mad_bucketed(spark, sf_dir):
     (type, bucket) with only selected-bucket rows surviving."""
     from wire_spark.queries.sketches import bucketed_quantiles
 
-    ev = T(spark, sf_dir, "events").select(
+    ev = events_sane(spark, sf_dir).select(
         "event_type", "event_id", "value"
     ).filter(F.col("value").isNotNull())
     med = (

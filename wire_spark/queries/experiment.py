@@ -36,7 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long
+from wire_spark.queries._util import events_sane, T, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
@@ -44,7 +44,8 @@ from wire_spark.queries.features import _hist_prefix
 # --------------------------------------------------------------------
 
 _ANOVA_ORACLE = """
-WITH e AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+e AS (
   SELECT event_type, CAST(floor(value * 10000.0e0) AS BIGINT) AS v4
   FROM events
 ), g AS (
@@ -105,7 +106,7 @@ def events_anova_f(spark, sf_dir):
     combine -> 1-row total.  The shuffle carries k rows per
     partition; nothing is data-sized after the scan.
     """
-    e = T(spark, sf_dir, "events").select(
+    e = events_sane(spark, sf_dir).select(
         "event_type",
         F.expr("CAST(floor(value * 10000.0e0) AS BIGINT)").alias("v4"),
     )
@@ -605,7 +606,8 @@ def events_group_sequential(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _QTE_ORACLE = """
-WITH pu AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+pu AS (
   SELECT user_id,
          CAST(sum(CAST(floor(value * 10000.0e0) AS BIGINT)) AS BIGINT) AS v
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
@@ -666,7 +668,7 @@ def events_quantile_treatment_effect(spark, sf_dir):
     9-decile probe relation broadcasts back.
     """
     pu = (
-        T(spark, sf_dir, "events")
+        events_sane(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.expr("CAST(sum(CAST(floor(value * 10000.0e0) AS BIGINT))"
@@ -713,7 +715,8 @@ def events_quantile_treatment_effect(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _DID_ORACLE = """
-WITH e AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+e AS (
   SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 2 = 1 AS treat,
          ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
@@ -778,7 +781,7 @@ def events_did_lift(spark, sf_dir):
     Scale shape: one scan, map-side partials into a single 8-counter
     row — the cheapest possible plan for the statistic.
     """
-    e = T(spark, sf_dir, "events").filter(
+    e = events_sane(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
         (md5_long(F.col("user_id").cast("string")) % 2 == 1).alias("treat"),

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.operators.joins import asof_join
 from wire_spark.operators.multimodal import attach_media, decode_media
-from wire_spark.queries._util import T, fmt_ts, r4, t4
+from wire_spark.queries._util import events_sane, T, fmt_ts, r4, t4
 
 # --------------------------------------------------------------------
 # the reference's core transform, oracle-verified
@@ -71,7 +71,8 @@ def multimodal_decode_meta(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _ASOF_ORACLE = """
-WITH clicks AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+clicks AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
@@ -92,7 +93,7 @@ ORDER BY c.user_id, c.event_id
 @register("asof_join_click_purchase", oracle=_ASOF_ORACLE, bench=True,
           doc="as-of join (latest purchase <= click time per user)")
 def asof_join_click_purchase(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = events_sane(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"

@@ -8,7 +8,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, fmt_ts
+from wire_spark.queries._util import events_sane, T, fmt_ts
 
 # --------------------------------------------------------------------
 # RANGE frame: per-user rolling 30-minute event-value sum
@@ -20,6 +20,7 @@ from wire_spark.queries._util import T, fmt_ts
 # order by epoch seconds with rangeBetween(-1800, 0); DuckDB uses the
 # native RANGE ... INTERVAL form over the timestamp.
 _RANGE_FRAME_ORACLE = """
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -39,7 +40,7 @@ ORDER BY user_id, event_id
 @register("window_range_frame_30m", oracle=_RANGE_FRAME_ORACLE, bench=True,
           doc="RANGE interval frame: rolling 30-minute per-user sums")
 def window_range_frame_30m(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = events_sane(spark, sf_dir)
     # epoch micros keep full ts precision for the range bound
     w = (
         W.partitionBy("user_id")

@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T
+from wire_spark.queries._util import events_sane, T
 
 # --------------------------------------------------------------------
 # band join: order pairs within 7 days of each other (bucket-blocked)
@@ -275,7 +275,8 @@ def record_linkage_customers(spark, sf_dir):
 # map-side combinable — and the slope falls out of closed form on the
 # tiny result. No per-group sort, no iterative solver, no Python.
 _TREND_ORACLE = """
-WITH b AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+b AS (
   SELECT event_type, epoch_us(ts) // 1000000 AS es,
          CAST(floor(value * 10000.0) AS BIGINT) AS y
   FROM events
@@ -321,7 +322,7 @@ def events_linear_trend(spark, sf_dir):
     passes. The same five-number pattern extends to Welford variance
     and covariance matrices.
     """
-    e = T(spark, sf_dir, "events").select(
+    e = events_sane(spark, sf_dir).select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000").alias("es"),
         F.expr("CAST(floor(value * 10000.0) AS BIGINT)").alias("y"),
@@ -358,6 +359,7 @@ def events_linear_trend(spark, sf_dir):
 # aggregates everything directly — proving the merged path is
 # indistinguishable from the direct one.
 _ROLLUP_TAIL_ORACLE = """
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(floor(value * 10000.0)) AS BIGINT) / 10000.0 AS sum_value
@@ -389,7 +391,7 @@ def rollup_plus_tail_merge(spark, sf_dir):
     a partitioned events table the `ts < cutoff` filter also prunes
     raw partitions entirely — the rollup is the only thing read.
     """
-    e = T(spark, sf_dir, "events").select("ts", "value")
+    e = events_sane(spark, sf_dir).select("ts", "value")
     mx = e.agg(
         F.expr("date_trunc('hour', max(ts)) - INTERVAL 6 HOURS").alias("cutoff")
     )

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long
+from wire_spark.queries._util import events_sane, T, md5_long
 
 #: histogram-value-buckets per offset row in _hist_prefix's pass 1.
 #: At 100 TB pick it so n_distinct_values/_HIST_BUCKET offset rows
@@ -113,7 +113,8 @@ def _hist_prefix(h, order_col, sums, parts=(), inclusive=True,
 # --------------------------------------------------------------------
 
 _DECAY_ORACLE = """
-WITH mx AS (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+mx AS (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id),
 d AS (
   SELECT e.user_id,
          floor(e.value * pow(0.5,
@@ -146,7 +147,7 @@ def events_time_decay(spark, sf_dir):
     the fold is a groupBy on the same key — one shuffle total, the
     aggregation reuses the window's partitioning (exchange reuse).
     Top-30 via TakeOrderedAndProject."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_sane(spark, sf_dir)
     w = W.partitionBy("user_id")
     d = ev.withColumn("mts", F.max("ts").over(w)).select(
         "user_id",
@@ -177,7 +178,8 @@ def events_time_decay(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _RESAMPLE_ORACLE = """
-WITH hourly AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          sum(floor(value * 10000.0)) / 10000.0 AS hv
   FROM events GROUP BY 1, 2
@@ -224,7 +226,7 @@ def events_resample_ffill(spark, sf_dir):
     not data volume, so the per-key ffill window holds at any scale.
     The first hour of every key is observed by construction (the grid
     starts at min(hr)), so `filled` is never null."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_sane(spark, sf_dir)
     hourly = (
         ev.select(
             "event_type",

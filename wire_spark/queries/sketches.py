@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long, tracked_cache
+from wire_spark.queries._util import events_sane, T, md5_long, tracked_cache
 
 # --------------------------------------------------------------------
 # HyperLogLog distinct sketch (m=256 registers, deterministic)
@@ -493,7 +493,8 @@ def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
 # --------------------------------------------------------------------
 
 _BUCKETED_PCT_ORACLE = """
-WITH ranked AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
@@ -544,7 +545,7 @@ def percentile_bucketed_exact(spark, sf_dir):
     order-compatible with (value, event_id), so global rank =
     cumulative-before(bucket) + within-bucket rank, and the result
     is bit-identical to the sort-everything form at any scale."""
-    ev = T(spark, sf_dir, "events").select(
+    ev = events_sane(spark, sf_dir).select(
         "event_type", "event_id", "value"
     ).filter(F.col("value").isNotNull())
     interp = bucketed_quantiles(ev, (0.5, 0.9, 0.99))

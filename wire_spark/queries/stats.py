@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.functions.text import ascii_lower
-from wire_spark.queries._util import T, md5_long
+from wire_spark.queries._util import events_sane, T, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
@@ -139,7 +139,8 @@ def events_ab_ztest(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _WELCH_ORACLE = """
-WITH e AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+e AS (
   SELECT event_type = 'click' AS g1, value AS v FROM events
   WHERE event_type IN ('click', 'view') AND value IS NOT NULL
 ), m AS (
@@ -204,7 +205,7 @@ def events_welch_ttest(spark, sf_dir):
     error (both groups constant) reports t = 0 on both sides rather
     than dividing by zero.
     """
-    e = T(spark, sf_dir, "events").filter(
+    e = events_sane(spark, sf_dir).filter(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     ).select((F.col("event_type") == "click").alias("g1"), F.col("value").alias("v"))
     m = e.agg(
@@ -877,7 +878,8 @@ def orders_ks_test(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _CUPED_ORACLE = """
-WITH pu AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+pu AS (
   SELECT user_id,
          CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 2 = 1 AS treat,
@@ -961,7 +963,7 @@ def events_ab_cuped(spark, sf_dir):
     second pass.
     """
     pu = (
-        T(spark, sf_dir, "events")
+        events_sane(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.count(F.when(
