@@ -9,6 +9,7 @@ Usage:
     python tools/degenerate_sweep.py nulls      # NULL value/props/lang
     python tools/degenerate_sweep.py unicode    # multibyte/emoji text
     python tools/degenerate_sweep.py extremes   # NaN/inf/huge doubles
+    python tools/degenerate_sweep.py timewarp   # epoch-0/pre-1970/9999/NULL ts
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -38,6 +39,7 @@ KNOWN_ONE_ROW = {"graph_pagerank_personalized"}
 KNOWN_NULLS: set[str] = set()
 KNOWN_UNICODE: set[str] = set()
 KNOWN_EXTREMES: set[str] = set()
+KNOWN_TIMEWARP: set[str] = set()
 
 # Hostile text hunting cross-engine string-semantics divergences:
 # multibyte Latin, CJK (no spaces), an emoji, Greek with a WORD-FINAL
@@ -95,6 +97,23 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 .when(F.col("event_id") % 43 == 0, F.lit(-0.0))
                 .otherwise(F.col("value")),
             )
+        elif mode == "timewarp" and t == "events":
+            from pyspark.sql import functions as F
+            # hostile event times: the unix epoch, a NEGATIVE-epoch
+            # instant with microseconds (floor-vs-truncate bait in
+            # any epoch//bucket arithmetic), far future, and NULL
+            df = df.withColumn(
+                "ts",
+                F.when(F.col("event_id") % 19 == 0,
+                       F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+                .when(F.col("event_id") % 53 == 0,
+                      F.to_timestamp(F.lit("1901-06-15 12:34:56.789012")))
+                .when(F.col("event_id") % 59 == 0,
+                      F.to_timestamp(F.lit("9999-12-31 23:59:59.999999")))
+                .when(F.col("event_id") % 61 == 0,
+                      F.lit(None).cast("timestamp"))
+                .otherwise(F.col("ts")),
+            )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -118,7 +137,8 @@ def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
     known = {"empty": KNOWN_EMPTY, "one_row": KNOWN_ONE_ROW,
              "clicks": set(), "nulls": KNOWN_NULLS,
-             "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES}[mode]
+             "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES,
+             "timewarp": KNOWN_TIMEWARP}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

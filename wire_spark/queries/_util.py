@@ -30,24 +30,67 @@ SANITIZE_VALUE = (
     "THEN NULL ELSE value END"
 )
 
+#: Event-time hygiene: timestamps outside the engine's declared
+#: event-time domain [1970-01-01, 2100-01-01) become NULL.  A single
+#: corrupt clock (year 1901 or 9999) must not be able to stretch a
+#: calendar-grid operator — `sequence(min(ts), max(ts), interval 1
+#: hour)` over an 8,000-year span is a multi-billion-row explosion,
+#: the r10 `timewarp` sweep's hang.  Same CASE string runs in both
+#: dialects; NULL propagates (NULL < x is NULL → ELSE branch).
+SANITIZE_TS = (
+    "CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' "
+    "OR ts >= TIMESTAMP '2100-01-01 00:00:00' "
+    "THEN NULL ELSE ts END"
+)
+
 #: Oracle-side prelude: shadow the events view with the sanitized
 #: measure.  Append other CTEs after it or follow with plain SQL.
 EVENTS_SANITIZED_CTE = (
     # main.events: DuckDB rejects a CTE that references the same-named
     # view unqualified (circular-CTE check); the driver registers all
     # views in the default main schema
-    f"WITH events AS (SELECT * REPLACE (({SANITIZE_VALUE}) AS value) "
+    f"WITH events AS (SELECT * REPLACE (({SANITIZE_VALUE}) AS value, "
+    f"({SANITIZE_TS}) AS ts) "
     "FROM main.events)"
 )
 
 
-def events_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with the sanitized measure column — the
-    Spark-side twin of :data:`EVENTS_SANITIZED_CTE`."""
+#: Time-structured tier: sessions, windows, lags, paths and daily
+#: series ORDER or GROUP by event time — an event with no (in-domain)
+#: timestamp cannot enter them at all, and keeping NULL ts rows
+#: re-opens the engines' NULL-ordering split (Spark sorts NULLs
+#: first ascending, DuckDB last — the r9 class) plus Spark
+#: F.window()'s drop-NULL behavior vs a SQL bucket expression's
+#: NULL-keyed group.  So the timed tier FILTERS to in-domain
+#: timestamps (which also excludes NULL) while still sanitizing the
+#: measure.
+EVENTS_TIMED_CTE = (
+    f"WITH events AS (SELECT * REPLACE (({SANITIZE_VALUE}) AS value) "
+    "FROM main.events "
+    "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2100-01-01 00:00:00')"
+)
+
+
+def events_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events restricted to rows with an in-domain event time (the
+    Spark twin of :data:`EVENTS_TIMED_CTE`) — for time-structured
+    queries; measure column sanitized as in :func:`events_sane`."""
     from pyspark.sql import functions as F
 
-    return load_table(spark, sf_dir, "events").withColumn(
-        "value", F.expr(SANITIZE_VALUE))
+    return events_sane(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+
+def events_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with sanitized measure and event-time columns
+    — the Spark-side twin of :data:`EVENTS_SANITIZED_CTE`."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("value", F.expr(SANITIZE_VALUE))
+        .withColumn("ts", F.expr(SANITIZE_TS))
+    )
 
 
 #: DataFrames cached by catalog queries, awaiting release.  Catalog

@@ -20,7 +20,10 @@ from wire_spark.queries._util import events_sane
 
 _ENVELOPE_SQL_CTE = """
 WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value)
-  OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value)
+  OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value,
+  (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00'
+   OR ts >= TIMESTAMP '2100-01-01 00:00:00'
+   THEN NULL ELSE ts END) AS ts)
   FROM main.events),
 env AS (
   SELECT

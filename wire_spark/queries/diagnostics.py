@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T
+from wire_spark.queries._util import events_timed, events_sane, T
 
 _SKEW_ORACLE = """
 WITH per_key AS (
@@ -76,7 +76,7 @@ def skew_audit_events_user(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _MAD_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 ranked AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
@@ -354,7 +354,8 @@ def profile_documents_columns(spark, sf_dir):
 # share of traffic across halves in exact basis points. The midpoint
 # and all shares are integers, so the audit is bit-reproducible.
 _DRIFT_ORACLE = """
-WITH b AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+b AS (
   SELECT event_type, epoch_us(ts) AS eu FROM events
 ), mm AS (
   SELECT (min(eu) + max(eu)) // 2 AS mid FROM b
@@ -397,7 +398,7 @@ def events_drift_audit(spark, sf_dir):
     back by broadcast. Shares are exact integer basis points
     ((n * 10000) div total), so the oracle hash-matches.
     """
-    e = T(spark, sf_dir, "events").select(
+    e = events_timed(spark, sf_dir).select(
         "event_type", F.expr("unix_micros(ts)").alias("eu"))
     mm = e.agg(F.expr("(min(eu) + max(eu)) div 2").alias("mid"))
     counts = (
@@ -519,7 +520,8 @@ def referential_integrity_audit(spark, sf_dir):
 # n*prefix_k - k*S — exact BIGINTs, so the argmax (the changepoint
 # estimate) is bit-reproducible with no float anywhere.
 _CUSUM_ORACLE = """
-WITH hourly AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
@@ -573,7 +575,7 @@ def events_changepoint_cusum(spark, sf_dir):
     window never sees raw rows. Peak selection is a rank-1 filter
     (WindowGroupLimit).
     """
-    e = T(spark, sf_dir, "events")
+    e = events_timed(spark, sf_dir)
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
         .agg(F.count(F.lit(1)).alias("c"))

@@ -19,10 +19,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T, msum, r4, tracked_cache
+from wire_spark.queries._util import events_timed, events_sane, T, msum, r4, tracked_cache
 
 _TYPE_STATS_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events)
 SELECT
   event_type,
   count(*)                       AS n_events,
@@ -58,7 +58,7 @@ def events_type_stats(spark, sf_dir):
 # Tumbling 1-hour windows align to the epoch => identical to
 # date_trunc('hour') bucketing in the oracle.
 _TUMBLING_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
 SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
@@ -73,7 +73,7 @@ ORDER BY window_start, event_type
 @register("window_tumbling_hourly", oracle=_TUMBLING_ORACLE,
           doc="tumbling 1h event-time window (ROADMAP.md:97)", bench=True)
 def window_tumbling_hourly(spark, sf_dir):
-    e = events_sane(spark, sf_dir)
+    e = events_timed(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
@@ -90,7 +90,7 @@ def window_tumbling_hourly(spark, sf_dir):
 # Sliding 1h windows every 30min: each event belongs to exactly 2
 # windows, starting at the enclosing 30-min boundary and 30 min before.
 _SLIDING_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
 buckets AS (
   SELECT
     to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) - (n * INTERVAL 30 MINUTE)
@@ -111,7 +111,7 @@ ORDER BY window_start
 @register("window_sliding_30m", oracle=_SLIDING_ORACLE,
           doc="sliding 1h/30m event-time window (ROADMAP.md:97)")
 def window_sliding_30m(spark, sf_dir):
-    e = events_sane(spark, sf_dir)
+    e = events_timed(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
@@ -129,7 +129,7 @@ def window_sliding_30m(spark, sf_dir):
 # event of the same user is > gap away; session end = last event + gap
 # (matching Spark's session_window end semantics).
 _SESSION_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
 flagged AS (
   SELECT
     user_id, ts, value,
@@ -159,7 +159,7 @@ ORDER BY user_id, session_start
 @register("window_session_10m", oracle=_SESSION_ORACLE,
           doc="session window, 10m gap (ROADMAP.md:97)", bench=True)
 def window_session_10m(spark, sf_dir):
-    e = events_sane(spark, sf_dir)
+    e = events_timed(spark, sf_dir)
     return (
         e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
@@ -666,7 +666,7 @@ def events_survival_hazard(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _LTV_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 signups AS (
   SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
   FROM events WHERE event_type = 'signup' GROUP BY user_id

@@ -36,7 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T, md5_long
+from wire_spark.queries._util import events_timed, events_sane, T, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
@@ -44,7 +44,7 @@ from wire_spark.queries.features import _hist_prefix
 # --------------------------------------------------------------------
 
 _ANOVA_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 e AS (
   SELECT event_type, CAST(floor(value * 10000.0e0) AS BIGINT) AS v4
   FROM events
@@ -462,7 +462,8 @@ def events_ab_power_mde(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _GSEQ_ORACLE = """
-WITH e AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+e AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 2 = 1 AS treat,
@@ -549,7 +550,7 @@ def events_group_sequential(spark, sf_dir):
     ordered window is safe here where value-grain histograms need
     ``_hist_prefix``.
     """
-    e = T(spark, sf_dir, "events").select(
+    e = events_timed(spark, sf_dir).select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         (md5_long(F.col("user_id").cast("string")) % 2 == 1).alias("treat"),
         (F.col("event_type") == "purchase").alias("conv"),
@@ -606,7 +607,7 @@ def events_group_sequential(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _QTE_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 pu AS (
   SELECT user_id,
          CAST(sum(CAST(floor(value * 10000.0e0) AS BIGINT)) AS BIGINT) AS v
@@ -715,7 +716,7 @@ def events_quantile_treatment_effect(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _DID_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 e AS (
   SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 2 = 1 AS treat,

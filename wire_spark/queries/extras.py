@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.operators.joins import asof_join
 from wire_spark.operators.multimodal import attach_media, decode_media
-from wire_spark.queries._util import events_sane, T, fmt_ts, r4, t4
+from wire_spark.queries._util import events_timed, events_sane, T, fmt_ts, r4, t4
 
 # --------------------------------------------------------------------
 # the reference's core transform, oracle-verified
@@ -71,7 +71,7 @@ def multimodal_decode_meta(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _ASOF_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
 clicks AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
@@ -81,11 +81,24 @@ SELECT
   c.user_id,
   c.event_id,
   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-  floor(p.value * 10000.0) / 10000.0     AS purchase_value
+  strftime(m.pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  floor(m.pv * 10000.0) / 10000.0         AS purchase_value
 FROM clicks c
-ASOF LEFT JOIN purchases p
-  ON c.user_id = p.user_id AND c.ts >= p.ts
+LEFT JOIN (
+  -- explicit argmax instead of DuckDB's native ASOF JOIN: with
+  -- EQUAL purchase timestamps the native ASOF picks an arbitrary
+  -- row, while the Spark operator deterministically takes the max
+  -- (ts, value) struct — so the oracle pins the same (ts DESC,
+  -- value DESC NULLS LAST) tiebreak (timewarp sweep, epoch-0 ties)
+  SELECT user_id, event_id, pts, pv FROM (
+    SELECT c2.user_id, c2.event_id, p.ts AS pts, p.value AS pv,
+           row_number() OVER (
+             PARTITION BY c2.user_id, c2.event_id
+             ORDER BY p.ts DESC, p.value DESC NULLS LAST) AS rn
+    FROM clicks c2 JOIN purchases p
+      ON c2.user_id = p.user_id AND p.ts <= c2.ts
+  ) WHERE rn = 1
+) m ON c.user_id = m.user_id AND c.event_id = m.event_id
 ORDER BY c.user_id, c.event_id
 """
 
@@ -93,7 +106,7 @@ ORDER BY c.user_id, c.event_id
 @register("asof_join_click_purchase", oracle=_ASOF_ORACLE, bench=True,
           doc="as-of join (latest purchase <= click time per user)")
 def asof_join_click_purchase(spark, sf_dir):
-    e = events_sane(spark, sf_dir)
+    e = events_timed(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
@@ -276,7 +289,8 @@ def percentile_order_value_bucketed(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _TOP_SESSIONS_ORACLE = """
-WITH flagged AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               >= INTERVAL 10 MINUTE
@@ -304,7 +318,7 @@ LIMIT 10
 @register("sessionized_top_users", oracle=_TOP_SESSIONS_ORACLE,
           doc="session_window composition: top users by session count")
 def sessionized_top_users(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = events_timed(spark, sf_dir)
     sessions = (
         e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -20,7 +20,7 @@ from wire_spark.queries._util import events_sane, T, fmt_ts
 # order by epoch seconds with rangeBetween(-1800, 0); DuckDB uses the
 # native RANGE ... INTERVAL form over the timestamp.
 _RANGE_FRAME_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events)
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T
+from wire_spark.queries._util import events_timed, events_sane, T
 
 # --------------------------------------------------------------------
 # band join: order pairs within 7 days of each other (bucket-blocked)
@@ -275,7 +275,7 @@ def record_linkage_customers(spark, sf_dir):
 # map-side combinable — and the slope falls out of closed form on the
 # tiny result. No per-group sort, no iterative solver, no Python.
 _TREND_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 b AS (
   SELECT event_type, epoch_us(ts) // 1000000 AS es,
          CAST(floor(value * 10000.0) AS BIGINT) AS y
@@ -359,7 +359,7 @@ def events_linear_trend(spark, sf_dir):
 # aggregates everything directly — proving the merged path is
 # indistinguishable from the direct one.
 _ROLLUP_TAIL_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events)
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(floor(value * 10000.0)) AS BIGINT) / 10000.0 AS sum_value
@@ -391,7 +391,7 @@ def rollup_plus_tail_merge(spark, sf_dir):
     a partitioned events table the `ts < cutoff` filter also prunes
     raw partitions entirely — the rollup is the only thing read.
     """
-    e = events_sane(spark, sf_dir).select("ts", "value")
+    e = events_timed(spark, sf_dir).select("ts", "value")
     mx = e.agg(
         F.expr("date_trunc('hour', max(ts)) - INTERVAL 6 HOURS").alias("cutoff")
     )

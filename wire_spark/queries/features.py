@@ -113,7 +113,7 @@ def _hist_prefix(h, order_col, sums, parts=(), inclusive=True,
 # --------------------------------------------------------------------
 
 _DECAY_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 mx AS (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id),
 d AS (
   SELECT e.user_id,
@@ -178,7 +178,7 @@ def events_time_decay(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _RESAMPLE_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          sum(floor(value * 10000.0)) / 10000.0 AS hv
@@ -355,7 +355,8 @@ def negative_sampling_pairs(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _TYPECORR_ORACLE = """
-WITH hc AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+hc AS (
   SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
   FROM events GROUP BY 1, 2
 ),
@@ -403,7 +404,7 @@ def events_type_correlation(spark, sf_dir):
     pairs (zero variance) are excluded rather than divided by zero.
     At extreme scale the BIGINT moments would overflow around 3e9
     events/hour-pair; promote the sums to DECIMAL(38,0) there."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_sane(spark, sf_dir)
     hc = (
         ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
         .groupBy("event_type", "hr")

@@ -22,14 +22,15 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, tracked_cache
+from wire_spark.queries._util import events_timed, T, tracked_cache
 
 # --------------------------------------------------------------------
 # first-order Markov transition matrix between event types
 # --------------------------------------------------------------------
 
 _MARKOV_ORACLE = """
-WITH seq AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
@@ -63,7 +64,7 @@ def events_markov_transitions(spark, sf_dir):
     The per-prev total reuses the transition agg output (no second
     pass over events). Probability math is exact-integer
     numerator/denominator with one 6dp floor division."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_timed(spark, sf_dir)
     seq = ev.select(
         "event_type",
         F.lag("event_type").over(
@@ -93,7 +94,8 @@ def events_markov_transitions(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _TRIGRAM_ORACLE = """
-WITH seq AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+seq AS (
   SELECT user_id, event_type,
          lag(event_type, 1) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS t1,
@@ -121,7 +123,7 @@ def events_trigram_paths(spark, sf_dir):
     functions into one WindowExec); the path agg output is at most
     |types|³ rows and the top-25 is a TakeOrderedAndProject with a
     full tiebreak chain."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_timed(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
@@ -146,7 +148,8 @@ def events_trigram_paths(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _GROWTH_ORACLE = """
-WITH firsts AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+firsts AS (
   SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
   GROUP BY user_id
 ),
@@ -183,7 +186,7 @@ def events_user_growth(spark, sf_dir):
     data volume; the running sum's unpartitioned window is over
     those few hundred rows (same bounded-grid argument as
     ``events_type_correlation``), never over events."""
-    ev = T(spark, sf_dir, "events")
+    ev = events_timed(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts"))
     daily = ev.groupBy(day.alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -420,7 +423,8 @@ def session_dwell_percentiles(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _ATTRIBUTION_ORACLE = """
-WITH conv AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+conv AS (
   SELECT user_id, ts AS cts, event_id AS cid
   FROM (SELECT user_id, ts, event_id,
                row_number() OVER (PARTITION BY user_id
@@ -495,7 +499,7 @@ def events_attribution_multitouch(spark, sf_dir):
     aggregate is the small-key reduction.  Per-user state is O(1) —
     no journey is ever collected.
     """
-    ev = T(spark, sf_dir, "events").select(
+    ev = events_timed(spark, sf_dir).select(
         "user_id", "event_type", "ts", "event_id")
     w_u = W.partitionBy("user_id")
     dec = ev.withColumn(

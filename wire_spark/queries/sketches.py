@@ -493,7 +493,7 @@ def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
 # --------------------------------------------------------------------
 
 _BUCKETED_PCT_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events),
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
 ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type

@@ -33,14 +33,15 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import T, md5_long
+from wire_spark.queries._util import events_timed, T, md5_long
 
 # --------------------------------------------------------------------
 # autocorrelation function of the daily activity series
 # --------------------------------------------------------------------
 
 _ACF_ORACLE = """
-WITH d AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day
 ), i AS (
@@ -88,7 +89,7 @@ def events_acf_daily(spark, sf_dir):
     events_group_sequential.  The 128-bit products run on 7 x days
     rows.
     """
-    d = T(spark, sf_dir, "events").groupBy(
+    d = events_timed(spark, sf_dir).groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
     i = d.select(
@@ -128,7 +129,8 @@ def events_acf_daily(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _SES_ORACLE = """
-WITH d AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day
 ), i AS (
@@ -180,7 +182,7 @@ def events_ses_forecast(spark, sf_dir):
     self-join runs on the DAY-grain relation with a <=30-row fan-in
     per target day — calendar-bounded like events_group_sequential.
     """
-    d = T(spark, sf_dir, "events").groupBy(
+    d = events_timed(spark, sf_dir).groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
     i = d.select(
@@ -366,7 +368,8 @@ def events_cate_by_segment(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _BASELINES_ORACLE = """
-WITH d AS (
+WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day
 ), dec AS (
@@ -437,7 +440,7 @@ def events_forecast_baselines(spark, sf_dir):
     per-method re-derivation.
     """
     d = (
-        T(spark, sf_dir, "events")
+        events_timed(spark, sf_dir)
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("y"))
     )
