@@ -70,79 +70,68 @@ _QUERY_MODULES = (
 # first (in this order); everything else follows in registration
 # order.
 #
-# Round 10 window (50 slots): the 40 queries whose newest driver
-# green is round 5 — the freshness-forced cohort (at r10 they hit the
-# staleness horizon; CORRECTNESS_r09 covered every never-checked
-# query, so the whole window goes to refresh) — then the 7
-# degenerate-sweep-hardened queries that were edited after their
-# newest driver green and were NOT in the r9 window
-# (events_drift_audit / events_funnel_3step / events_linear_trend /
-# referential_integrity_audit / model_auc_rank /
-# feature_mutual_information / quality_gini_stump; the other 6
-# hardened names are already inside the forced 40), then the 3
-# stalest r6 greens to fill the window.  VERDICT r9 "Next round" #1.
 # Freshness is machine-audited: tools/freshness.py regenerates
 # FRESHNESS.json from the CORRECTNESS_r*.json history and
 # tests/test_freshness.py asserts every registry query is either
 # inside this window or green within the last MAX_STALENESS_ROUNDS=5
 # rounds, and that the registry size never exceeds the rotation
 # capacity (window × MAX_STALENESS_ROUNDS = 250).
+# Round 11 window (50 slots): the 46-query cohort whose newest driver
+# green is round 6 comes due at the MAX_STALENESS_ROUNDS=5 horizon
+# (the full r6 cohort minus the three that re-earned r10 greens via
+# yielded slots), then 4 stalest-r7 fills.  NOTES.md round-11 handoff;
+# rotation emitted by tools/rotate_window.py.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (added r10) --
-    "preference_bt_strength",
-    "preference_winrate_wilson",
-    "source_ablation_loso",
-    # -- the 40 freshness-forced r5 greens --
-    "dedup_embedding_cosine_lsh",
-    "dedup_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_rate_by_source",
-    "embedding_quantize_int8",
-    "events_funnel_conversion",
-    "events_markov_transitions",
-    "events_resample_ffill",
-    "events_seasonal_anomaly",
-    "events_time_decay",
-    "events_trigram_paths",
-    "events_type_correlation",
-    "events_user_growth",
-    "graph_pagerank_neardup",
-    "length_bucket_histogram",
-    "negative_sampling_pairs",
-    "null_semantics_audit",
-    "percentile_bucketed_exact",
-    "q12_priority_classes",
-    "q1_pricing_summary",
-    "quantile_histogram_sketch",
-    "retention_cohorts",
-    "robust_outliers_mad",
-    "robust_outliers_mad_bucketed",
-    "sample_stratified_by_lang",
-    "sample_weighted_by_length",
-    "sample_weighted_per_source",
-    "session_dwell_percentiles",
-    "sketch_hll_distinct",
-    "skew_audit_events_user",
-    "source_contamination_matrix",
-    "text_bigram_logprob",
-    "text_collocations_lift",
-    "text_langid_trigram_trained",
-    "text_repetition_ratio",
-    "text_tfidf_top_terms",
-    "text_token_entropy",
-    "window_range_frame_30m",
-    "window_session_10m",
-    "window_tumbling_hourly",
-    # -- degenerate-hardened after their newest green, not in r9 window --
-    "events_drift_audit",
-    "events_funnel_3step",
-    "events_linear_trend",
-    "referential_integrity_audit",
-    "model_auc_rank",
-    "feature_mutual_information",
-    "quality_gini_stump",
-    # (the three r6 fills yielded their slots to the never-checked
-    #  r10 additions; the whole r6 cohort is due at r11 regardless)
+    "ann_recall_audit",
+    "asof_join_click_purchase",
+    "basket_brand_pairs",
+    "curation_interleave_schedule",
+    "curation_token_budget_plan",
+    "customer_rfm_segments",
+    "dedup_connected_components",
+    "dedup_incremental_lsh",
+    "dedup_lsh_quality_audit",
+    "dedup_survivors_central",
+    "embedding_gram_matrix",
+    "embedding_power_iteration",
+    "events_changepoint_cusum",
+    "events_fano_burstiness",
+    "events_hourly_anomaly",
+    "events_leadlag_xcorr",
+    "events_survival_hazard",
+    "graph_kcore_peel",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "graph_triangle_count",
+    "kmeans_lloyd_round",
+    "knn_label_agreement",
+    "layout_zorder_audit",
+    "percentile_order_value_bucketed",
+    "profile_documents_columns",
+    "range_join_order_bursts",
+    "record_linkage_customers",
+    "revenue_concentration_gini",
+    "rollup_plus_tail_merge",
+    "rollup_time_lattice",
+    "sample_dedup_weighted",
+    "search_bm25_ranked",
+    "search_conjunctive_terms",
+    "search_phrase_positional",
+    "segment_p90_spenders",
+    "sketch_countmin_freq",
+    "sketch_hll_merge",
+    "sketch_kmv_distinct",
+    "sketch_selfjoin_size",
+    "supplier_return_pchart",
+    "text_bpe_pair_counts",
+    "text_bpe_second_merge",
+    "text_gopher_quality_rules",
+    "text_ngram_novelty",
+    "text_vocab_growth",
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "ann_pq_adc",
+    "anti_join_no_urgent_orders",
 )
 
 
