@@ -113,3 +113,28 @@ def test_bradley_terry_two_mm_steps_exact(spark, sf_dir):
         "BT ranking identical to raw win-rate ranking — suspicious "
         "for schedule-adjusted strengths on unbalanced schedules"
     )
+
+
+def test_bt_edge_quotient_survives_big_n(spark):
+    """The per-edge MM quotient n * 1e12 // max(s1_i + s1_j, 1) must
+    stay exact past n ~ 9.2e6 with a zero-floored divisor — the
+    regime the greatest() guard exists for.  Spark's `div` returns
+    BIGINT and silently WRAPS there (measured: 2e19 came back as
+    1553255926290448384 with ANSI on), so the query keeps the floor
+    division in DECIMAL as (a - a % b) / b; this pins the fixed
+    expression against the arbitrary-precision Python value and the
+    wrap value specifically (ADVICE r10, preference.py)."""
+    n, s = 20_000_000, 0
+    df = spark.createDataFrame([(n, s, s)], "n long, s1_i long, s1_j long")
+    df.createOrReplaceTempView("bt_edge_big_n")
+    got = spark.sql(
+        "SELECT CAST(("
+        " (CAST(n AS DECIMAL(38,0)) * 1000000000000"
+        "  - CAST(n AS DECIMAL(38,0)) * 1000000000000"
+        "    % greatest(s1_i + s1_j, 1))"
+        " / greatest(s1_i + s1_j, 1)"
+        ") AS DECIMAL(38,0)) AS q FROM bt_edge_big_n"
+    ).collect()[0].q
+    want = n * 10 ** 12 // max(s + s, 1)
+    assert int(got) == want
+    assert int(got) != 1553255926290448384  # the int64 wrap artifact

@@ -79,8 +79,12 @@ _QUERY_MODULES = (
 # Round 11 window (50 slots): the 46-query cohort whose newest driver
 # green is round 6 comes due at the MAX_STALENESS_ROUNDS=5 horizon
 # (the full r6 cohort minus the three that re-earned r10 greens via
-# yielded slots), then 4 stalest-r7 fills.  NOTES.md round-11 handoff;
-# rotation emitted by tools/rotate_window.py.
+# yielded slots), then the 3 queries semantically edited this round
+# by the ADVICE r10 fixes (preference_bt_strength DECIMAL floor-div,
+# source_ablation_loso nullif guards, window_range_frame_30m timed
+# tier — edited-after-green, so they need fresh driver rows), then 1
+# stalest-r7 fill.  The displaced r7 fills are due at r12 anyway
+# (49-query cohort ≤ 50 slots).  NOTES.md round-11 handoff.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_recall_audit",
     "asof_join_click_purchase",
@@ -128,10 +132,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_gopher_quality_rules",
     "text_ngram_novelty",
     "text_vocab_growth",
+    "preference_bt_strength",
+    "source_ablation_loso",
+    "window_range_frame_30m",
     "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "ann_pq_adc",
-    "anti_join_no_urgent_orders",
 )
 
 

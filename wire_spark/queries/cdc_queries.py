@@ -16,15 +16,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, events_sane
 
-_ENVELOPE_SQL_CTE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value)
-  OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value,
-  (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00'
-   OR ts >= TIMESTAMP '2100-01-01 00:00:00'
-   THEN NULL ELSE ts END) AS ts)
-  FROM main.events),
+_ENVELOPE_SQL_CTE = EVENTS_SANITIZED_CTE + """,
 env AS (
   SELECT
     lpad(CAST(event_id AS VARCHAR), 12, '0') AS resume_token,

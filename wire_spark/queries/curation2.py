@@ -433,19 +433,19 @@ WITH d AS (
   FROM s
 )
 SELECT source, n_docs,
-       CAST(CAST(tok_s AS HUGEINT) * 1000000 // tok_g AS BIGINT)
+       CAST(CAST(tok_s AS HUGEINT) * 1000000 // nullif(tok_g, 0) AS BIGINT)
          AS token_share_1e6,
        CAST(CAST(tok_g - tok_s AS HUGEINT) * 10000
             // nullif(nn - n_docs, 0) AS BIGINT) AS loso_mean_tok_1e4,
        CAST(CAST(tok_g - tok_s AS HUGEINT) * 10000
             // nullif(nn - n_docs, 0)
-            - CAST(tok_g AS HUGEINT) * 10000 // nn AS BIGINT)
+            - CAST(tok_g AS HUGEINT) * 10000 // nullif(nn, 0) AS BIGINT)
          AS delta_mean_tok_1e4,
        CAST(CAST(stop_g - stop_s AS HUGEINT) * 1000000
             // nullif(tok_g - tok_s, 0) AS BIGINT) AS loso_stop_1e6,
        CAST(CAST(stop_g - stop_s AS HUGEINT) * 1000000
             // nullif(tok_g - tok_s, 0)
-            - CAST(stop_g AS HUGEINT) * 1000000 // tok_g AS BIGINT)
+            - CAST(stop_g AS HUGEINT) * 1000000 // nullif(tok_g, 0) AS BIGINT)
          AS delta_stop_1e6
 FROM s, g
 ORDER BY source
@@ -470,8 +470,9 @@ def source_ablation_loso(spark, sf_dir):
     Exactness: token and stopword counts are integers; every ratio is
     an integer fixed-point floor (HUGEINT/DECIMAL(38,0) widening —
     token totals reach ~1e12 at 100 TB and the 1e6 scaling would
-    overflow int64), and the single-source degenerate (complement is
-    empty) NULL-bands identically via nullif on both engines.
+    overflow int64), and the degenerate corpora — single source
+    (complement empty) and all-whitespace (tok_g = 0) — NULL-band
+    identically via nullif on every denominator on both engines.
 
     Scale shape: one documents scan, map-side combine to source
     grain (sources are few); the global row is an aggregate OVER the
@@ -506,7 +507,7 @@ def source_ablation_loso(spark, sf_dir):
         .select(
             "source", "n_docs",
             F.expr(
-                "CAST(CAST(tok_s AS DECIMAL(38,0)) * 1000000 div tok_g"
+                "CAST(CAST(tok_s AS DECIMAL(38,0)) * 1000000 div nullif(tok_g, 0)"
                 " AS BIGINT)"
             ).alias("token_share_1e6"),
             F.expr(
@@ -516,7 +517,7 @@ def source_ablation_loso(spark, sf_dir):
             F.expr(
                 "CAST(CAST(tok_g - tok_s AS DECIMAL(38,0)) * 10000"
                 " div nullif(nn - n_docs, 0)"
-                " - CAST(tok_g AS DECIMAL(38,0)) * 10000 div nn"
+                " - CAST(tok_g AS DECIMAL(38,0)) * 10000 div nullif(nn, 0)"
                 " AS BIGINT)"
             ).alias("delta_mean_tok_1e4"),
             F.expr(
@@ -526,7 +527,7 @@ def source_ablation_loso(spark, sf_dir):
             F.expr(
                 "CAST(CAST(stop_g - stop_s AS DECIMAL(38,0)) * 1000000"
                 " div nullif(tok_g - tok_s, 0)"
-                " - CAST(stop_g AS DECIMAL(38,0)) * 1000000 div tok_g"
+                " - CAST(stop_g AS DECIMAL(38,0)) * 1000000 div nullif(tok_g, 0)"
                 " AS BIGINT)"
             ).alias("delta_stop_1e6"),
         )

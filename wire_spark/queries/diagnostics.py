@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, events_sane, T
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed
 
 _SKEW_ORACLE = """
 WITH per_key AS (
@@ -75,8 +75,7 @@ def skew_audit_events_user(spark, sf_dir):
 # robust outlier audit: median / MAD per event type
 # --------------------------------------------------------------------
 
-_MAD_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_MAD_ORACLE = EVENTS_SANITIZED_CTE + """,
 ranked AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
@@ -353,8 +352,7 @@ def profile_documents_columns(spark, sf_dir):
 # split the time range at its midpoint, compare each event type's
 # share of traffic across halves in exact basis points. The midpoint
 # and all shares are integers, so the audit is bit-reproducible.
-_DRIFT_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_DRIFT_ORACLE = EVENTS_TIMED_CTE + """,
 b AS (
   SELECT event_type, epoch_us(ts) AS eu FROM events
 ), mm AS (
@@ -519,8 +517,7 @@ def referential_integrity_audit(spark, sf_dir):
 # null is prefix_k - k*S/n; multiplied through by n it becomes
 # n*prefix_k - k*S — exact BIGINTs, so the argmax (the changepoint
 # estimate) is bit-reproducible with no float anywhere.
-_CUSUM_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_CUSUM_ORACLE = EVENTS_TIMED_CTE + """,
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          CAST(count(*) AS BIGINT) AS c

@@ -19,10 +19,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, events_sane, T, msum, r4, tracked_cache
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed, msum, r4, tracked_cache
 
-_TYPE_STATS_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events)
+_TYPE_STATS_ORACLE = EVENTS_SANITIZED_CTE + """
 SELECT
   event_type,
   count(*)                       AS n_events,
@@ -57,8 +56,7 @@ def events_type_stats(spark, sf_dir):
 
 # Tumbling 1-hour windows align to the epoch => identical to
 # date_trunc('hour') bucketing in the oracle.
-_TUMBLING_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
+_TUMBLING_ORACLE = EVENTS_TIMED_CTE + """
 SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
@@ -89,8 +87,7 @@ def window_tumbling_hourly(spark, sf_dir):
 
 # Sliding 1h windows every 30min: each event belongs to exactly 2
 # windows, starting at the enclosing 30-min boundary and 30 min before.
-_SLIDING_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_SLIDING_ORACLE = EVENTS_TIMED_CTE + """,
 buckets AS (
   SELECT
     to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) - (n * INTERVAL 30 MINUTE)
@@ -128,8 +125,7 @@ def window_sliding_30m(spark, sf_dir):
 # classic gaps-and-islands: a new session starts when the previous
 # event of the same user is > gap away; session end = last event + gap
 # (matching Spark's session_window end semantics).
-_SESSION_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_SESSION_ORACLE = EVENTS_TIMED_CTE + """,
 flagged AS (
   SELECT
     user_id, ts, value,
@@ -665,8 +661,7 @@ def events_survival_hazard(spark, sf_dir):
 # LTV cohort triangle: value-weighted sibling of retention_cohorts
 # --------------------------------------------------------------------
 
-_LTV_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_LTV_ORACLE = EVENTS_SANITIZED_CTE + """,
 signups AS (
   SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
   FROM events WHERE event_type = 'signup' GROUP BY user_id

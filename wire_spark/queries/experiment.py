@@ -36,15 +36,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, events_sane, T, md5_long
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
 # one-way ANOVA F across event types
 # --------------------------------------------------------------------
 
-_ANOVA_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_ANOVA_ORACLE = EVENTS_SANITIZED_CTE + """,
 e AS (
   SELECT event_type, CAST(floor(value * 10000.0e0) AS BIGINT) AS v4
   FROM events
@@ -461,8 +460,7 @@ def events_ab_power_mde(spark, sf_dir):
 # group-sequential monitoring: daily looks with an OBF-shaped boundary
 # --------------------------------------------------------------------
 
-_GSEQ_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_GSEQ_ORACLE = EVENTS_TIMED_CTE + """,
 e AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
@@ -606,8 +604,7 @@ def events_group_sequential(spark, sf_dir):
 # quantile treatment effects: per-arm deciles of per-user spend
 # --------------------------------------------------------------------
 
-_QTE_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_QTE_ORACLE = EVENTS_SANITIZED_CTE + """,
 pu AS (
   SELECT user_id,
          CAST(sum(CAST(floor(value * 10000.0e0) AS BIGINT)) AS BIGINT) AS v
@@ -715,8 +712,7 @@ def events_quantile_treatment_effect(spark, sf_dir):
 # difference-in-differences around a mid-experiment boundary
 # --------------------------------------------------------------------
 
-_DID_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_DID_ORACLE = EVENTS_SANITIZED_CTE + """,
 e AS (
   SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 2 = 1 AS treat,

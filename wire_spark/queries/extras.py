@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.operators.joins import asof_join
 from wire_spark.operators.multimodal import attach_media, decode_media
-from wire_spark.queries._util import events_timed, events_sane, T, fmt_ts, r4, t4
+from wire_spark.queries._util import EVENTS_TIMED_CTE, T, events_sane, events_timed, fmt_ts, r4, t4
 
 # --------------------------------------------------------------------
 # the reference's core transform, oracle-verified
@@ -70,8 +70,7 @@ def multimodal_decode_meta(spark, sf_dir):
 # as-of join: each click joined to the user's latest prior purchase
 # --------------------------------------------------------------------
 
-_ASOF_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_ASOF_ORACLE = EVENTS_TIMED_CTE + """,
 clicks AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
@@ -288,8 +287,7 @@ def percentile_order_value_bucketed(spark, sf_dir):
 # sessionization composition: top users by session count
 # --------------------------------------------------------------------
 
-_TOP_SESSIONS_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_TOP_SESSIONS_ORACLE = EVENTS_TIMED_CTE + """,
 flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

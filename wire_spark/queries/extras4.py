@@ -8,7 +8,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T, fmt_ts
+from wire_spark.queries._util import EVENTS_TIMED_CTE, T, events_timed, fmt_ts
 
 # --------------------------------------------------------------------
 # RANGE frame: per-user rolling 30-minute event-value sum
@@ -18,9 +18,12 @@ from wire_spark.queries._util import events_sane, T, fmt_ts
 # affect the result (unlike ROWS frames — see window_running_total's
 # tiebreaker). Spark expresses interval ranges over a numeric column:
 # order by epoch seconds with rangeBetween(-1800, 0); DuckDB uses the
-# native RANGE ... INTERVAL form over the timestamp.
-_RANGE_FRAME_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events)
+# native RANGE ... INTERVAL form over the timestamp.  Timed tier: the
+# frame ORDERs by event time, so rows without an in-domain timestamp
+# are filtered (the _util.py tier rule — keeping NULL order keys would
+# lean on both engines treating the NULL peer group alike, which holds
+# today but is fragile to frame changes; ADVICE r10).
+_RANGE_FRAME_ORACLE = EVENTS_TIMED_CTE + """
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -40,7 +43,7 @@ ORDER BY user_id, event_id
 @register("window_range_frame_30m", oracle=_RANGE_FRAME_ORACLE, bench=True,
           doc="RANGE interval frame: rolling 30-minute per-user sums")
 def window_range_frame_30m(spark, sf_dir):
-    e = events_sane(spark, sf_dir)
+    e = events_timed(spark, sf_dir)
     # epoch micros keep full ts precision for the range bound
     w = (
         W.partitionBy("user_id")

@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, events_sane, T
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed
 
 # --------------------------------------------------------------------
 # band join: order pairs within 7 days of each other (bucket-blocked)
@@ -274,8 +274,7 @@ def record_linkage_customers(spark, sf_dir):
 # sufficient statistics (n, Sx, Sy, Sxy, Sxx) — all BIGINT-exact, all
 # map-side combinable — and the slope falls out of closed form on the
 # tiny result. No per-group sort, no iterative solver, no Python.
-_TREND_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_TREND_ORACLE = EVENTS_SANITIZED_CTE + """,
 b AS (
   SELECT event_type, epoch_us(ts) // 1000000 AS es,
          CAST(floor(value * 10000.0) AS BIGINT) AS y
@@ -358,8 +357,7 @@ def events_linear_trend(spark, sf_dir):
 # two merge because count/sum are decomposable aggregates. The oracle
 # aggregates everything directly — proving the merged path is
 # indistinguishable from the direct one.
-_ROLLUP_TAIL_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
+_ROLLUP_TAIL_ORACLE = EVENTS_TIMED_CTE + """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(floor(value * 10000.0)) AS BIGINT) / 10000.0 AS sum_value

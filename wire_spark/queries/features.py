@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T, md5_long
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, T, events_sane, md5_long
 
 #: histogram-value-buckets per offset row in _hist_prefix's pass 1.
 #: At 100 TB pick it so n_distinct_values/_HIST_BUCKET offset rows
@@ -112,8 +112,7 @@ def _hist_prefix(h, order_col, sums, parts=(), inclusive=True,
 # exponential time-decay engagement score
 # --------------------------------------------------------------------
 
-_DECAY_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_DECAY_ORACLE = EVENTS_SANITIZED_CTE + """,
 mx AS (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id),
 d AS (
   SELECT e.user_id,
@@ -177,8 +176,7 @@ def events_time_decay(spark, sf_dir):
 # time-series resample to an hourly grid + forward fill
 # --------------------------------------------------------------------
 
-_RESAMPLE_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_RESAMPLE_ORACLE = EVENTS_SANITIZED_CTE + """,
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          sum(floor(value * 10000.0)) / 10000.0 AS hv
@@ -354,8 +352,7 @@ def negative_sampling_pairs(spark, sf_dir):
 # pairwise Pearson correlation between event-type hourly series
 # --------------------------------------------------------------------
 
-_TYPECORR_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_TYPECORR_ORACLE = EVENTS_SANITIZED_CTE + """,
 hc AS (
   SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
   FROM events GROUP BY 1, 2

@@ -22,14 +22,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, T, tracked_cache
+from wire_spark.queries._util import EVENTS_TIMED_CTE, T, events_timed, tracked_cache
 
 # --------------------------------------------------------------------
 # first-order Markov transition matrix between event types
 # --------------------------------------------------------------------
 
-_MARKOV_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_MARKOV_ORACLE = EVENTS_TIMED_CTE + """,
 seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
@@ -93,8 +92,7 @@ def events_markov_transitions(spark, sf_dir):
 # most frequent 3-step event-type paths
 # --------------------------------------------------------------------
 
-_TRIGRAM_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_TRIGRAM_ORACLE = EVENTS_TIMED_CTE + """,
 seq AS (
   SELECT user_id, event_type,
          lag(event_type, 1) OVER (PARTITION BY user_id
@@ -147,8 +145,7 @@ def events_trigram_paths(spark, sf_dir):
 # daily activity / adoption growth
 # --------------------------------------------------------------------
 
-_GROWTH_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_GROWTH_ORACLE = EVENTS_TIMED_CTE + """,
 firsts AS (
   SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
   GROUP BY user_id
@@ -422,8 +419,7 @@ def session_dwell_percentiles(spark, sf_dir):
 # multi-touch conversion attribution: first / last / linear credit
 # --------------------------------------------------------------------
 
-_ATTRIBUTION_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_ATTRIBUTION_ORACLE = EVENTS_TIMED_CTE + """,
 conv AS (
   SELECT user_id, ts AS cts, event_id AS cid
   FROM (SELECT user_id, ts, event_id,

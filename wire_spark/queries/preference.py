@@ -240,9 +240,20 @@ def preference_bt_strength(spark, sf_dir):
             # greatest(d, 1) on BOTH sides (the recipe rule): any met
             # pair has a winner with W >= 1, but past ~2e6 contests a
             # brand's s1 can still floor to 0, and two such brands
-            # meeting would otherwise divide by zero under Spark ANSI
-            "sum(CAST(n AS DECIMAL(38,0)) * 1000000000000"
-            " div greatest(s1_i + s1_j, 1))"
+            # meeting would otherwise divide by zero under Spark ANSI.
+            # Floor division stays in DECIMAL as (a - a % b) / b —
+            # Spark's `div` returns BIGINT, so `n * 1e12 div 1` would
+            # ANSI-overflow past n ≈ 9.2e6 per pair, exactly the
+            # s1-floors-to-0 regime the greatest() guard targets,
+            # while the DuckDB oracle's HUGEINT `//` kept going
+            # (ADVICE r10).  a ≥ 0 and b ≥ 1, so the exact decimal
+            # quotient equals the floor on both engines.
+            "sum(CAST(("
+            " (CAST(n AS DECIMAL(38,0)) * 1000000000000"
+            "  - CAST(n AS DECIMAL(38,0)) * 1000000000000"
+            "    % greatest(s1_i + s1_j, 1))"
+            " / greatest(s1_i + s1_j, 1)"
+            ") AS DECIMAL(38,0)))"
         ).alias("d2"))
     )
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_sane, T, md5_long, tracked_cache
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, T, events_sane, md5_long, tracked_cache
 
 # --------------------------------------------------------------------
 # HyperLogLog distinct sketch (m=256 registers, deterministic)
@@ -492,8 +492,7 @@ def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
 # EXACT percentiles without a per-key sort: two-pass bucketed median
 # --------------------------------------------------------------------
 
-_BUCKETED_PCT_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_BUCKETED_PCT_ORACLE = EVENTS_SANITIZED_CTE + """,
 ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.functions.text import ascii_lower
-from wire_spark.queries._util import events_sane, T, md5_long
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, T, events_sane, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
@@ -138,8 +138,7 @@ def events_ab_ztest(spark, sf_dir):
 # Welch's t-test: unequal-variance mean comparison from integer moments
 # --------------------------------------------------------------------
 
-_WELCH_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_WELCH_ORACLE = EVENTS_SANITIZED_CTE + """,
 e AS (
   SELECT event_type = 'click' AS g1, value AS v FROM events
   WHERE event_type IN ('click', 'view') AND value IS NOT NULL
@@ -877,8 +876,7 @@ def orders_ks_test(spark, sf_dir):
 # CUPED: variance-reduced A/B readout with a pre-period covariate
 # --------------------------------------------------------------------
 
-_CUPED_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_CUPED_ORACLE = EVENTS_SANITIZED_CTE + """,
 pu AS (
   SELECT user_id,
          CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))

@@ -33,14 +33,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, T, md5_long
+from wire_spark.queries._util import EVENTS_TIMED_CTE, T, events_timed, md5_long
 
 # --------------------------------------------------------------------
 # autocorrelation function of the daily activity series
 # --------------------------------------------------------------------
 
-_ACF_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_ACF_ORACLE = EVENTS_TIMED_CTE + """,
 d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day
@@ -128,8 +127,7 @@ def events_acf_daily(spark, sf_dir):
 # simple-exponential-smoothing one-step backtest (dyadic, exact)
 # --------------------------------------------------------------------
 
-_SES_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_SES_ORACLE = EVENTS_TIMED_CTE + """,
 d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day
@@ -367,8 +365,7 @@ def events_cate_by_segment(spark, sf_dir):
 # one-step-ahead backtest of the four classic forecast baselines
 # --------------------------------------------------------------------
 
-_BASELINES_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+_BASELINES_ORACLE = EVENTS_TIMED_CTE + """,
 d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY day

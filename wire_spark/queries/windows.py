@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import events_timed, events_sane, T, fmt_ts, r2, t4
+from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed, fmt_ts, r2, t4
 
 _TOPK_ORACLE = """
 SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice, rn
@@ -79,8 +79,7 @@ def window_running_total(spark, sf_dir):
     )
 
 
-_LAG_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value) FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
+_LAG_ORACLE = EVENTS_TIMED_CTE + """
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -139,8 +138,7 @@ def window_rank_ntile(spark, sf_dir):
 # hypertable rollup lattice: week -> day -> hour in ONE pass
 # --------------------------------------------------------------------
 
-_TIME_LATTICE_ORACLE = """
-WITH events AS (SELECT * REPLACE ((CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1.0e12 THEN NULL ELSE value END) AS value, (CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00' OR ts >= TIMESTAMP '2100-01-01 00:00:00' THEN NULL ELSE ts END) AS ts) FROM main.events),
+_TIME_LATTICE_ORACLE = EVENTS_SANITIZED_CTE + """,
 b AS (
   SELECT strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS week_s,
          strftime(date_trunc('day', ts),  '%Y-%m-%d %H:%M:%S') AS day_s,
