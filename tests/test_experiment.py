@@ -242,3 +242,80 @@ def test_fdr_single_scan_and_user_grain_explode(spark, sf_dir):
     n_types = load_table(spark, sf_dir, "events") \
         .select("event_type").distinct().count()
     assert len(_run(spark, sf_dir, "events_fdr_bh")) == n_types
+
+
+def test_ipw_ate_matches_direct_standardization(spark, sf_dir):
+    """Replay the whole IPW readout: user-grain counters, power-of-two
+    activity strata, within-stratum propensities, positivity trimming,
+    and the direct-standardization identity ATE = sum(N_s * d_s) / N
+    (truncated toward zero), plus the naive row — arbitrary-precision
+    Python ints, so this is the DECIMAL(38,0)/HUGEINT arithmetic
+    exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    users = {}
+    for r in ev:
+        if r.user_id is None:
+            continue
+        u = users.setdefault(r.user_id, [0, 0, 0, 0])  # n, clicks, views, y
+        u[0] += 1
+        if r.event_type == "click":
+            u[1] += 1
+        elif r.event_type == "view":
+            u[2] += 1
+        elif r.event_type == "purchase":
+            u[3] += 1
+
+    def band(n):
+        for i, hi in enumerate((2, 4, 8, 16, 32, 64, 128, 256)):
+            if n < hi:
+                return f"b{i}"
+        return "b8"
+
+    strata = {}
+    for n, c, v, y in users.values():
+        s = strata.setdefault(band(n), [0, 0, 0, 0])  # N, T, sy1, sy0
+        treated = c > v
+        s[0] += 1
+        s[1] += 1 if treated else 0
+        s[2 if treated else 3] += y
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    want = {}
+    for name, (N, T, sy1, sy0) in strata.items():
+        p = T * 10 ** 6 // N
+        y1 = sy1 * 10 ** 6 // T if T else None
+        y0 = sy0 * 10 ** 6 // (N - T) if N - T else None
+        d = y1 - y0 if (y1 is not None and y0 is not None) else None
+        want[name] = (N, T, p, y1, y0, d)
+    NU = sum(s[0] for s in strata.values())
+    NT = sum(s[1] for s in strata.values())
+    S1 = sum(s[2] for s in strata.values())
+    S0 = sum(s[3] for s in strata.values())
+    want["ALL_NAIVE"] = (
+        NU, NT, NT * 10 ** 6 // NU,
+        S1 * 10 ** 6 // NT, S0 * 10 ** 6 // (NU - NT),
+        S1 * 10 ** 6 // NT - S0 * 10 ** 6 // (NU - NT))
+    ok = {k: v for k, v in strata.items() if 0 < v[1] < v[0]}
+    num = sum(v[0] * (want[k][5]) for k, v in ok.items())
+    den = sum(v[0] for v in ok.values())
+    want["ALL_IPW"] = (
+        den, sum(v[1] for v in ok.values()), None, None, None,
+        trunc_div(num, den) if den else None)
+
+    rows = _run(spark, sf_dir, "experiment_ipw_ate")
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[r.stratum] == (
+            r.n_users, r.n_treated, r.propensity_1e6,
+            r.y_treated_1e6, r.y_control_1e6, r.ate_1e6), r.stratum
+    # the adjusted estimate must differ from the naive one whenever
+    # propensities vary across strata (the correction is real)
+    by = {r.stratum: r for r in rows}
+    props = {r.propensity_1e6 for r in rows
+             if r.stratum.startswith("b") and 0 < r.n_treated < r.n_users}
+    if len(props) > 1:
+        assert by["ALL_IPW"].ate_1e6 != by["ALL_NAIVE"].ate_1e6

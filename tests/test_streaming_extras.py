@@ -1904,3 +1904,130 @@ def test_streaming_welch_ttest_windows(spark, tmp_path):
     exp10 = replay([5.0] * 10, [5.0] * 10)
     assert got == {9: exp9, 10: exp10}
     assert exp10[4] == 0 and exp9[4] < 0  # treatment mean higher
+
+
+def test_streaming_ipw_ate_batch_parity(spark, tmp_path):
+    """The live confounding-corrected effect monitor: every closed
+    window's stratified (IPW/direct-standardization) and naive
+    estimates equal an arbitrary-precision Python replay of the batch
+    op tree on that window's rows — on engineered composition-drift
+    data where the two estimates genuinely diverge, plus a stratum
+    with a positivity violation that must be trimmed."""
+    from wire_spark.streaming.ab_stream import windowed_ipw_ate
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+
+    def add_user(uid, hour, clicks, views, purchases, pad=0):
+        evs = (["click"] * clicks + ["view"] * views
+               + ["purchase"] * purchases + ["error"] * pad)
+        for k, et in enumerate(evs):
+            rows.append({
+                "ts": (base + dt.timedelta(hours=hour, minutes=0, seconds=k)
+                       ).strftime("%Y-%m-%d %H:%M:%S"),
+                "user_id": uid,
+                "event_type": et,
+            })
+
+    # hour 0: classic confounding. Low-activity stratum (3 events):
+    # 4 control-ish users with 0 purchases, 1 treated with 0; high-
+    # activity stratum (20 events): 4 treated users with 6 purchases,
+    # 1 control with 5. Naive mixes strata; IPW does not.
+    for u in range(4):
+        add_user(100 + u, 0, clicks=1, views=2, purchases=0)      # b1 ctrl
+    add_user(104, 0, clicks=2, views=1, purchases=0)               # b1 treat
+    for u in range(4):
+        add_user(200 + u, 0, clicks=8, views=2, purchases=6, pad=4)  # b4 tr
+    add_user(204, 0, clicks=2, views=8, purchases=5, pad=5)         # b4 ctrl
+    # hour 1: positivity violation in b1 (everyone treated) + one
+    # healthy b4 stratum; the b1 cell must be trimmed from IPW.
+    for u in range(3):
+        add_user(300 + u, 1, clicks=2, views=1, purchases=1)       # b1 all tr
+    add_user(400, 1, clicks=9, views=2, purchases=4, pad=5)         # b4 tr
+    add_user(401, 1, clicks=2, views=9, purchases=3, pad=6)         # b4 ctrl
+    # hour 2: only exists so hours 0-1 close under the watermark
+    add_user(999, 3, clicks=1, views=0, purchases=0)
+
+    src = str(tmp_path / "ipw_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    q = (
+        windowed_ipw_ate(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory").queryName("ipw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ipw_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.w_start: (r.n_users, r.n_treated, r.naive_ate_1e6,
+                    r.ipw_ate_1e6, r.n_strata_ok)
+        for r in spark.sql("SELECT * FROM ipw").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    # replay: the batch op tree in arbitrary-precision ints
+    def band(n):
+        for i, hi in enumerate((2, 4, 8, 16, 32, 64, 128, 256)):
+            if n < hi:
+                return i
+        return 8
+
+    def trunc_div(a, b):
+        q_ = abs(a) // abs(b)
+        return -q_ if (a < 0) != (b < 0) else q_
+
+    max_ts = max(dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+                 for r in rows)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    perwin = {}
+    for r in rows:
+        t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+        w = t.replace(minute=0, second=0)
+        if w + dt.timedelta(hours=1) > cutoff:
+            continue
+        u = perwin.setdefault(w, {}).setdefault(r["user_id"], [0, 0, 0, 0])
+        u[0] += 1
+        if r["event_type"] == "click":
+            u[1] += 1
+        elif r["event_type"] == "view":
+            u[2] += 1
+        elif r["event_type"] == "purchase":
+            u[3] += 1
+    expected = {}
+    for w, users in perwin.items():
+        strata = {}
+        for n, c, v, y in users.values():
+            s = strata.setdefault(band(n), [0, 0, 0, 0])
+            tr = c > v
+            s[0] += 1
+            s[1] += 1 if tr else 0
+            s[2 if tr else 3] += y
+        NU = sum(s[0] for s in strata.values())
+        NT = sum(s[1] for s in strata.values())
+        S1 = sum(s[2] for s in strata.values())
+        S0 = sum(s[3] for s in strata.values())
+        naive = (S1 * 10 ** 6 // NT if NT else None)
+        naive = (None if naive is None or NU == NT
+                 else naive - S0 * 10 ** 6 // (NU - NT))
+        num = den = n_ok = 0
+        for N, T_, sy1, sy0 in strata.values():
+            if 0 < T_ < N:
+                d = sy1 * 10 ** 6 // T_ - sy0 * 10 ** 6 // (N - T_)
+                num += N * d
+                den += N
+                n_ok += 1
+        ipw = trunc_div(num, den) if den else None
+        expected[w] = (NU, NT, naive, ipw, n_ok)
+    assert got == expected
+    h0 = base
+    h1 = base + dt.timedelta(hours=1)
+    # the engineered drift is real: naive and IPW disagree in hour 0
+    assert got[h0][2] != got[h0][3]
+    # hour 1's all-treated b1 stratum is trimmed: exactly 1 ok stratum
+    assert got[h1][4] == 1

@@ -86,6 +86,9 @@ _QUERY_MODULES = (
 # stalest-r7 fill.  The displaced r7 fills are due at r12 anyway
 # (49-query cohort ≤ 50 slots).  NOTES.md round-11 handoff.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (added r11) --
+    "experiment_ipw_ate",
+    # -- the r6-stale cohort + this round's edited queries --
     "ann_recall_audit",
     "asof_join_click_purchase",
     "basket_brand_pairs",
@@ -135,7 +138,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "preference_bt_strength",
     "source_ablation_loso",
     "window_range_frame_30m",
-    "ann_ivf_cosine",
 )
 
 

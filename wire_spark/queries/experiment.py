@@ -825,3 +825,229 @@ def events_did_lift(spark, sf_dir):
             " THEN 0 ELSE 1 END AS BIGINT)"
         ).alias("degenerate"),
     )
+
+
+# --------------------------------------------------------------------
+# inverse-propensity-weighted ATE via within-stratum propensities
+# --------------------------------------------------------------------
+
+_IPW_ORACLE = EVENTS_SANITIZED_CTE + """,
+u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_u,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks_u,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views_u,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS y_u
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), su AS (
+  SELECT CASE WHEN n_u < 2 THEN 'b0' WHEN n_u < 4 THEN 'b1'
+              WHEN n_u < 8 THEN 'b2' WHEN n_u < 16 THEN 'b3'
+              WHEN n_u < 32 THEN 'b4' WHEN n_u < 64 THEN 'b5'
+              WHEN n_u < 128 THEN 'b6' WHEN n_u < 256 THEN 'b7'
+              ELSE 'b8' END AS stratum,
+         clicks_u > views_u AS treated, y_u
+  FROM u
+), s AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(*) FILTER (treated) AS BIGINT) AS n_treated,
+         CAST(coalesce(sum(y_u) FILTER (treated), 0) AS BIGINT) AS sy1,
+         CAST(coalesce(sum(y_u) FILTER (NOT treated), 0) AS BIGINT) AS sy0
+  FROM su GROUP BY stratum
+), sd AS (
+  SELECT stratum, n_users, n_treated,
+         CAST(CAST(n_treated AS HUGEINT) * 1000000 // n_users AS BIGINT)
+           AS propensity_1e6,
+         CAST(CAST(sy1 AS HUGEINT) * 1000000
+              // nullif(n_treated, 0) AS BIGINT) AS y_treated_1e6,
+         CAST(CAST(sy0 AS HUGEINT) * 1000000
+              // nullif(n_users - n_treated, 0) AS BIGINT) AS y_control_1e6
+  FROM s
+)
+SELECT stratum, n_users, n_treated, propensity_1e6,
+       y_treated_1e6, y_control_1e6,
+       CAST(y_treated_1e6 - y_control_1e6 AS BIGINT) AS ate_1e6
+FROM sd
+UNION ALL
+SELECT 'ALL_NAIVE', CAST(sum(n_users) AS BIGINT),
+       CAST(sum(n_treated) AS BIGINT),
+       CAST(CAST(sum(n_treated) AS HUGEINT) * 1000000
+            // nullif(sum(n_users), 0) AS BIGINT),
+       CAST(CAST(sum(sy1) AS HUGEINT) * 1000000
+            // nullif(sum(n_treated), 0) AS BIGINT),
+       CAST(CAST(sum(sy0) AS HUGEINT) * 1000000
+            // nullif(sum(n_users) - sum(n_treated), 0) AS BIGINT),
+       CAST(CAST(sum(sy1) AS HUGEINT) * 1000000
+            // nullif(sum(n_treated), 0)
+            - CAST(sum(sy0) AS HUGEINT) * 1000000
+              // nullif(sum(n_users) - sum(n_treated), 0) AS BIGINT)
+FROM s GROUP BY 1
+UNION ALL
+SELECT 'ALL_IPW', CAST(sum(n_users) AS BIGINT),
+       CAST(sum(n_treated) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(sum(CAST(n_users AS HUGEINT)
+                * (y_treated_1e6 - y_control_1e6))
+            // nullif(sum(CAST(n_users AS HUGEINT)), 0) AS BIGINT)
+FROM sd
+WHERE n_treated >= 1 AND n_treated < n_users
+GROUP BY 1
+ORDER BY stratum
+"""
+
+
+@register("experiment_ipw_ate", oracle=_IPW_ORACLE, bench=True,
+          doc="inverse-propensity-weighted ATE: within-stratum "
+              "propensities over activity bands, per-stratum effects, "
+              "positivity trimming, and the IPW estimate next to the "
+              "confounded naive difference")
+def experiment_ipw_ate(spark, sf_dir):
+    """Observational causal readout: the average treatment effect of
+    a behavioral "treatment" (user clicks more than they view) on a
+    count outcome (purchases per user), estimated three ways in one
+    result — per-stratum effects, the unadjusted (naive) difference,
+    and the propensity-adjusted estimate.  Strata are deterministic
+    activity bands (powers-of-two on the user's event count), the
+    propensity inside a stratum is the treated share, and with
+    discrete strata the Horvitz-Thompson IPW estimator reduces
+    EXACTLY to direct standardization: ATE = sum_s N_s * d_s / N over
+    strata that satisfy positivity (both arms present); strata with
+    e_s in {0, 1} are trimmed, and the ALL_IPW row reports the
+    estimator over the trimmed population next to ALL_NAIVE over
+    everyone — the gap IS the confounding correction.
+
+    Exactness: every input is an integer count; per-stratum means are
+    1e-6 fixed-point integer floors (dividends non-negative, so floor
+    = truncate on both engines), the per-stratum effect d_s is an
+    int64 difference, and the IPW sum runs in DECIMAL(38,0)/HUGEINT
+    with ONE final quotient truncated toward zero identically by
+    Spark's ``div`` and DuckDB's integer ``//``.  Quotient budget
+    (module rule): means are <= 1e6 * purchases-per-user and the ATE
+    is bounded by max |d_s| — inside int64 until a single user holds
+    > 9.2e12 purchase events.  Arm-empty and no-positivity
+    degenerates NULL-band via nullif on both engines; the all-NULL
+    no-groupBy sentinel is avoided by grouping the summary rows on a
+    constant (the quality_gini_stump lesson).
+
+    Scale shape: one events scan -> user-grain partial-aggregated
+    shuffle (the only data-sized exchange) -> <= 9-row stratum
+    relation; both summary rows aggregate the stratum relation, never
+    the scan.  At 100 TB: user cardinality bounds the shuffle; no
+    window functions, no joins, no second scan.
+
+    Reference anchor: none — LLM-brief extension (experimentation /
+    decision layer, like events_cate_by_segment and events_did).
+    """
+    u = (
+        events_sane(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks_u"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views_u"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y_u"),
+        )
+    )
+    su = u.select(
+        F.expr(
+            "CASE WHEN n_u < 2 THEN 'b0' WHEN n_u < 4 THEN 'b1'"
+            " WHEN n_u < 8 THEN 'b2' WHEN n_u < 16 THEN 'b3'"
+            " WHEN n_u < 32 THEN 'b4' WHEN n_u < 64 THEN 'b5'"
+            " WHEN n_u < 128 THEN 'b6' WHEN n_u < 256 THEN 'b7'"
+            " ELSE 'b8' END"
+        ).alias("stratum"),
+        (F.col("clicks_u") > F.col("views_u")).alias("treated"),
+        "y_u",
+    )
+    s = su.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("treated"), 1)).alias("n_treated"),
+        F.coalesce(F.sum(F.when(F.col("treated"), F.col("y_u"))), F.lit(0))
+        .alias("sy1"),
+        F.coalesce(F.sum(F.when(~F.col("treated"), F.col("y_u"))), F.lit(0))
+        .alias("sy0"),
+    )
+    # the stratum relation is <= 9 rows and feeds three branches;
+    # localCheckpoint (eager) materializes it once, the
+    # basket_brand_pairs idiom
+    s = s.localCheckpoint(eager=True)
+    sd = s.select(
+        "stratum", "n_users", "n_treated",
+        F.expr(
+            "CAST(CAST(n_treated AS DECIMAL(38,0)) * 1000000"
+            " div n_users AS BIGINT)"
+        ).alias("propensity_1e6"),
+        F.expr(
+            "CAST(CAST(sy1 AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_treated, 0) AS BIGINT)"
+        ).alias("y_treated_1e6"),
+        F.expr(
+            "CAST(CAST(sy0 AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_users - n_treated, 0) AS BIGINT)"
+        ).alias("y_control_1e6"),
+    )
+    per_stratum = sd.select(
+        "stratum", "n_users", "n_treated", "propensity_1e6",
+        "y_treated_1e6", "y_control_1e6",
+        F.expr("CAST(y_treated_1e6 - y_control_1e6 AS BIGINT)")
+        .alias("ate_1e6"),
+    )
+    naive = (
+        s.groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.sum("n_users").alias("nu"),
+            F.sum("n_treated").alias("nt"),
+            F.sum("sy1").alias("t1"),
+            F.sum("sy0").alias("t0"),
+        )
+        .select(
+            F.lit("ALL_NAIVE").alias("stratum"),
+            F.col("nu").alias("n_users"),
+            F.col("nt").alias("n_treated"),
+            F.expr(
+                "CAST(CAST(nt AS DECIMAL(38,0)) * 1000000"
+                " div nullif(nu, 0) AS BIGINT)"
+            ).alias("propensity_1e6"),
+            F.expr(
+                "CAST(CAST(t1 AS DECIMAL(38,0)) * 1000000"
+                " div nullif(nt, 0) AS BIGINT)"
+            ).alias("y_treated_1e6"),
+            F.expr(
+                "CAST(CAST(t0 AS DECIMAL(38,0)) * 1000000"
+                " div nullif(nu - nt, 0) AS BIGINT)"
+            ).alias("y_control_1e6"),
+            F.expr(
+                "CAST(CAST(t1 AS DECIMAL(38,0)) * 1000000 div nullif(nt, 0)"
+                " - CAST(t0 AS DECIMAL(38,0)) * 1000000"
+                "   div nullif(nu - nt, 0) AS BIGINT)"
+            ).alias("ate_1e6"),
+        )
+    )
+    ipw = (
+        sd.filter((F.col("n_treated") >= 1)
+                  & (F.col("n_treated") < F.col("n_users")))
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.sum("n_users").alias("nu"),
+            F.sum("n_treated").alias("nt"),
+            F.expr(
+                "sum(CAST(n_users AS DECIMAL(38,0))"
+                " * (y_treated_1e6 - y_control_1e6))"
+            ).alias("num"),
+        )
+        .select(
+            F.lit("ALL_IPW").alias("stratum"),
+            F.col("nu").alias("n_users"),
+            F.col("nt").alias("n_treated"),
+            F.lit(None).cast("long").alias("propensity_1e6"),
+            F.lit(None).cast("long").alias("y_treated_1e6"),
+            F.lit(None).cast("long").alias("y_control_1e6"),
+            F.expr(
+                "CAST(num div nullif(CAST(nu AS DECIMAL(38,0)), 0)"
+                " AS BIGINT)"
+            ).alias("ate_1e6"),
+        )
+    )
+    return per_stratum.unionAll(naive).unionAll(ipw).orderBy("stratum")

@@ -395,3 +395,125 @@ def srm_sequential_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_IPW_BANDS = ((0, 2), (1, 4), (2, 8), (3, 16), (4, 32), (5, 64),
+              (6, 128), (7, 256), (8, None))
+
+
+def windowed_ipw_ate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    treat_type: str = "click",
+    control_type: str = "view",
+    outcome_type: str = "purchase",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per closed window: (w_start, w_end, n_users, n_treated,
+    naive_ate_1e6, ipw_ate_1e6, n_strata_ok) — the live
+    confounding-corrected treatment-effect readout, streaming sibling
+    of the batch ``experiment_ipw_ate`` (queries/experiment.py).
+
+    Why windowed IPW: the naive treated-vs-control gap drifts
+    whenever the ACTIVITY MIX shifts (a bot wave, a traffic spike
+    from one surface) even with no real effect change; the
+    within-stratum standardized estimate is invariant to that mix by
+    construction, so naive moving while IPW holds still is itself the
+    diagnosis — composition drift, not effect drift.
+
+    Shape: two chained windowed aggregations (the windowed_srm_check
+    pattern) — agg-1 to (window, user) counters (n/clicks/views/
+    purchases per user per window), agg-2 rolls windows up over the
+    NINE fixed powers-of-two activity strata as conditional counters
+    (36 integer cells per window), then the whole estimator — per-
+    stratum fixed-point means, positivity trimming, the
+    direct-standardization sum — is closed-form scalar arithmetic on
+    that one window row, the EXACT op tree of the batch query
+    (``div`` floors on non-negative dividends; the final signed
+    quotient truncates toward zero identically on replay).  State is
+    live-windows x users for agg-1 (watermark-bounded) and
+    live-windows x 1 for agg-2; append mode emits closed windows
+    only, so every row is final.
+    """
+    per_user = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.count(F.when(F.col(type_col) == treat_type, 1))
+            .alias("clicks_u"),
+            F.count(F.when(F.col(type_col) == control_type, 1))
+            .alias("views_u"),
+            F.count(F.when(F.col(type_col) == outcome_type, 1))
+            .alias("y_u"),
+        )
+    )
+    band = "CASE " + " ".join(
+        f"WHEN n_u < {hi} THEN {i}" for i, hi in _IPW_BANDS if hi
+    ) + " ELSE 8 END"
+    su = per_user.select(
+        "w",
+        F.expr(band).alias("sb"),
+        (F.col("clicks_u") > F.col("views_u")).alias("treated"),
+        "y_u",
+    )
+    cells = []
+    for i, _ in _IPW_BANDS:
+        cells += [
+            F.count(F.when(F.col("sb") == i, 1)).alias(f"n_s{i}"),
+            F.count(F.when((F.col("sb") == i) & F.col("treated"), 1))
+            .alias(f"t_s{i}"),
+            F.coalesce(F.sum(F.when((F.col("sb") == i) & F.col("treated"),
+                                    F.col("y_u"))), F.lit(0))
+            .alias(f"y1_s{i}"),
+            F.coalesce(F.sum(F.when((F.col("sb") == i) & ~F.col("treated"),
+                                    F.col("y_u"))), F.lit(0))
+            .alias(f"y0_s{i}"),
+        ]
+    agg = su.groupBy("w").agg(*cells)
+
+    def _d(i: int) -> str:
+        # per-stratum effect in 1e-6 units, NULL unless positivity
+        return (
+            f"(CAST(CAST(y1_s{i} AS DECIMAL(38,0)) * 1000000"
+            f" div nullif(t_s{i}, 0) AS BIGINT)"
+            f" - CAST(CAST(y0_s{i} AS DECIMAL(38,0)) * 1000000"
+            f" div nullif(n_s{i} - t_s{i}, 0) AS BIGINT))"
+        )
+
+    ok = [f"(t_s{i} >= 1 AND t_s{i} < n_s{i})" for i, _ in _IPW_BANDS]
+    nu = " + ".join(f"n_s{i}" for i, _ in _IPW_BANDS)
+    nt = " + ".join(f"t_s{i}" for i, _ in _IPW_BANDS)
+    y1 = " + ".join(f"y1_s{i}" for i, _ in _IPW_BANDS)
+    y0 = " + ".join(f"y0_s{i}" for i, _ in _IPW_BANDS)
+    num = " + ".join(
+        f"CASE WHEN {ok[i]} THEN CAST(n_s{i} AS DECIMAL(38,0)) * {_d(i)}"
+        f" ELSE CAST(0 AS DECIMAL(38,0)) END"
+        for i, _ in _IPW_BANDS
+    )
+    den = " + ".join(
+        f"CASE WHEN {ok[i]} THEN n_s{i} ELSE 0 END" for i, _ in _IPW_BANDS
+    )
+    n_ok = " + ".join(
+        f"CASE WHEN {ok[i]} THEN 1 ELSE 0 END" for i, _ in _IPW_BANDS
+    )
+    return agg.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        F.expr(f"CAST({nu} AS BIGINT)").alias("n_users"),
+        F.expr(f"CAST({nt} AS BIGINT)").alias("n_treated"),
+        F.expr(
+            f"CAST(CAST({y1} AS DECIMAL(38,0)) * 1000000"
+            f" div nullif({nt}, 0)"
+            f" - CAST({y0} AS DECIMAL(38,0)) * 1000000"
+            f" div nullif(({nu}) - ({nt}), 0) AS BIGINT)"
+        ).alias("naive_ate_1e6"),
+        F.expr(
+            f"CAST(({num}) div nullif(CAST({den} AS DECIMAL(38,0)), 0)"
+            f" AS BIGINT)"
+        ).alias("ipw_ate_1e6"),
+        F.expr(f"CAST({n_ok} AS BIGINT)").alias("n_strata_ok"),
+    )
