@@ -831,7 +831,19 @@ def events_did_lift(spark, sf_dir):
 # inverse-propensity-weighted ATE via within-stratum propensities
 # --------------------------------------------------------------------
 
-_IPW_ORACLE = EVENTS_SANITIZED_CTE + """,
+# Powers-of-two activity cutpoints shared by the batch IPW query (both
+# dialects) and the streaming sibling (streaming/ab_stream.py imports
+# them) — one source of truth for the stratum domain (the ADVICE r10
+# single-source rule for duplicated expression text).
+IPW_BAND_CUTPOINTS: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128, 256)
+
+#: dialect-neutral stratum CASE over a user's event count n_u
+IPW_BAND_CASE = "CASE " + " ".join(
+    f"WHEN n_u < {hi} THEN 'b{i}'"
+    for i, hi in enumerate(IPW_BAND_CUTPOINTS)
+) + f" ELSE 'b{len(IPW_BAND_CUTPOINTS)}' END"
+
+_IPW_ORACLE = EVENTS_SANITIZED_CTE + f""",
 u AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_u,
@@ -841,11 +853,7 @@ u AS (
   FROM events WHERE user_id IS NOT NULL
   GROUP BY user_id
 ), su AS (
-  SELECT CASE WHEN n_u < 2 THEN 'b0' WHEN n_u < 4 THEN 'b1'
-              WHEN n_u < 8 THEN 'b2' WHEN n_u < 16 THEN 'b3'
-              WHEN n_u < 32 THEN 'b4' WHEN n_u < 64 THEN 'b5'
-              WHEN n_u < 128 THEN 'b6' WHEN n_u < 256 THEN 'b7'
-              ELSE 'b8' END AS stratum,
+  SELECT {IPW_BAND_CASE} AS stratum,
          clicks_u > views_u AS treated, y_u
   FROM u
 ), s AS (
@@ -951,13 +959,7 @@ def experiment_ipw_ate(spark, sf_dir):
         )
     )
     su = u.select(
-        F.expr(
-            "CASE WHEN n_u < 2 THEN 'b0' WHEN n_u < 4 THEN 'b1'"
-            " WHEN n_u < 8 THEN 'b2' WHEN n_u < 16 THEN 'b3'"
-            " WHEN n_u < 32 THEN 'b4' WHEN n_u < 64 THEN 'b5'"
-            " WHEN n_u < 128 THEN 'b6' WHEN n_u < 256 THEN 'b7'"
-            " ELSE 'b8' END"
-        ).alias("stratum"),
+        F.expr(IPW_BAND_CASE).alias("stratum"),
         (F.col("clicks_u") > F.col("views_u")).alias("treated"),
         "y_u",
     )

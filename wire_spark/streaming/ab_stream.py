@@ -397,8 +397,12 @@ def srm_sequential_monitor(
     )
 
 
-_IPW_BANDS = ((0, 2), (1, 4), (2, 8), (3, 16), (4, 32), (5, 64),
-              (6, 128), (7, 256), (8, None))
+from wire_spark.queries.experiment import IPW_BAND_CUTPOINTS
+
+# (band index, exclusive upper cutpoint) — the batch query's stratum
+# domain, shared so the monitor can never drift from it
+_IPW_BANDS = tuple(enumerate(IPW_BAND_CUTPOINTS)) + (
+    (len(IPW_BAND_CUTPOINTS), None),)
 
 
 def windowed_ipw_ate(
@@ -453,7 +457,7 @@ def windowed_ipw_ate(
     )
     band = "CASE " + " ".join(
         f"WHEN n_u < {hi} THEN {i}" for i, hi in _IPW_BANDS if hi
-    ) + " ELSE 8 END"
+    ) + f" ELSE {len(IPW_BAND_CUTPOINTS)} END"
     su = per_user.select(
         "w",
         F.expr(band).alias("sb"),
