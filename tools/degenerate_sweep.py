@@ -10,6 +10,7 @@ Usage:
     python tools/degenerate_sweep.py unicode    # multibyte/emoji text
     python tools/degenerate_sweep.py extremes   # NaN/inf/huge doubles
     python tools/degenerate_sweep.py timewarp   # epoch-0/pre-1970/9999/NULL ts
+    python tools/degenerate_sweep.py longdocs   # 100KB docs / giant tokens
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -40,6 +41,7 @@ KNOWN_NULLS: set[str] = set()
 KNOWN_UNICODE: set[str] = set()
 KNOWN_EXTREMES: set[str] = set()
 KNOWN_TIMEWARP: set[str] = set()
+KNOWN_LONGDOCS: set[str] = set()
 
 # Hostile text hunting cross-engine string-semantics divergences:
 # multibyte Latin, CJK (no spaces), an emoji, Greek with a WORD-FINAL
@@ -114,6 +116,28 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                       F.lit(None).cast("timestamp"))
                 .otherwise(F.col("ts")),
             )
+        elif mode == "longdocs" and t == "documents":
+            from pyspark.sql import functions as F
+            # hostile long strings: ~100 KB repeated text (extreme
+            # repetition, huge token counts), a single 50k-char
+            # unbroken token (tokenizers see ONE token; its char
+            # n-gram set collapses to one shingle), a two-token
+            # 30k-cycle (BPE/collocation stress), and a doc with
+            # 20k DISTINCT tokens (per-doc vocabulary explosion)
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.expr("repeat(concat(text, ' '), 200)"))
+                .when(F.col("doc_id") % 7 == 0,
+                      F.expr("repeat('a', 50000)"))
+                .when(F.col("doc_id") % 11 == 0,
+                      F.expr("repeat('ab ', 30000)"))
+                .when(F.col("doc_id") % 13 == 0,
+                      F.expr("concat_ws(' ', transform("
+                             "sequence(1, 20000),"
+                             " i -> concat('w', CAST(i AS STRING))))"))
+                .otherwise(F.col("text")),
+            )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -138,7 +162,8 @@ def main() -> int:
     known = {"empty": KNOWN_EMPTY, "one_row": KNOWN_ONE_ROW,
              "clicks": set(), "nulls": KNOWN_NULLS,
              "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES,
-             "timewarp": KNOWN_TIMEWARP}[mode]
+             "timewarp": KNOWN_TIMEWARP,
+             "longdocs": KNOWN_LONGDOCS}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"
