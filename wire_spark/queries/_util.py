@@ -202,16 +202,28 @@ def t6(col):
 
 def word_shingles(text_col: str = "text", k: int = 3):
     """Distinct word k-gram shingles of a text column (JVM-side only:
-    split + transform higher-order function, no Python UDF).
+    split + zip_with higher-order functions, no Python UDF).
 
     Matches the DuckDB oracle formulation
     ``[words[i] || ' ' || ... for i in range(1, len(words)-k+2)]``.
+
+    Shape: k shifted slices of the split array zipped positionally.
+    The earlier ``transform(sequence(...), i -> slice(words, i, k))``
+    form CAPTURED the split expression inside the lambda, and Spark
+    re-evaluates a captured expression per element — O(words²) string
+    splitting per document (measured: one 16k-word doc took 15.6 s vs
+    0.2 s for this form; the r11 ``longdocs`` sweep found the whole
+    shingle-backed dedup/graph family timing out on 100 KB docs).
+    Here every array expression is top-level, evaluated once per row,
+    and the zip lambdas touch only their element arguments — linear.
     """
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    starts = F.sequence(F.lit(1), n - (k - 1))  # 1-based
-    shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return F.array_distinct(F.when(n >= k, shingles).otherwise(F.array()))
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    parts = [F.slice(w, i + 1, n - (k - 1)) for i in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.when(n >= k, zipped).otherwise(F.array()))
 
 
 def md5_long(col):
