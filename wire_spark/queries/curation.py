@@ -398,20 +398,34 @@ def context_chunking_plan(spark, sf_dir):
     all-integer, so the oracle (closed-form via generate_series)
     matches exactly."""
     d = T(spark, sf_dir, "documents")
+    # the token count is bound through a one-element struct array so
+    # the window lambda reads it as a FIELD of its own argument: the
+    # earlier form captured size(split(text)) inside the lambda and
+    # re-split the document once per chunk — O(tokens²/stride) per
+    # doc, 64 s on the r11 longdocs corpus vs ~2 s for this form
+    # n_tokens is NOT projected next to the explode: a column that
+    # rides through a Generate gets re-evaluated per generated row
+    # (the split ran once per chunk — quadratic on long docs, 32 s on
+    # the r11 longdocs corpus).  The last chunk always ends at the
+    # document's final token, so n_tokens is recovered in the rollup
+    # as max(start + chunk_len - 1).
     chunks = d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')), 96), "
-                "s -> struct(s AS start, "
-                "least(128, size(split(text, ' ')) - s + 1) AS chunk_len))"
+                "flatten(transform("
+                " array(named_struct('nt', size(split(text, ' ')))),"
+                " d -> transform(sequence(1, d.nt, 96),"
+                "  s -> struct(s AS start,"
+                "   least(128, d.nt - s + 1) AS chunk_len))))"
             )
         ).alias("ch"),
     )
     return (
-        chunks.groupBy("doc_id", "n_tokens")
+        chunks.groupBy("doc_id")
         .agg(
+            F.max(F.col("ch.start") + F.col("ch.chunk_len") - 1)
+            .cast("int").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("ch.chunk_len").alias("emitted_tokens"),
         )

@@ -882,17 +882,33 @@ def dedup_components_star(spark, sf_dir):
 # minima -> cross-doc overlap
 # --------------------------------------------------------------------
 
+# Positional k-grams and the width-4 window minimum are both zips of
+# shifted slices (DuckDB slices are 1-based INCLUSIVE, so hs[i:i+3]
+# was a FOUR-element window): a comprehension that slices per index
+# is quadratic in list length — measured 227 s vs 0.09 s on twenty
+# 30k-element lists (the r11 longdocs sweep; same lesson as the
+# Spark side's captured-lambda rewrite).
 _WINNOW_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
 ), sh AS (
+  -- the len >= 3 guard matters: a shorter doc makes len(words)-2
+  -- NEGATIVE and DuckDB slices then count from the END, producing
+  -- unequal slices that list_zip NULL-pads (the comprehension's
+  -- empty range needed no guard)
   SELECT doc_id,
-         [ CAST(CONCAT('0x', SUBSTRING(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15)) AS BIGINT)
-           for i in range(1, len(words) - 1) ] AS hs
+         CASE WHEN len(words) >= 3 THEN list_transform(
+           list_zip(words[1:len(words)-2], words[2:len(words)-1],
+                    words[3:len(words)]),
+           z -> CAST(CONCAT('0x', SUBSTRING(md5(z[1] || ' ' || z[2] || ' ' || z[3]), 1, 15)) AS BIGINT)
+         ) ELSE [] END AS hs
   FROM w
 ), fp AS (
   SELECT DISTINCT doc_id,
-         unnest([ list_min(hs[i:i+3]) for i in range(1, len(hs) - 2) ]) AS fp
+         unnest(list_transform(
+           list_zip(hs[1:len(hs)-3], hs[2:len(hs)-2],
+                    hs[3:len(hs)-1], hs[4:len(hs)]),
+           z -> least(z[1], z[2], z[3], z[4]))) AS fp
   FROM sh WHERE len(hs) >= 4
 ), capped AS (
   SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
@@ -924,18 +940,36 @@ def winnow_pair_overlap(docs, k: int = 3, w: int = 4, df_cap: int = 100):
     # is empty for the same bounds
     wd = docs.select("doc_id", words.alias("ws")).filter(
         F.size("ws") >= k)
-    # positional (NOT distinct) k-gram hashes
+    # positional (NOT distinct) k-gram hashes — built from k shifted
+    # slices zipped positionally, then hashed with a lambda that
+    # touches only its element argument.  The earlier
+    # transform(sequence(...), i -> md5(concat_ws(slice(ws, i, k))))
+    # form captured ws, and Catalyst's projection collapse re-inlines
+    # the split() behind it into the lambda — re-evaluated per
+    # element, O(words²) per document (the r11 longdocs timeout; the
+    # word_shingles lesson applied to the positional form)
+    def _shifted(col, count):
+        n_expr = F.size(col)
+        return [F.slice(col, i + 1, n_expr - (count - 1))
+                for i in range(count)]
+
+    def _zip_fold(cols, combine):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = F.zip_with(acc, c, combine)
+        return acc
+
+    grams = _zip_fold(_shifted(F.col("ws"), k),
+                      lambda a, b: F.concat_ws(" ", a, b))
     hs = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, k))), 1, 15), 16, 10
-        ).cast("long"),
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
     d = wd.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= w)
-    m = F.size("hs")
-    wins = F.transform(
-        F.sequence(F.lit(1), m - (w - 1)), lambda i: F.array_min(F.slice("hs", i, w))
-    )
+    # sliding window-min of width w as a least()-fold over w shifted
+    # slices: each zip references hs once per ROW (never per element)
+    wins = _zip_fold(_shifted(F.col("hs"), w),
+                     lambda a, b: F.least(a, b))
     # df cap as a window count over the same fp key the join shuffles
     # on (exchange reuse, no extra shuffle — the _jaccard_pairs
     # pattern); cached because the md5-per-position extraction feeds

@@ -409,15 +409,19 @@ _FEATURE_ORACLE = """
 WITH pos AS (
   -- BYTE grain, not characters: the kernel histograms the UTF-8
   -- payload bytes (it stands in for a binary-media embedding), so
-  -- the oracle walks hex(encode(text)) pairwise; ord(char) would
-  -- diverge on multibyte text (unicode sweep)
-  SELECT doc_id, source, hex(encode(text)) AS h,
+  -- the oracle walks hex(encode(text)) in byte pairs; ord(char)
+  -- would diverge on multibyte text (unicode sweep).  The pairs
+  -- come from ONE linear regexp_extract_all scan — the earlier
+  -- per-index substring(h, 2*i+1, 2) walk is O(position) per call,
+  -- quadratic in document bytes (r11 longdocs: this oracle ran
+  -- 400+ s on 100 KB docs; the regex form is sub-second)
+  SELECT doc_id, source,
          octet_length(encode(text)) AS n,
-         unnest(range(0, octet_length(encode(text)))) AS i
+         unnest(regexp_extract_all(hex(encode(text)), '..')) AS bp
   FROM documents WHERE octet_length(encode(text)) > 0
 ), hist AS (
   SELECT doc_id, source, n,
-         CAST(CONCAT('0x', substring(h, 2 * i + 1, 2)) AS INT) % 16 AS bkt,
+         CAST(CONCAT('0x', bp) AS INT) % 16 AS bkt,
          CAST(count(*) AS BIGINT) AS c
   FROM pos GROUP BY doc_id, source, n, bkt
 ), share AS (

@@ -735,8 +735,14 @@ WITH d AS (
            / (4.0e0 * g.n * 10000.0e0) AS mi
   FROM d, g
 ), p AS (
+  -- clamp: a saturated margin makes the sigmoid EXACTLY 0.0/1.0 in
+  -- doubles and ln(0) then errors in DuckDB while Spark NULL-bands
+  -- (r11 longdocs divergence); the clamp is the standard logloss
+  -- epsilon, the identical op tree on both engines, and a no-op on
+  -- any non-degenerate margin (|mi| < 27)
   SELECT y, x1, x2, n, g1, g2, gb,
-         1.0e0 / (1.0e0 + exp(-mi)) AS pi
+         least(greatest(1.0e0 / (1.0e0 + exp(-mi)), 1.0e-12),
+               1.0e0 - 1.0e-12) AS pi
   FROM m
 ), a AS (
   SELECT n, g1, g2, gb,
@@ -791,7 +797,10 @@ def quality_logreg_step(spark, sf_dir):
         "mi",
         F.expr("(g1 * x1 + g2 * x2 + gb) / (4.0e0 * n * 10000.0e0)"),
     )
-    p = m.withColumn("pi", F.expr("1.0e0 / (1.0e0 + exp(-mi))"))
+    # clamped sigmoid — see the oracle comment (longdocs ln(0) fix)
+    p = m.withColumn("pi", F.expr(
+        "least(greatest(1.0e0 / (1.0e0 + exp(-mi)), 1.0e-12),"
+        " 1.0e0 - 1.0e-12)"))
     a = p.select(
         "n", "g1", "g2", "gb",
         F.expr("CAST(floor(-(y * ln(pi) + (1 - y) * ln(1.0e0 - pi)) "

@@ -26,10 +26,19 @@ from wire_spark.queries._util import T
 _LANGID_ORACLE = """
 WITH d AS (SELECT doc_id, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
            WHERE lang IS NOT NULL),
+-- char trigrams as a zip of three shifted char-array slices: both a
+-- slicing comprehension and per-index substring() are O(position)
+-- on UTF-8 strings, turning the explode quadratic in document
+-- length (the r11 longdocs sweep: 100 KB docs pushed this oracle
+-- past 380 s; the zip form is linear)
+cd AS (SELECT doc_id, lang, t, string_split(t, '') AS cs
+       FROM d WHERE length(t) >= 3),
 tri AS (
   SELECT doc_id, lang,
-         unnest([substring(t, i, 3) for i in range(1, length(t) - 1)]) AS tri
-  FROM d WHERE length(t) >= 3
+         unnest(list_transform(
+           list_zip(cs[1:length(t)-2], cs[2:length(t)-1], cs[3:length(t)]),
+           z -> z[1] || z[2] || z[3])) AS tri
+  FROM cd
 ),
 cnt AS (SELECT lang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
 prof AS (
@@ -89,7 +98,22 @@ def text_langid_trigram_trained(spark, sf_dir):
     ).select(
         "doc_id", "lang", ascii_lower(F.col("text")).alias("t")
     )
-    trigrams = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+    # char trigrams as a zip of three shifted slices of the char
+    # array.  The transform(sequence(...), i -> substring(t, i, 3))
+    # form was quadratic twice over: projection collapse re-inlines
+    # the ascii_lower() behind t into the lambda (re-evaluated per
+    # element — the word_shingles lesson), and substring() itself is
+    # O(position) on UTF8String — 100 KB docs timed the query out in
+    # the r11 longdocs sweep.  Every expression here is top-level and
+    # the lambdas touch only their element arguments.
+    trigrams = (
+        "zip_with(zip_with("
+        " slice(split(t, ''), 1, length(t) - 2),"
+        " slice(split(t, ''), 2, length(t) - 2),"
+        " (a, b) -> concat(a, b)),"
+        " slice(split(t, ''), 3, length(t) - 2),"
+        " (a, b) -> concat(a, b))"
+    )
     # training counts map-combine straight to the (lang, tri) grain:
     # each map task's partial aggregate is bounded by the trigram
     # domain, so the shuffle never carries corpus-grain rows

@@ -193,9 +193,19 @@ def text_bigram_logprob(spark, sf_dir):
 
 _GOPHER_ORACLE = """
 WITH w AS (
-  SELECT source,
+  SELECT doc_id, source,
          list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '') AS words
   FROM documents
+), mc AS (
+  -- linear max token multiplicity (the r11 longdocs fix: the
+  -- list_max(list_transform(list_distinct, w -> count-equal)) form
+  -- is O(distinct x words) per doc — 4e8 comparisons on a 20k-word
+  -- doc); zero-word docs get the vacuous 1 via the left join
+  SELECT doc_id, max(c) AS maxc FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(words) AS x FROM w)
+    GROUP BY doc_id, x
+  ) GROUP BY doc_id
 ), m AS (
   SELECT source,
          len(words) AS nw,
@@ -207,9 +217,8 @@ WITH w AS (
          len(list_filter(words,
              x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS nstop,
          len(list_distinct(words)) AS ndis,
-         list_max(list_transform(list_distinct(words),
-             w -> len(list_filter(words, x -> x = w)))) AS maxc
-  FROM w
+         COALESCE(mc.maxc, 1) AS maxc
+  FROM w LEFT JOIN mc USING (doc_id)
 )
 SELECT source,
   count(*) AS n_docs,
@@ -273,9 +282,26 @@ def text_gopher_quality_rules(spark, sf_dir):
             "size(filter(words, x -> x IN ('the', 'a', 'of', 'and', 'in')))"
         ).alias("nstop"),
         F.size(F.array_distinct("words")).alias("ndis"),
+        # linear max token multiplicity: longest equal-run of the
+        # sorted array (zip of shifted slices -> aggregate with a
+        # struct accumulator; every lambda touches only its own
+        # arguments, so projection collapse cannot re-inline a
+        # captured expression — the r11 longdocs lesson).  The old
+        # transform(array_distinct, w -> count-equal) form was
+        # O(distinct x words) per row.  Zero-word docs yield the
+        # vacuous 1 (the oracle mirrors via COALESCE after its
+        # unnest group-by; the repetition rule fails either way
+        # since 5*1 <= 0 is false and NULL was also a fail).
         F.expr(
-            "array_max(transform(array_distinct(words), "
-            "w -> size(filter(words, x -> x = w))))"
+            "aggregate("
+            " zip_with(slice(array_sort(words), 1, size(words) - 1),"
+            "          slice(array_sort(words), 2, size(words) - 1),"
+            "          (a, b) -> IF(a = b, 1, 0)),"
+            " named_struct('cur', 1, 'best', 1),"
+            " (acc, x) -> named_struct("
+            "   'cur', IF(x = 1, acc.cur + 1, 1),"
+            "   'best', greatest(acc.best, IF(x = 1, acc.cur + 1, 1))),"
+            " acc -> acc.best)"
         ).alias("maxc"),
     )
     ok_wc = (F.col("nw") >= 50) & (F.col("nw") <= 100000)
