@@ -11,6 +11,7 @@ Usage:
     python tools/degenerate_sweep.py extremes   # NaN/inf/huge doubles
     python tools/degenerate_sweep.py timewarp   # epoch-0/pre-1970/9999/NULL ts
     python tools/degenerate_sweep.py longdocs   # 100KB docs / giant tokens
+    python tools/degenerate_sweep.py badjson    # malformed/hostile props JSON
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -50,6 +51,7 @@ KNOWN_TIMEWARP: set[str] = set()
 # every Spark side runs in seconds (banded pairs + per-round lineage
 # truncation) — the intended scale asymmetry, same class as the
 # three sf0.1-impractical oracles in NOTES.md.
+KNOWN_BADJSON: set[str] = set()
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -129,6 +131,32 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                       F.lit(None).cast("timestamp"))
                 .otherwise(F.col("ts")),
             )
+        elif mode == "badjson" and t == "events":
+            from pyspark.sql import functions as F
+            # hostile JSON payloads: malformed/truncated fragments,
+            # non-numeric / nested / boolean / null / decimal k,
+            # int64-overflow digits, duplicate keys, wrong-case key,
+            # array root, empty string — the engines' parse-failure
+            # modes differ (Spark NULL-bands, DuckDB json_extract
+            # errors; DuckDB's VARCHAR->BIGINT cast rounds decimals)
+            df = df.withColumn(
+                "props",
+                F.when(F.col("event_id") % 23 == 0, F.lit("not json"))
+                .when(F.col("event_id") % 29 == 0, F.lit('{"k": 1'))
+                .when(F.col("event_id") % 31 == 0, F.lit('{"k": "abc"}'))
+                .when(F.col("event_id") % 37 == 0,
+                      F.lit('{"k": {"deep": 1}}'))
+                .when(F.col("event_id") % 41 == 0,
+                      F.lit('{"k": 99999999999999999999999}'))
+                .when(F.col("event_id") % 43 == 0, F.lit('{"k":1,"k":2}'))
+                .when(F.col("event_id") % 47 == 0, F.lit('{"K": 5}'))
+                .when(F.col("event_id") % 53 == 0, F.lit(""))
+                .when(F.col("event_id") % 59 == 0, F.lit("[1,2,3]"))
+                .when(F.col("event_id") % 61 == 0, F.lit('{"k": 95.7}'))
+                .when(F.col("event_id") % 67 == 0, F.lit('{"k": true}'))
+                .when(F.col("event_id") % 71 == 0, F.lit('{"k": null}'))
+                .otherwise(F.col("props")),
+            )
         elif mode == "longdocs" and t == "documents":
             from pyspark.sql import functions as F
             # hostile long strings: ~100 KB repeated text (extreme
@@ -176,7 +204,8 @@ def main() -> int:
              "clicks": set(), "nulls": KNOWN_NULLS,
              "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES,
              "timewarp": KNOWN_TIMEWARP,
-             "longdocs": KNOWN_LONGDOCS}[mode]
+             "longdocs": KNOWN_LONGDOCS,
+             "badjson": KNOWN_BADJSON}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

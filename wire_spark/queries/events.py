@@ -173,12 +173,24 @@ def window_session_10m(spark, sf_dir):
 # JSON payload extraction — the reference parses every payload as JSON
 # (SURVEY.md §2.3 from_json/to_json boundary); props is a JSON object
 # column in the synthetic events table.
+# Hostile-payload discipline (r11 badjson sweep): Spark's
+# get_json_object NULL-bands malformed JSON while DuckDB's
+# json_extract ERRORS, and DuckDB's VARCHAR->BIGINT cast parses
+# decimals and ROUNDS ('95.7' -> 96) while Spark's try_cast is
+# strict — so the oracle gates on json_valid() plus an
+# integer-shape regex and the Spark side uses try_cast; both
+# engines then NULL-band every malformed/non-integer payload
+# identically (clean payloads are unchanged).
 _JSON_ORACLE = """
 SELECT
   event_id,
-  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  CASE WHEN props IS NOT NULL AND json_valid(props)
+        AND regexp_matches(json_extract_string(props, '$.k'),
+                           '^-?[0-9]+$')
+       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+  END AS k
 FROM events
-WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+WHERE k > 90
 ORDER BY event_id
 """
 
@@ -187,7 +199,7 @@ ORDER BY event_id
           doc="JSON field extraction + predicate (get_json_object)")
 def events_json_extract(spark, sf_dir):
     e = T(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return (
         e.select("event_id", k.alias("k"))
         .filter(F.col("k") > 90)
