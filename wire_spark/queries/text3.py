@@ -292,10 +292,16 @@ def text_gopher_quality_rules(spark, sf_dir):
         # vacuous 1 (the oracle mirrors via COALESCE after its
         # unnest group-by; the repetition rule fails either way
         # since 5*1 <= 0 is false and NULL was also a fail).
+        # greatest(..., 0): an EMPTY words array would make the slice
+        # length -1, which raises under ANSI (the unicode sweep's
+        # empty/whitespace-only docs); zero-length slices give the
+        # vacuous maxc = 1 like the one-word case
         F.expr(
             "aggregate("
-            " zip_with(slice(array_sort(words), 1, size(words) - 1),"
-            "          slice(array_sort(words), 2, size(words) - 1),"
+            " zip_with(slice(array_sort(words), 1,"
+            "                greatest(size(words) - 1, 0)),"
+            "          slice(array_sort(words), 2,"
+            "                greatest(size(words) - 1, 0)),"
             "          (a, b) -> IF(a = b, 1, 0)),"
             " named_struct('cur', 1, 'best', 1),"
             " (acc, x) -> named_struct("
