@@ -318,7 +318,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_registry()
-    headline = {name: q for name, q in registry.items() if q.bench}
+    # Canonical sorted-name execution order, INDEPENDENT of the
+    # _DRIVER_PRIORITY rotation (VERDICT r11 "What's wrong" #4): the
+    # registry's iteration order is reshuffled every round by the
+    # freshness rotation, and position effects (shared tracked caches,
+    # JIT warm-up, page cache) contaminated per-query cross-round
+    # ratios badly enough to need warm-run adjudication each round.
+    # A fixed order makes the per-query series comparable directly.
+    headline = {
+        name: registry[name] for name in sorted(registry) if registry[name].bench
+    }
 
     # warm up the JVM/session so the first measured query doesn't pay
     # session init (the driver compares steady-state throughput)

@@ -54,6 +54,23 @@ def test_committed_artifact_matches_regeneration(freshness):
     path = os.path.join(ROOT, "FRESHNESS.json")
     assert os.path.exists(path), "FRESHNESS.json missing — run tools/freshness.py"
     committed = json.load(open(path))
+    if committed != freshness:
+        # The by-far most common cause (every round so far): the driver
+        # dropped a new CORRECTNESS_r{N}.json after the artifact was
+        # generated.  Name the exact fix instead of dumping a dict diff
+        # (VERDICT r11 "What's wrong" #1).
+        newer = [
+            f
+            for f in freshness["generated_from"]
+            if f not in committed.get("generated_from", [])
+        ]
+        assert not newer, (
+            f"driver round artifact(s) {newer} landed after FRESHNESS.json "
+            "was generated — open the round mechanically: run "
+            "`python tools/freshness.py`, then `python tools/rotate_window.py` "
+            "and paste the proposed window into wire_spark/catalog.py "
+            "_DRIVER_PRIORITY"
+        )
     assert committed == freshness, (
         "FRESHNESS.json is stale — regenerate with `python tools/freshness.py`"
     )
@@ -112,24 +129,54 @@ def test_rotation_is_schedulable(freshness):
 def test_rotate_window_proposal_satisfies_invariants(freshness):
     """tools/rotate_window.py mechanizes the rotation policy; its
     proposal must itself satisfy the freshness invariants: exactly 50
-    known names, every never-checked (and ever-red) query first, and
-    remaining slots filled stalest-green-first."""
-    from tools.rotate_window import propose
+    known names; every never-checked (and ever-red) query first; every
+    FORCED query (green hits the staleness budget at the coming round)
+    present; slack slots go to edited-since-green kernels (furthest
+    forced deadline first) before any stale-but-untouched green
+    (VERDICT r11 "What's wrong" #3 made this rule explicit)."""
+    from tools.rotate_window import BUDGET, EDITED_SINCE_GREEN, propose
     from wire_spark.catalog import load_registry
 
     window, at_risk = propose(ROOT)
     reg = load_registry()
     assert len(window) == 50
     assert all(n in reg for n in window)
+    q = freshness["queries"]
+    next_round = freshness["latest_round"] + 1
     never = set(freshness["never_checked"]) | {
-        n for n, r in freshness["queries"].items()
-        if r["newest_green"] is None and r["ever_failed"]
+        n for n, r in q.items() if r["newest_green"] is None and r["ever_failed"]
     }
     head = set(window[: len(never)])
     assert head == never, (head ^ never)
-    # the green tail is monotone by newest_green
-    greens = [freshness["queries"][n]["newest_green"] for n in window[len(never):]]
+    # every forced query (due at the staleness horizon) is in the window
+    forced = {
+        n
+        for n, r in q.items()
+        if r["newest_green"] is not None
+        and next_round - r["newest_green"] >= BUDGET
+    }
+    assert forced <= set(window), forced - set(window)
+    # the forced block is monotone by newest_green
+    forced_tail = [n for n in window[len(never):] if n in forced]
+    greens = [q[n]["newest_green"] for n in forced_tail]
     assert greens == sorted(greens)
+    # slack slots: eligible edited-since-green kernels outrank untouched
+    # stale greens, ordered furthest-forced-deadline-first
+    slack = [n for n in window[len(never):] if n not in forced]
+    eligible = sorted(
+        (
+            n
+            for n, edit_round in EDITED_SINCE_GREEN.items()
+            if n in q
+            and n not in forced
+            and n not in never
+            and q[n]["newest_green"] is not None
+            and q[n]["newest_green"] < edit_round
+        ),
+        key=lambda n: (-q[n]["newest_green"], n),
+    )
+    k = min(len(slack), len(eligible))
+    assert slack[:k] == eligible[:k], (slack[:k], eligible[:k])
     # at-risk report only lists genuinely near-horizon deferrals
     horizon = freshness["latest_round"] - 2
     assert all(g <= horizon for _n, g in at_risk)

@@ -3,15 +3,28 @@ CORRECTNESS history — makes the rotation mechanical instead of
 hand-curated (the hand-curated r8 window mislabeled its exclusions;
 ADVICE r8).
 
-Policy (the same one every round has applied by hand):
+Policy (the same one every round has applied by hand, plus the
+edited-since-green rule the r11 verdict asked to make explicit):
 
-1. every query with NO driver evidence at all (never checked) —
+1. queries that were checked and FAILED with no later green sort
+   first of all — none exist today, but red evidence outranks
+   everything;
+2. every query with NO driver evidence at all (never checked) —
    these can only earn their first green by being in the window;
-2. then the stalest greens, oldest ``newest_green`` first (ties:
-   name order), filling the 50 driver slots;
-3. queries that were checked and FAILED in their newest round would
-   sort first of all — none exist today (nothing has ever failed),
-   but the policy handles it: red evidence outranks stale green.
+3. the FORCED cohort: greens that hit the staleness budget at the
+   coming round (``newest_green <= next_round - BUDGET``) — these
+   must run now or the freshness gate goes red; oldest first,
+   ties by name;
+4. remaining SLACK slots go to ``EDITED_SINCE_GREEN`` queries
+   (kernels substantially rewritten after their newest driver
+   green) before any stale-but-untouched green: local bit-identity
+   evidence is strong, but the driver hash-match is the hard
+   signal and a rewritten kernel should re-earn it at the earliest
+   opportunity (VERDICT r11 "What's wrong" #3).  Among edited
+   candidates, the one whose natural forced deadline is FURTHEST
+   goes first — the others get forced slots soon anyway, so this
+   ordering minimizes the worst-case wait for a post-edit green;
+5. any slots still left fill stalest-green-first as before.
 
 Prints the ready-to-paste tuple body plus a deferral summary.  It
 does NOT rewrite catalog.py — the window is load-bearing enough that
@@ -26,6 +39,25 @@ from __future__ import annotations
 import sys
 
 WINDOW = 50
+# keep in sync with tests/test_freshness.py MAX_STALENESS_ROUNDS
+BUDGET = 5
+
+# Queries whose kernels were substantially rewritten AFTER their newest
+# driver green: name -> round whose commits contain the rewrite.  A
+# query stays here until a driver green lands at/after that round
+# (``newest_green >= edit round`` drops it from slack consideration
+# automatically, but prune the entry too for readability).  The five
+# below are the r11 ``longdocs`` super-linear kernel rewrites (commit
+# 5b83190); ``quality_logreg_step`` / ``multimodal_feature_stats`` were
+# r7-green so the r12 forced cohort re-checks them for free — the dict
+# still lists them so the rule is data, not prose.
+EDITED_SINCE_GREEN: dict[str, int] = {
+    "dedup_winnowing_overlap": 11,
+    "context_chunking_plan": 11,
+    "text_langid_trigram_trained": 11,
+    "quality_logreg_step": 11,
+    "multimodal_feature_stats": 11,
+}
 
 
 def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
@@ -34,17 +66,42 @@ def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
 
     fresh = build(root)
     q = fresh["queries"]
+    next_round = fresh["latest_round"] + 1
 
-    def rank(name: str):
-        rec = q[name]
-        green = rec["newest_green"]
-        if green is None and rec["ever_failed"]:
-            return (0, name)  # red evidence: most urgent
-        if green is None:
-            return (1, name)  # never checked
-        return (2, green, name)  # stalest green first
+    def green(name: str):
+        return q[name]["newest_green"]
 
-    ordered = sorted(q, key=rank)
+    red = sorted(n for n in q if green(n) is None and q[n]["ever_failed"])
+    never = sorted(n for n in q if green(n) is None and not q[n]["ever_failed"])
+    forced = sorted(
+        (n for n in q if green(n) is not None and next_round - green(n) >= BUDGET),
+        key=lambda n: (green(n), n),
+    )
+    window = red + never + forced
+    if len(window) > WINDOW:
+        raise SystemExit(
+            f"unschedulable: {len(window)} forced queries exceed the "
+            f"{WINDOW}-slot window — the staleness budget is blown"
+        )
+    chosen = set(window)
+    # slack: edited-since-green first, furthest forced deadline first
+    # (= largest newest_green first), then stalest untouched greens
+    edited = sorted(
+        (
+            n
+            for n, edit_round in EDITED_SINCE_GREEN.items()
+            if n in q
+            and n not in chosen
+            and green(n) is not None
+            and green(n) < edit_round
+        ),
+        key=lambda n: (-green(n), n),
+    )
+    rest = sorted(
+        (n for n in q if n not in chosen and n not in set(edited) and green(n) is not None),
+        key=lambda n: (green(n), n),
+    )
+    ordered = window + edited + rest
     window, deferred = ordered[:WINDOW], ordered[WINDOW:]
     # deferral summary: only queries at/near the staleness horizon
     horizon = fresh["latest_round"] - 2
