@@ -22,6 +22,29 @@ def test_components_converges_on_long_chain(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_components_deep_path_logarithmic_rounds(spark):
+    """A 200-hop path at the DEFAULT max_iter=20: plain hash-min would
+    need ~200 rounds and (pre-r12) returned silently wrong labels once
+    the cap hit — the bigclique sweep caught it on a 125-doc near-dup
+    chain of graph diameter ~62.  Pointer jumping makes the per-round
+    reach double, so 20 rounds cover diameter ~2^20; non-convergence
+    now raises instead of returning."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_components_raises_rather_than_wrong_labels(spark):
+    """If the round budget genuinely cannot cover the diameter, the
+    operator must fail loudly, never return a partial labeling."""
+    import pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_components_reliable_checkpoint_path(spark, tmp_path):
     """checkpoint_dir engages reliable df.checkpoint() (cluster-safe
     lineage truncation) and must produce the identical labeling."""

@@ -12,6 +12,8 @@ Usage:
     python tools/degenerate_sweep.py timewarp   # epoch-0/pre-1970/9999/NULL ts
     python tools/degenerate_sweep.py longdocs   # 100KB docs / giant tokens
     python tools/degenerate_sweep.py badjson    # malformed/hostile props JSON
+    python tools/degenerate_sweep.py bigclique  # giant dup clique + long chain
+    python tools/degenerate_sweep.py zerovec    # zero/dup/non-finite embeddings
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -52,6 +54,8 @@ KNOWN_TIMEWARP: set[str] = set()
 # truncation) — the intended scale asymmetry, same class as the
 # three sf0.1-impractical oracles in NOTES.md.
 KNOWN_BADJSON: set[str] = set()
+KNOWN_BIGCLIQUE: set[str] = set()
+KNOWN_ZEROVEC: set[str] = set()
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -179,6 +183,59 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                              " i -> concat('w', CAST(i AS STRING))))"))
                 .otherwise(F.col("text")),
             )
+        elif mode == "bigclique" and t == "documents":
+            from pyspark.sql import functions as F
+            # hostile CLUSTER SHAPES (the axis longdocs can't see):
+            # docs stay short, but 125 of them are bit-identical (one
+            # giant near-dup clique — stresses candidate-pair volume:
+            # every band bucket holds all 125, C(125,2)=7750 pairs) and
+            # 125 form a sliding-window CHAIN (doc k = tokens
+            # c{3k+1}..c{3k+60}; adjacent windows share 55/61 shingles,
+            # J=0.9016, distance-2 share 52/64, J=0.8125, distance-3
+            # J=0.73 < 0.8) — so >=0.8-Jaccard edges reach exactly
+            # distance 2 and the 125-doc chain has graph diameter ~62:
+            # any closure that caps its rounds below that returns
+            # silently wrong components while the recursive-CTE oracle
+            # computes the true closure.
+            clique = F.expr(
+                "concat_ws(' ', transform(sequence(1, 60),"
+                " i -> concat('q', CAST(i AS STRING))))")
+            chain = F.expr(
+                "concat_ws(' ', transform(sequence("
+                "CAST((doc_id - 1) div 4 AS INT) * 3 + 1,"
+                " CAST((doc_id - 1) div 4 AS INT) * 3 + 60),"
+                " i -> concat('c', CAST(i AS STRING))))")
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 4 == 0, clique)
+                .when(F.col("doc_id") % 4 == 1, chain)
+                .otherwise(F.col("text")),
+            )
+        elif mode == "zerovec" and t == "embeddings":
+            from pyspark.sql import functions as F
+            # vector-space degeneracy: the ZERO vector (cosine's 0/0 —
+            # the division-guard class that has bitten every other
+            # family), a shared CONSTANT vector duplicated across many
+            # rows (exact distance ties — any top-k without a total
+            # tie-break order diverges between engines), huge-magnitude
+            # components (dot products overflow float32 if any kernel
+            # drops to single precision), and denormal-scale components
+            # (squares underflow to 0.0 — norm of a nonzero vector
+            # computes as zero in float32)
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 13 == 0, F.expr(
+                    "transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))"))
+                .when(F.col("vec_id") % 17 == 0, F.expr(
+                    "transform(sequence(1, 64), i -> CAST(0.125 AS FLOAT))"))
+                .when(F.col("vec_id") % 19 == 0, F.expr(
+                    "transform(sequence(1, 64),"
+                    " i -> CAST(1.0e30 AS FLOAT) * CAST(i AS FLOAT))"))
+                .when(F.col("vec_id") % 23 == 0, F.expr(
+                    "transform(sequence(1, 64),"
+                    " i -> CAST(1.0e-30 AS FLOAT) * CAST(i AS FLOAT))"))
+                .otherwise(F.col("embedding")),
+            )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -205,7 +262,9 @@ def main() -> int:
              "unicode": KNOWN_UNICODE, "extremes": KNOWN_EXTREMES,
              "timewarp": KNOWN_TIMEWARP,
              "longdocs": KNOWN_LONGDOCS,
-             "badjson": KNOWN_BADJSON}[mode]
+             "badjson": KNOWN_BADJSON,
+             "bigclique": KNOWN_BIGCLIQUE,
+             "zerovec": KNOWN_ZEROVEC}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

@@ -66,6 +66,17 @@ def connected_components(
     ``edges`` is an undirected edge list (any orientation); isolated
     vertices absent from it are absent from the output.
 
+    Each round combines one hash-min step (label <- min over self +
+    neighbors) with one pointer-jumping step (label <- label's label),
+    so the distance the min label has traveled roughly DOUBLES per
+    round and convergence is O(log diameter) rounds — the default
+    ``max_iter=20`` covers diameters up to ~2^20.  Plain hash-min
+    needs O(diameter) rounds; the r12 ``bigclique`` sweep built a
+    125-doc near-dup chain whose 0.8-Jaccard graph has diameter ~62
+    and caught the capped plain form returning silently wrong labels.
+    If the loop still exhausts ``max_iter`` without converging the
+    operator now raises instead of returning a wrong answer.
+
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     RELIABLE ``df.checkpoint()`` into that directory (survives executor
     loss — required on a real cluster); when None, ``localCheckpoint``
@@ -99,7 +110,7 @@ def connected_components(
             # scan of this already-materialized relation — not the
             # extra shuffle join per round it used to be (each avoided
             # job also saves a scheduler round-trip on a real cluster)
-            new_labels = _persist_round(  # truncate lineage per round
+            stepped = (
                 labels.withColumn("is_self", F.lit(True))
                 .unionByName(neighbor_labels.withColumn("is_self", F.lit(False)))
                 .groupBy("id")
@@ -108,12 +119,38 @@ def connected_components(
                     F.min(F.when(F.col("is_self"), F.col("comp"))).alias("old_comp"),
                 )
             )
+            # pointer jump: every label value is itself a vertex id
+            # (labels start as ids and min() only ever selects an
+            # existing label), so chase one level — comp <- comp's
+            # comp — which halves the label-tree height and makes the
+            # round count logarithmic in graph diameter.  Left join +
+            # coalesce keeps the row even if a label's vertex were
+            # somehow absent (defensive; inner would drop the vertex).
+            hop = stepped.select(
+                F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+            )
+            new_labels = _persist_round(  # truncate lineage per round
+                stepped.join(hop, stepped.comp == hop.jid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("jcomp", F.col("comp"))
+                    ).alias("comp"),
+                    "old_comp",
+                )
+            )
             changed = (
                 new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
             )
             labels = new_labels.select("id", "comp")
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "rounds — raise max_iter (each round doubles the distance "
+                "labels travel, so 20 covers diameter ~2^20)"
+            )
         return labels
     finally:
         if prev_dir is not None:
