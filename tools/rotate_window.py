@@ -52,11 +52,46 @@ BUDGET = 5
 # r7-green so the r12 forced cohort re-checks them for free — the dict
 # still lists them so the rule is data, not prose.
 EDITED_SINCE_GREEN: dict[str, int] = {
+    # r11 longdocs super-linear kernel rewrites (commit 5b83190)
     "dedup_winnowing_overlap": 11,
     "context_chunking_plan": 11,
     "text_langid_trigram_trained": 11,
     "quality_logreg_step": 11,
     "multimodal_feature_stats": 11,
+    # r12 zerovec valid-embedding domain gate (loader + oracle WHERE,
+    # identity on real data at every SF — verified at r12): every
+    # embedding-consuming query gained the filter.  The ones inside
+    # the r12 window (ann_ivf_cosine, ann_lsh_cosine, ann_pq_adc,
+    # embedding_norm_stats, knn_bruteforce_cosine, knn_label_agreement)
+    # earn post-edit greens this round and are listed for completeness;
+    # the rest queue for slack slots.
+    "ann_ivf_cosine": 12,
+    "ann_lsh_cosine": 12,
+    "ann_pq_adc": 12,
+    "embedding_norm_stats": 12,
+    "knn_bruteforce_cosine": 12,
+    "knn_label_agreement": 12,
+    "ann_ivf_lloyd_cosine": 12,
+    "ann_lsh_multiprobe_cosine": 12,
+    "embedding_quantize_int8": 12,
+    "ann_ivfpq_adc": 12,
+    "ann_recall_audit": 12,
+    "embedding_centroid_distance": 12,
+    "embedding_hard_negatives": 12,
+    "kmeans_lloyd_round": 12,
+    "kmeans_lloyd_two_rounds": 12,
+    "embedding_gram_matrix": 12,
+    "embedding_power_iteration": 12,
+    "search_hybrid_rrf": 12,
+    "dedup_crossmodal_audit": 12,
+    # r12 connected_components pointer-jumping rewrite (operator-level;
+    # dedup_connected_components / dedup_components_lsh /
+    # dedup_survivors_central / sample_dedup_weighted changed plans,
+    # same outputs — bigclique sweep + full oracle drive re-verified)
+    "dedup_connected_components": 12,
+    "dedup_components_lsh": 12,
+    "dedup_survivors_central": 12,
+    "sample_dedup_weighted": 12,
 }
 
 

@@ -27,7 +27,9 @@ _DIM = 64
 #: (bit-identical across engines — integer-exact dimension means).
 #: Shared with similarity.py's Lloyd-refined IVF index.
 LLOYD_CENT1_CTE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
 assign0 AS (
   SELECT vec_id, cid, v FROM (
@@ -121,9 +123,11 @@ def _lloyd_refine(e, cent):
 
 
 def _vectors_and_seeds(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    # valid-embedding domain gate (see similarity._valid_vectors):
+    # zero/huge/non-finite vectors crash or saturate the distance math
+    from wire_spark.queries.similarity import _valid_vectors
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
     cent0 = e.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -142,9 +146,9 @@ def lloyd_cent1(spark, sf_dir):
           doc="one Lloyd k-means round (8 seed centroids -> integer-exact "
               "means -> re-assign), cluster sizes + centroid norms")
 def kmeans_lloyd_round(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    from wire_spark.queries.similarity import _valid_vectors
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
     cent1 = lloyd_cent1(spark, sf_dir)
     w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
     assign1 = (

@@ -1025,7 +1025,9 @@ _CROSSMODAL_ORACLE = _SHINGLES_CTE + """
   JOIN sizes s1 ON d1 = s1.doc_id
   JOIN sizes s2 ON d2 = s2.doc_id
   WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
-), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30)
 SELECT p.d1, p.d2, p.jaccard,
        floor(list_dot_product(e1.v, e2.v)
              / (sqrt(list_dot_product(e1.v, e1.v))
@@ -1056,14 +1058,12 @@ def dedup_crossmodal_audit(spark, sf_dir):
     vector table, so both embedding lookups are broadcast-able point
     equi-joins on vec_id; no new all-pairs work anywhere."""
     pairs = _jaccard_pairs(spark, sf_dir, 0.8)
-    e = (
-        T(spark, sf_dir, "embeddings")
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y),
-                               F.lit(0.0), lambda a, b: a + b)),
-        )
+    # valid-embedding domain gate (see similarity._valid_vectors): a
+    # zero-norm vector on either side of a dup pair is 0/0 cosine
+    from wire_spark.queries.similarity import _valid_vectors
+
+    e = _valid_vectors(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(F.col("dd")).alias("nrm")
     )
     e1 = e.select(F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     e2 = e.select(F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))

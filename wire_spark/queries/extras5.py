@@ -439,6 +439,8 @@ prod AS (
                     * CAST(e.embedding[p.j] AS DOUBLE)
                     * 1000000.0) AS BIGINT) AS v
   FROM embeddings e, pairs p
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e30
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
        CAST(sum(v) AS BIGINT) AS gram_1e6
@@ -468,7 +470,10 @@ def embedding_gram_matrix(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    e = T(spark, sf_dir, "embeddings").select("embedding")
+    from wire_spark.queries.similarity import valid_embedding_cond
+
+    e = (T(spark, sf_dir, "embeddings")
+         .filter(valid_embedding_cond()).select("embedding"))
     dim = 64
     iu, ju = np.triu_indices(dim)
 
@@ -608,7 +613,10 @@ am AS (
          CAST(sum(CAST(floor(CAST(e.embedding[p.i] AS DOUBLE)
                              * CAST(e.embedding[p.j] AS DOUBLE)
                              * 1000000.0) AS BIGINT)) AS BIGINT) AS v
-  FROM embeddings e, pr p GROUP BY 1, 2
+  FROM embeddings e, pr p
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e30
+  GROUP BY 1, 2
 ),
 v0 AS (SELECT i, v AS x FROM am WHERE i = j),
 v1 AS (
@@ -662,7 +670,10 @@ def embedding_power_iteration(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    e = T(spark, sf_dir, "embeddings").select("embedding")
+    from wire_spark.queries.similarity import valid_embedding_cond
+
+    e = (T(spark, sf_dir, "embeddings")
+         .filter(valid_embedding_cond()).select("embedding"))
     dim = 64
     ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
 

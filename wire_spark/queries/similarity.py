@@ -33,6 +33,37 @@ def _dot(x, y):
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b)
 
 
+def _valid_vectors(spark, sf_dir):
+    """(vec_id, label, v, dd): double-cast vectors restricted to the
+    VALID-EMBEDDING DOMAIN — 0 < dot(v,v) < 1e30, i.e. non-zero,
+    finite, norm < 1e15.  The r12 ``zerovec`` sweep showed one
+    malformed row (an all-zero or 1e30-scale vector) crashes every
+    cosine kernel under ANSI (0/0 → DIVIDE_BY_ZERO) or silently
+    saturates int64 fixed-point; at 100 TB a contract gate in front of
+    the vector stage is the production shape, so the exclusion lives
+    in the loader and is mirrored verbatim in every oracle's scan
+    (no real test row at any SF is excluded — norms are unit-scale).
+    NaN/Inf components make dd non-finite, and both engines order NaN
+    above every number, so dd < 1e30 rejects them identically."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", v.alias("v"))
+        .withColumn("dd", _dot(F.col("v"), F.col("v")))
+        .filter((F.col("dd") > 0.0) & (F.col("dd") < 1.0e30))
+    )
+
+
+def valid_embedding_cond():
+    """Boolean Column implementing the valid-embedding domain gate on
+    a raw ``embedding`` (array<float>) column — for kernels that feed
+    the untouched column into numpy (gram matrix, power iteration)
+    and so can't go through ``_valid_vectors``."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dd = _dot(v, v)
+    return (dd > 0.0) & (dd < 1.0e30)
+
+
 def _vectors(spark, sf_dir):
     # NOT cached: columnar-caching array<double> columns measurably
     # hurts here (cache build + InMemoryTableScan breaks the codegen
@@ -43,11 +74,9 @@ def _vectors(spark, sf_dir):
     # evaluates a single dot product per pair instead of three —
     # parity-safe: sqrt(dot(v,v)) is the same double whether computed
     # per row or per pair.
-    return T(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    return _valid_vectors(spark, sf_dir).select(
+        "vec_id", "label", "v", F.sqrt(F.col("dd")).alias("nrm")
+    )
 
 
 # --------------------------------------------------------------------
@@ -55,7 +84,9 @@ def _vectors(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _KNN_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
 sims AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -98,7 +129,9 @@ def knn_bruteforce_cosine(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _IVF_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, cid FROM (
@@ -324,7 +357,9 @@ SELECT label,
        round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm,
        floor(min(sqrt(list_dot_product(v, v))) * 1000000.0) / 1000000.0 AS min_norm,
        floor(max(sqrt(list_dot_product(v, v))) * 1000000.0) / 1000000.0 AS max_norm
-FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30)
 GROUP BY label
 ORDER BY label
 """
@@ -382,6 +417,8 @@ WITH pl_t AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 100 = 0),
@@ -422,6 +459,8 @@ WITH pl_t AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 100 = 0),
@@ -552,7 +591,9 @@ def ann_lsh_cosine(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _QUANT_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 q AS (
   SELECT vec_id, v,
          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -580,9 +621,7 @@ def embedding_quantize_int8(spark, sf_dir):
     higher-order functions per row, embarrassingly parallel, no
     shuffle; every arithmetic step is per-element deterministic so
     the oracle matches bit-for-bit."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
     # The scale expression is INLINED into the error lambda rather
     # than bound via withColumn: after projection collapse, a
     # F.col("scale") reference inside a transform() lambda nests the
@@ -613,7 +652,9 @@ _PQ_K = 16       # codewords per subspace (deterministic: first 16 vectors)
 
 def _pq_oracle() -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 subs AS (SELECT unnest(range({_PQ_M})) AS m),
 cw AS (
   SELECT vec_id AS code, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS cv
@@ -676,9 +717,7 @@ def ann_pq_adc(spark, sf_dir):
     floor-truncated (t6) before every comparison so ranking matches
     the oracle bit-for-bit.
     """
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
     subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     # sub-vectors: slice m*8+1 .. +8 (1-based, mirrors DuckDB list slice)
     sub_v = (
@@ -748,7 +787,9 @@ def _ivfpq_oracle() -> str:
             * sqrt(list_dot_product(cent.cv, cent.cv)))
          * 1000000.0) / 1000000.0"""
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 ivf_assign AS (
   SELECT vec_id, cid FROM (
@@ -828,9 +869,9 @@ def ann_ivfpq_adc(spark, sf_dir):
     come from an equi-join on cell id; the ADC fold shuffles on
     (qid, vec_id) only. Integer-domain partial-distance sums keep the
     ranking bit-identical across engines."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    e = _valid_vectors(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(F.col("dd")).alias("nrm")
+    )
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -988,6 +1029,8 @@ def ann_recall_audit(spark, sf_dir):
 _LABEL_AGREE_ORACLE = """
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
 ),
 q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
 sims AS (
@@ -1090,7 +1133,9 @@ def knn_label_agreement(spark, sf_dir):
 # value-bounded ~1e6-scale regardless of row count, so the squared
 # sums never approach int64 at ANY corpus size).
 _CENTROID_ORACLE = """
-WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
 dims AS (SELECT unnest(range(1, 65)) AS i),
 x AS (
   SELECT e.label, dims.i AS dim,
@@ -1133,11 +1178,8 @@ def embedding_centroid_distance(spark, sf_dir):
     (10 x 64 = 640 rows — bounded by schema, not data), then a
     grid self-join on dim for the 45 pairs.  The only data-sized step
     is the first aggregation; at 100 TB nothing else grows."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "label",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("d0", "xv"),
+    e = _valid_vectors(spark, sf_dir).select(
+        "label", F.posexplode(F.col("v")).alias("d0", "xv")
     ).select(
         "label",
         (F.col("d0") + 1).alias("dim"),
@@ -1190,6 +1232,8 @@ WITH pl_t AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 50 = 0),
