@@ -963,3 +963,32 @@ def test_source_ablation_loso_replay(spark, sf_dir):
         src_mean = agg[r.source][1] * 10000 // agg[r.source][0]
         if r.loso_mean_tok_1e4 is not None and src_mean > tok_g * 10000 // nn:
             assert r.delta_mean_tok_1e4 <= 0
+
+
+def test_valid_embedding_domain_gate(spark, tmp_path):
+    """The r12 zerovec contract gate: zero-norm, non-finite, and
+    >=1e15-norm vectors are excluded by the shared loader; unit-scale
+    and denormal-scale vectors pass.  One malformed row must never be
+    able to crash a cosine kernel (ANSI 0/0) again."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, [0.0] * 64, 1),            # zero norm -> out
+        (1, [0.5] * 64, 1),            # unit-ish -> in
+        (2, [1.0e30] * 64, 1),         # huge -> out (dd overflows 1e30)
+        (3, [1.0e-30] * 64, 1),        # denormal-scale, nonzero -> in
+        (4, [float("nan")] * 64, 1),   # non-finite -> out
+        (5, [float("inf")] * 64, 1),   # non-finite -> out
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "raw", "label"]).select(
+        "vec_id", F.col("raw").cast("array<float>").alias("embedding"), "label"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.write.parquet(path)
+
+    from wire_spark.queries.similarity import _valid_vectors
+
+    kept = sorted(
+        r.vec_id for r in _valid_vectors(spark, str(tmp_path)).collect()
+    )
+    assert kept == [1, 3]

@@ -54,6 +54,13 @@ def _round_persister(
     return persist
 
 
+#: hash-min rounds before pointer jumping engages: real dedup/identity
+#: graphs converge within this (near-clique components), so they never
+#: pay the jump's extra labels-relation join; adversarial chains
+#: escalate to O(log diameter) rounds afterwards.
+_JUMP_AFTER = 4
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -66,16 +73,20 @@ def connected_components(
     ``edges`` is an undirected edge list (any orientation); isolated
     vertices absent from it are absent from the output.
 
-    Each round combines one hash-min step (label <- min over self +
-    neighbors) with one pointer-jumping step (label <- label's label),
-    so the distance the min label has traveled roughly DOUBLES per
-    round and convergence is O(log diameter) rounds — the default
-    ``max_iter=20`` covers diameters up to ~2^20.  Plain hash-min
-    needs O(diameter) rounds; the r12 ``bigclique`` sweep built a
-    125-doc near-dup chain whose 0.8-Jaccard graph has diameter ~62
-    and caught the capped plain form returning silently wrong labels.
-    If the loop still exhausts ``max_iter`` without converging the
-    operator now raises instead of returning a wrong answer.
+    Convergence: plain hash-min (label <- min over self + neighbors)
+    needs O(diameter) rounds, and the r12 ``bigclique`` sweep built a
+    125-doc near-dup chain whose 0.8-Jaccard graph has diameter ~62 —
+    the capped plain form returned silently wrong labels.  Rounds
+    after ``_JUMP_AFTER`` therefore add one pointer-jumping step
+    (label <- label's label), which makes the traveled distance
+    roughly DOUBLE per round: total rounds are O(log diameter) and
+    the default ``max_iter=20`` covers diameters ~2^16.  The jump is
+    an extra join over the labels relation, so it is NOT run during
+    the first rounds: real dedup/identity graphs are near-clique
+    (diameter <= ~4) and converge before jumping starts, paying
+    nothing — only adversarial chain shapes escalate.  If the loop
+    exhausts ``max_iter`` without converging the operator raises
+    instead of returning a wrong answer.
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     RELIABLE ``df.checkpoint()`` into that directory (survives executor
@@ -99,7 +110,7 @@ def connected_components(
         labels = (
             sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
         )
-        for _ in range(max_iter):
+        for rnd in range(max_iter):
             neighbor_labels = (
                 sym.join(labels, sym.b == labels.id)
                 .select(F.col("a").alias("id"), F.col("comp"))
@@ -119,26 +130,27 @@ def connected_components(
                     F.min(F.when(F.col("is_self"), F.col("comp"))).alias("old_comp"),
                 )
             )
-            # pointer jump: every label value is itself a vertex id
-            # (labels start as ids and min() only ever selects an
-            # existing label), so chase one level — comp <- comp's
-            # comp — which halves the label-tree height and makes the
-            # round count logarithmic in graph diameter.  Left join +
-            # coalesce keeps the row even if a label's vertex were
-            # somehow absent (defensive; inner would drop the vertex).
-            hop = stepped.select(
-                F.col("id").alias("jid"), F.col("comp").alias("jcomp")
-            )
-            new_labels = _persist_round(  # truncate lineage per round
-                stepped.join(hop, stepped.comp == hop.jid, "left")
-                .select(
+            if rnd >= _JUMP_AFTER:
+                # pointer jump: every label value is itself a vertex
+                # id (labels start as ids and min() only ever selects
+                # an existing label), so chase one level — comp <-
+                # comp's comp — which halves the label-tree height and
+                # makes the remaining round count logarithmic in graph
+                # diameter.  Left join + coalesce keeps the row even
+                # if a label's vertex were somehow absent (defensive;
+                # inner would drop the vertex).  Skipped for the first
+                # _JUMP_AFTER rounds — see the docstring.
+                hop = stepped.select(
+                    F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+                )
+                stepped = stepped.join(hop, stepped.comp == hop.jid, "left").select(
                     "id",
                     F.least(
                         F.col("comp"), F.coalesce("jcomp", F.col("comp"))
                     ).alias("comp"),
                     "old_comp",
                 )
-            )
+            new_labels = _persist_round(stepped)  # truncate lineage per round
             changed = (
                 new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
             )
@@ -148,8 +160,9 @@ def connected_components(
         else:
             raise RuntimeError(
                 f"connected_components did not converge within {max_iter} "
-                "rounds — raise max_iter (each round doubles the distance "
-                "labels travel, so 20 covers diameter ~2^20)"
+                "rounds — raise max_iter (rounds past the first "
+                f"{_JUMP_AFTER} double the distance labels travel, so the "
+                "default budget covers diameter ~2^16)"
             )
         return labels
     finally:
@@ -245,6 +258,13 @@ def connected_components_star(
                 e = new_e
                 break
             cnt_e, e = cnt_new, new_e
+        else:
+            # same contract as connected_components: never return a
+            # partial labeling silently (r12 bigclique lesson)
+            raise RuntimeError(
+                f"connected_components_star did not converge within "
+                f"{max_iter} rounds — raise max_iter"
+            )
         # fixpoint: e is a union of stars (node -> component min)
         labels = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
         return (
