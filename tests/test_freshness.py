@@ -161,7 +161,8 @@ def test_rotate_window_proposal_satisfies_invariants(freshness):
     greens = [q[n]["newest_green"] for n in forced_tail]
     assert greens == sorted(greens)
     # slack slots: eligible edited-since-green kernels outrank untouched
-    # stale greens, ordered furthest-forced-deadline-first
+    # stale greens — oldest edit wave first, then furthest forced
+    # deadline (largest newest_green) within a wave
     slack = [n for n in window[len(never):] if n not in forced]
     eligible = sorted(
         (
@@ -173,7 +174,7 @@ def test_rotate_window_proposal_satisfies_invariants(freshness):
             and q[n]["newest_green"] is not None
             and q[n]["newest_green"] < edit_round
         ),
-        key=lambda n: (-q[n]["newest_green"], n),
+        key=lambda n: (EDITED_SINCE_GREEN[n], -q[n]["newest_green"], n),
     )
     k = min(len(slack), len(eligible))
     assert slack[:k] == eligible[:k], (slack[:k], eligible[:k])

@@ -21,9 +21,15 @@ edited-since-green rule the r11 verdict asked to make explicit):
    evidence is strong, but the driver hash-match is the hard
    signal and a rewritten kernel should re-earn it at the earliest
    opportunity (VERDICT r11 "What's wrong" #3).  Among edited
-   candidates, the one whose natural forced deadline is FURTHEST
-   goes first — the others get forced slots soon anyway, so this
-   ordering minimizes the worst-case wait for a post-edit green;
+   candidates: OLDEST EDIT ROUND first (an edit that has waited
+   more rounds for driver confirmation outranks every newer wave —
+   otherwise a flood of new low-risk edits, like the r12 zerovec
+   loader-WHERE wave, starves the substantial r11 kernel rewrites
+   indefinitely), and within one edit wave the FURTHEST forced
+   deadline first (the near-deadline ones get forced slots in a
+   round or two anyway, so slack there saves almost nothing, while
+   the furthest-deadline query would otherwise wait the full
+   staleness budget);
 5. any slots still left fill stalest-green-first as before.
 
 Prints the ready-to-paste tuple body plus a deferral summary.  It
@@ -119,8 +125,9 @@ def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
             f"{WINDOW}-slot window — the staleness budget is blown"
         )
     chosen = set(window)
-    # slack: edited-since-green first, furthest forced deadline first
-    # (= largest newest_green first), then stalest untouched greens
+    # slack: edited-since-green first — oldest edit wave first, then
+    # furthest forced deadline (largest newest_green) within a wave —
+    # then stalest untouched greens
     edited = sorted(
         (
             n
@@ -130,7 +137,7 @@ def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
             and green(n) is not None
             and green(n) < edit_round
         ),
-        key=lambda n: (-green(n), n),
+        key=lambda n: (EDITED_SINCE_GREEN[n], -green(n), n),
     )
     rest = sorted(
         (n for n in q if n not in chosen and n not in set(edited) and green(n) is not None),
