@@ -2031,3 +2031,122 @@ def test_streaming_ipw_ate_batch_parity(spark, tmp_path):
     assert got[h0][2] != got[h0][3]
     # hour 1's all-treated b1 stratum is trimmed: exactly 1 ok stratum
     assert got[h1][4] == 1
+
+
+def test_streaming_variant_profile_batch_parity(spark, tmp_path):
+    """The schemaless-ingest schema-drift monitor must report, per
+    closed window and key, exactly the canonical type counts and
+    promote decision an independent Python replay computes (labels
+    re-derived from raw JSON with ``object_pairs_hook`` so duplicate
+    keys count per occurrence, as both engines do); the trailing
+    unclosed window emits nothing."""
+    import json as _json
+    from collections import defaultdict
+
+    from wire_spark.streaming.variant_stream import windowed_variant_profile
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    # hour 0: key k monomorphic int; hour 1: k drifts int -> str and
+    # a new key appears; hour 2 exists only to close hour 1's window
+    payloads = [
+        (0, 0, '{"k": 1}'),
+        (0, 5, '{"k": 2, "k": 3}'),          # duplicate key
+        (0, 10, '{"k": 18446744073709551615}'),  # uint64 -> num
+        (0, 15, "not json"),                  # dropped payload
+        (0, 20, "[1,2]"),                     # dropped payload
+        (0, 25, '{"extra": null}'),
+        (1, 0, '{"k": 4}'),
+        (1, 5, '{"k": "oops"}'),              # type drift
+        (1, 10, '{"fresh": true}'),           # new key
+        (2, 30, '{"k": 5}'),                  # closes hour 1
+    ]
+    rows = [
+        {
+            "ts": (base + dt.timedelta(hours=h, minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "props": p,
+        }
+        for h, m, p in payloads
+    ]
+    src = str(tmp_path / "variant_in")
+    _write_jsonl(os.path.join(src, "all.json"), rows)
+
+    stream = _file_stream(spark, src).select(
+        F.to_timestamp("ts").alias("ts"), "props"
+    )
+    q = (
+        windowed_variant_profile(
+            stream, window="1 hour", watermark="30 minutes"
+        )
+        .writeStream.format("memory").queryName("variant_prof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "variant_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start, r.key): (
+            r.n_key, r.n_int, r.n_num, r.n_str, r.n_bool,
+            r.n_null, r.n_array, r.n_object, r.n_types, r.promoted,
+        )
+        for r in spark.sql("SELECT * FROM variant_prof").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    def label(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int" if -(2**63) <= v <= 2**63 - 1 else "num"
+        if isinstance(v, float):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, list):
+            return "array"
+        return "object"
+
+    max_ts = base + dt.timedelta(hours=2, minutes=30)
+    cutoff = max_ts - dt.timedelta(minutes=30)
+    counts = defaultdict(lambda: defaultdict(int))
+    for h, m, p in payloads:
+        w_start = base + dt.timedelta(hours=h)
+        if w_start + dt.timedelta(hours=1) > cutoff:
+            continue  # unclosed trailing window
+        try:
+            pairs = _json.loads(p, object_pairs_hook=lambda x: ("obj", x))
+        except ValueError:
+            continue
+        if not (isinstance(pairs, tuple) and pairs[0] == "obj"):
+            continue  # valid JSON, non-object root
+        for k, v in pairs[1]:
+            counts[(w_start, k)][label(v)] += 1
+    order = ["int", "num", "str", "bool", "null", "array", "object"]
+    expected = {}
+    for (w_start, k), c in counts.items():
+        n_key = sum(c.values())
+        vec = [c[label_name] for label_name in order]
+        n_types = sum(1 for label_name in order
+                      if label_name != "null" and c[label_name] > 0)
+        if n_key == c["null"]:
+            promoted = "void"
+        elif n_types > 1:
+            promoted = "variant"
+        else:
+            promoted = next(l for l in order if l != "null" and c[l] > 0)
+        expected[(w_start, k)] = (n_key, *vec, n_types, promoted)
+    assert got == expected
+    # the engineered drift is visible: hour 0's k is a clean promote,
+    # hour 1's k went polymorphic
+    h0 = base
+    h1 = base + dt.timedelta(hours=1)
+    assert got[(h0, "k")][9] in ("int", "variant")
+    # 3 ints (1, 2, 3 — the dup key counts twice) + 1 num (uint64)
+    assert got[(h0, "k")][1] == 3 and got[(h0, "k")][2] == 1
+    assert got[(h1, "k")][9] == "variant"
+    assert got[(h1, "fresh")][9] == "bool"
+    assert got[(h0, "extra")][9] == "void"
