@@ -14,6 +14,7 @@ Usage:
     python tools/degenerate_sweep.py badjson    # malformed/hostile props JSON
     python tools/degenerate_sweep.py bigclique  # giant dup clique + long chain
     python tools/degenerate_sweep.py zerovec    # zero/dup/non-finite embeddings
+    python tools/degenerate_sweep.py maxmass    # values at the sanitization budget edge
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -56,6 +57,7 @@ KNOWN_TIMEWARP: set[str] = set()
 KNOWN_BADJSON: set[str] = set()
 KNOWN_BIGCLIQUE: set[str] = set()
 KNOWN_ZEROVEC: set[str] = set()
+KNOWN_MAXMASS: set[str] = set()
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -236,6 +238,28 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                     " i -> CAST(1.0e-30 AS FLOAT) * CAST(i AS FLOAT))"))
                 .otherwise(F.col("embedding")),
             )
+        elif mode == "maxmass" and t == "events":
+            from pyspark.sql import functions as F
+            # GROUP-MASS overflow axis: every value individually passes
+            # the SANITIZE_VALUE budget (|v| <= 1e12, chosen so v*1e6
+            # fits int64 PER ROW), but sums of admitted values are
+            # unbounded — at 100 TB a single group holds billions of
+            # rows, so any fixed-point SUM that accumulates in int64
+            # (Spark ANSI: ARITHMETIC_OVERFLOW; DuckDB: silent HUGEINT
+            # widening) or any oracle that sums 4dp-floored DOUBLES
+            # (order-dependent rounding past 2^53) is a latent
+            # divergence.  Mostly same-sign so partial sums cannot
+            # cancel their way under the overflow line; one value sits
+            # on the 4dp edge to stress floor parity at full magnitude.
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 4 == 0, F.lit(1.0e12))
+                .when(F.col("event_id") % 4 == 1, F.lit(1.0e12))
+                .when(F.col("event_id") % 17 == 0, F.lit(-1.0e12))
+                .when(F.col("event_id") % 13 == 0,
+                      F.lit(999999999999.9999))
+                .otherwise(F.col("value")),
+            )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -264,7 +288,8 @@ def main() -> int:
              "longdocs": KNOWN_LONGDOCS,
              "badjson": KNOWN_BADJSON,
              "bigclique": KNOWN_BIGCLIQUE,
-             "zerovec": KNOWN_ZEROVEC}[mode]
+             "zerovec": KNOWN_ZEROVEC,
+             "maxmass": KNOWN_MAXMASS}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

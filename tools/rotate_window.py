@@ -98,6 +98,47 @@ EDITED_SINCE_GREEN: dict[str, int] = {
     "dedup_components_lsh": 12,
     "dedup_survivors_central": 12,
     "sample_dedup_weighted": 12,
+    # r12 maxmass group-mass overflow wave: msum and every inline
+    # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
+    # (bit-identical on real data); welch/anova/linear_trend moved to
+    # the quadratic-moment tier (|v| <= 1e8 gate, identity on real
+    # data); linear_trend's slope and type_stats' avg moved to
+    # deterministic integer-derived trees (last-digit definition
+    # change, verified both-engine at 3 SFs); sliding-window oracle
+    # rebuilt on naive timestamp arithmetic (to_timestamp returned
+    # TIMESTAMPTZ -> host-tz labels on non-UTC hosts).  In-window
+    # names (r12 cohort) earn their post-edit greens immediately and
+    # drop out; the rest queue for slack.
+    "events_anova_f": 12,
+    "events_linear_trend": 12,
+    "events_resample_ffill": 12,
+    "events_type_stats": 12,
+    "events_welch_ttest": 12,
+    "join_broadcast_brand_volume": 12,
+    "cube_flag_status": 12,
+    "orders_by_month": 12,
+    "outer_join_nation_suppliers": 12,
+    "q10_returned_items": 12,
+    "q11_important_parts": 12,
+    "q14_promo_revenue": 12,
+    "q17_small_quantity_revenue": 12,
+    "q19_disjunctive_filter": 12,
+    "q1_pricing_summary": 12,
+    "q22_rich_inactive": 12,
+    "q3_shipping_priority": 12,
+    "q5_local_supplier_volume": 12,
+    "q6_forecast_revenue": 12,
+    "q7_nation_volume": 12,
+    "q8_market_share": 12,
+    "q9_profit_by_nation": 12,
+    "range_join_price_bands": 12,
+    "rollup_plus_tail_merge": 12,
+    "rollup_time_lattice": 12,
+    "scalar_subquery_above_avg": 12,
+    "window_range_frame_30m": 12,
+    "window_session_10m": 12,
+    "window_sliding_30m": 12,
+    "window_tumbling_hourly": 12,
 }
 
 

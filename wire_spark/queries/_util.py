@@ -93,6 +93,46 @@ def events_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quadratic-moment tier: operators that square the measure (variance,
+#: t/F statistics, OLS sufficient statistics) need per-row fixed-point
+#: SQUARES to be exact — and Spark's ``floor(DOUBLE)`` returns LONG
+#: and SATURATES SILENTLY at int64 max (measured r12: floor(1e26) =
+#: 9223372036854775807, no ANSI error), so a value that passes the
+#: 1e12 SANITIZE budget can still poison a second moment without any
+#: loud failure while DuckDB's floor stays DOUBLE and its HUGEINT
+#: cast keeps the true value (the r12 ``maxmass`` sweep: welch's t
+#: gate flipped to 0 on Spark only).  Moment operators therefore
+#: declare a tighter measurement domain: |v| <= 1e8, where
+#: floor(v*v*100) <= 1e18 < int64 per row.  Out-of-domain values
+#: become NULL on BOTH engines (NaN fails the <= comparison in both,
+#: so the expression subsumes the SANITIZE gate for the value
+#: column).  Real data carries |v| <= ~500 at every SF — verified
+#: bit-identical before/after at sf0.001/0.01/0.1.
+MOMENT_VALUE = (
+    "CASE WHEN abs(value) <= 1.0e8 THEN value END"
+)
+
+#: Oracle-side prelude for the moment tier (value gated to the moment
+#: domain, event time sanitized as usual).
+EVENTS_MOMENT_CTE = (
+    f"WITH events AS (SELECT * REPLACE (({MOMENT_VALUE}) AS value, "
+    f"({SANITIZE_TS}) AS ts) "
+    "FROM main.events)"
+)
+
+
+def events_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the measure restricted to the quadratic-moment
+    domain — the Spark-side twin of :data:`EVENTS_MOMENT_CTE`."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("value", F.expr(MOMENT_VALUE))
+        .withColumn("ts", F.expr(SANITIZE_TS))
+    )
+
+
 #: DataFrames cached by catalog queries, awaiting release.  Catalog
 #: functions are lazy (the caller runs the action), so a query cannot
 #: unpersist its own cache — instead every ``.cache()`` inside a
@@ -165,19 +205,29 @@ def r6(col):
 
 def msum(col):
     """Order-independent float sum: floor-truncate each addend to 4dp
-    in integer domain, sum exactly, scale back.
+    in integer domain, sum exactly in 128-bit, scale back.
 
     ``round(sum(x), 2)`` is NOT cross-engine stable: the two engines
     sum in different orders, the last-ulp noise occasionally lands the
     true sum exactly on a .005 rounding boundary (observed: q7 volume
     296301.815). Here every addend ``floor(x*10000)`` is the same
     integer in both engines (same per-row double in, deterministic
-    floor), integer sums are exact in any order (and exact in doubles
-    while < 2^53), and the final /10000 is a deterministic division.
+    floor — Spark's floor(DOUBLE) returns LONG, exact for |x| within
+    the 1e12 SANITIZE budget), and the sum accumulates in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): the r12 ``maxmass``
+    sweep proved the narrow accumulators break at GROUP mass even
+    when every row passes the per-row budget — Spark's LONG sum
+    ANSI-overflows past 9.2e14 whole units while DuckDB's DOUBLE sum
+    silently rounds past 2^53 of 4dp units (order-dependent last
+    digits: events_type_stats diverged).  The exact 128-bit integer
+    converts to DOUBLE identically on both engines (round-to-nearest,
+    probed at 1e23/1e26), so the final /10000 stays deterministic.
     Result has 4dp resolution. Oracle mirror:
-    ``sum(floor(x * 10000.0)) / 10000.0``.
+    ``sum(CAST(floor(x * 10000.0) AS HUGEINT)) / 10000.0``.
     """
-    return F.sum(F.floor(col * F.lit(10000.0))) / F.lit(10000.0)
+    return F.sum(
+        F.floor(col * F.lit(10000.0)).cast("decimal(38,0)")
+    ) / F.lit(10000.0)
 
 
 def t4(col):

@@ -21,13 +21,22 @@ from pyspark.sql import functions as F
 from wire_spark.catalog import register
 from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed, msum, r4, tracked_cache
 
+# avg comes from the same exact 128-bit 4dp sum as sum_value via a
+# truncating INTEGER division, not from round(avg(value), 4): both
+# engines sum doubles in arbitrary order, and once |value| mass is
+# large enough the last-ulp noise exceeds the 4dp resolution — and
+# even round(exact_double, 4) splits between engines at 1e12
+# magnitude, where 4dp sits below the double's own ulp (r12
+# maxmass).  The trunc-divided integer converts to DOUBLE
+# identically on both engines.
 _TYPE_STATS_ORACLE = EVENTS_SANITIZED_CTE + """
 SELECT
   event_type,
   count(*)                       AS n_events,
   count(DISTINCT user_id)        AS n_users,
-  sum(floor(value * 10000.0)) / 10000.0 AS sum_value,
-  round(avg(value), 4)           AS avg_value,
+  sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0 AS sum_value,
+  (sum(CAST(floor(value * 10000.0) AS HUGEINT)) // count(value))
+    / 10000.0 AS avg_value,
   round(min(value), 4)           AS min_value,
   round(max(value), 4)           AS max_value
 FROM events
@@ -40,18 +49,26 @@ ORDER BY event_type
           doc="event envelope aggregation by type")
 def events_type_stats(spark, sf_dir):
     e = events_sane(spark, sf_dir)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            msum(F.col("value")).alias("sum_value"),
-            r4(F.avg("value")).alias("avg_value"),
-            r4(F.min("value")).alias("min_value"),
-            r4(F.max("value")).alias("max_value"),
-        )
-        .orderBy("event_type")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(10000.0)).cast("decimal(38,0)")
+        ).alias("s4"),
+        F.count("value").alias("nv"),
+        r4(F.min("value")).alias("min_value"),
+        r4(F.max("value")).alias("max_value"),
     )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.col("s4") / F.lit(10000.0)).alias("sum_value"),
+        # (a - a%b)/b = truncating division, sign-matched to DuckDB //
+        (F.expr("(s4 - s4 % nv) / nv") / F.lit(10000.0)).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
 
 
 # Tumbling 1-hour windows align to the epoch => identical to
@@ -61,7 +78,7 @@ SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   count(*)             AS n_events,
-  sum(floor(value * 10000.0)) / 10000.0 AS sum_value
+  sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start, event_type
@@ -87,10 +104,18 @@ def window_tumbling_hourly(spark, sf_dir):
 
 # Sliding 1h windows every 30min: each event belongs to exactly 2
 # windows, starting at the enclosing 30-min boundary and 30 min before.
+# The bucket base is built with NAIVE timestamp arithmetic: DuckDB's
+# to_timestamp(secs) returns TIMESTAMPTZ, which strftime renders in
+# the HOST session timezone — correct on UTC hosts (every driver run)
+# but shifted by the local offset on any non-UTC host (found r12 by
+# driving in an Asia/Kolkata session: every label moved +05:30 while
+# the Spark side stayed put).  TIMESTAMP + INTERVAL stays naive.
 _SLIDING_ORACLE = EVENTS_TIMED_CTE + """,
 buckets AS (
   SELECT
-    to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) - (n * INTERVAL 30 MINUTE)
+    TIMESTAMP '1970-01-01 00:00:00'
+      + (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND)
+      - (n * INTERVAL 30 MINUTE)
       AS window_start,
     value
   FROM events, (SELECT unnest([0, 1]) AS n)
@@ -98,7 +123,7 @@ buckets AS (
 SELECT
   strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
   count(*)             AS n_events,
-  sum(floor(value * 10000.0)) / 10000.0 AS sum_value
+  sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0 AS sum_value
 FROM buckets
 GROUP BY window_start
 ORDER BY window_start
@@ -145,7 +170,7 @@ SELECT
   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')                       AS session_start,
   strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f')  AS session_end,
   count(*)                                                        AS n_events,
-  sum(floor(value * 10000.0)) / 10000.0                           AS sum_value
+  sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0                           AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start

@@ -36,14 +36,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed, md5_long
+from wire_spark.queries._util import EVENTS_MOMENT_CTE, EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_moment, events_sane, events_timed, md5_long
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
 # one-way ANOVA F across event types
 # --------------------------------------------------------------------
 
-_ANOVA_ORACLE = EVENTS_SANITIZED_CTE + """,
+_ANOVA_ORACLE = EVENTS_MOMENT_CTE + """,
 e AS (
   SELECT event_type, CAST(floor(value * 10000.0e0) AS BIGINT) AS v4
   FROM events
@@ -105,7 +105,7 @@ def events_anova_f(spark, sf_dir):
     combine -> 1-row total.  The shuffle carries k rows per
     partition; nothing is data-sized after the scan.
     """
-    e = events_sane(spark, sf_dir).select(
+    e = events_moment(spark, sf_dir).select(
         "event_type",
         F.expr("CAST(floor(value * 10000.0e0) AS BIGINT)").alias("v4"),
     )
@@ -114,15 +114,40 @@ def events_anova_f(spark, sf_dir):
         F.expr("sum(CAST(v4 AS DECIMAL(38,0)))").alias("s_g"),
         F.expr("sum(CAST(v4 AS DECIMAL(19,0)) * v4)").alias("ss_g"),
     )
-    t = g.agg(
+    # Floor division stays in DECIMAL as (a - a % b) / b (the
+    # preference_bt idiom): Spark's `div` returns LONG and WRAPS
+    # SILENTLY past int64 even on DECIMAL operands, so the old
+    # `(s_g*s_g) div (n_g*1e8)` was a latent silent-wrong for any
+    # group whose mean^2 * n outgrows int64 (r12 maxmass sweep).
+    # a >= 0 here (squares / sums of squares) and b >= 1e8, so the
+    # exact decimal quotient equals the trunc/floor on both engines;
+    # the final CAST AS BIGINT errors LOUDLY if the quotient itself
+    # no longer fits, matching the oracle's HUGEINT->BIGINT cast.
+    _B = "(CAST(n_g AS DECIMAL(19,0)) * 100000000)"
+    g2 = g.select(
+        "n_g", "s_g", "ss_g",
+        F.expr(
+            f"CAST((s_g * s_g - (s_g * s_g) % {_B}) / {_B}"
+            " AS DECIMAL(38,0))"
+        ).alias("a_g"),
+    )
+    t0 = g2.agg(
         F.count(F.lit(1)).alias("k_groups"),
         F.sum("n_g").alias("n_total"),
-        F.expr("CAST(sum((s_g * s_g) div (CAST(n_g AS DECIMAL(19,0))"
-               " * 100000000)) AS BIGINT)").alias("a_sum"),
-        F.expr("CAST((sum(s_g) * sum(s_g))"
-               " div (CAST(sum(n_g) AS DECIMAL(19,0)) * 100000000)"
-               " AS BIGINT)").alias("t_sum"),
-        F.expr("CAST(sum(ss_g) div 100000000 AS BIGINT)").alias("ssq"),
+        F.expr("CAST(sum(a_g) AS BIGINT)").alias("a_sum"),
+        F.sum("s_g").alias("s_all"),
+        F.sum("ss_g").alias("ss_all"),
+    )
+    _BT = "(CAST(n_total AS DECIMAL(19,0)) * 100000000)"
+    t = t0.select(
+        "k_groups", "n_total", "a_sum",
+        F.expr(
+            f"CAST((s_all * s_all - (s_all * s_all) % {_BT}) / {_BT}"
+            " AS BIGINT)"
+        ).alias("t_sum"),
+        F.expr(
+            "CAST((ss_all - ss_all % 100000000) / 100000000 AS BIGINT)"
+        ).alias("ssq"),
     )
     # clamp at 0: the per-group floors in a_sum can undershoot the
     # true (non-negative) sums of squares by up to k units, so a

@@ -30,7 +30,7 @@ WITH bounds AS (
 SELECT
   band_id,
   count(*)                   AS n_orders,
-  sum(floor(o_totalprice * 10000.0)) / 10000.0 AS total_value
+  sum(CAST(floor(o_totalprice * 10000.0) AS HUGEINT)) / 10000.0 AS total_value
 FROM orders o
 JOIN bands ON (o.o_totalprice >= band_lo AND o.o_totalprice < band_hi)
            OR (band_id = 9 AND o.o_totalprice = band_hi)
@@ -60,7 +60,7 @@ def range_join_price_bands(spark, sf_dir):
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0))) / F.lit(10000.0)).alias("total_value"),
+            (F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0)).cast("decimal(38,0)")) / F.lit(10000.0)).alias("total_value"),
         )
         .orderBy("band_id")
     )

@@ -18,7 +18,7 @@ SELECT
   year(o_orderdate)  AS y,
   month(o_orderdate) AS m,
   count(*)           AS n_orders,
-  sum(floor(o_totalprice * 10000.0)) / 10000.0 AS total_value
+  sum(CAST(floor(o_totalprice * 10000.0) AS HUGEINT)) / 10000.0 AS total_value
 FROM orders
 GROUP BY year(o_orderdate), month(o_orderdate)
 ORDER BY y, m

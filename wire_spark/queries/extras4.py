@@ -27,7 +27,7 @@ _RANGE_FRAME_ORACLE = EVENTS_TIMED_CTE + """
 SELECT
   user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-  sum(floor(value * 10000.0)) OVER (
+  sum(CAST(floor(value * 10000.0) AS HUGEINT)) OVER (
     PARTITION BY user_id ORDER BY ts
     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
   ) / 10000.0 AS rolling_30m,
@@ -54,7 +54,7 @@ def window_range_frame_30m(spark, sf_dir):
         e.select(
             "user_id", "event_id",
             fmt_ts(F.col("ts"), with_micros=True).alias("ts_s"),
-            (F.sum(F.floor(F.col("value") * F.lit(10000.0))).over(w) / F.lit(10000.0))
+            (F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("decimal(38,0)")).over(w) / F.lit(10000.0))
             .alias("rolling_30m"),
             F.count(F.lit(1)).over(w).alias("n_30m"),
         )

@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_sane, events_timed
+from wire_spark.queries._util import EVENTS_MOMENT_CTE, EVENTS_SANITIZED_CTE, EVENTS_TIMED_CTE, T, events_moment, events_sane, events_timed
 
 # --------------------------------------------------------------------
 # band join: order pairs within 7 days of each other (bucket-blocked)
@@ -274,7 +274,7 @@ def record_linkage_customers(spark, sf_dir):
 # sufficient statistics (n, Sx, Sy, Sxy, Sxx) — all BIGINT-exact, all
 # map-side combinable — and the slope falls out of closed form on the
 # tiny result. No per-group sort, no iterative solver, no Python.
-_TREND_ORACLE = EVENTS_SANITIZED_CTE + """,
+_TREND_ORACLE = EVENTS_MOMENT_CTE + """,
 b AS (
   SELECT event_type, epoch_us(ts) // 1000000 AS es,
          CAST(floor(value * 10000.0) AS BIGINT) AS y
@@ -286,16 +286,17 @@ b AS (
   FROM b JOIN m USING (event_type)
 ), s AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT)     AS sx,
-         CAST(sum(y) AS BIGINT)     AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
+         sum(CAST(x AS HUGEINT))     AS sx,
+         sum(CAST(y AS HUGEINT))     AS sy,
+         sum(CAST(x * y AS HUGEINT)) AS sxy,
+         sum(CAST(x * x AS HUGEINT)) AS sxx
   FROM x GROUP BY 1
 )
 SELECT event_type, n,
-       sy // n AS mean_y4,
-       CAST(floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
-                  * 1000000.0) AS BIGINT) AS slope_1e6
+       CAST(sy // n AS BIGINT) AS mean_y4,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0e0)
+                  * 1000000.0e0) AS BIGINT) AS slope_1e6
 FROM s
 ORDER BY event_type
 """
@@ -321,7 +322,7 @@ def events_linear_trend(spark, sf_dir):
     passes. The same five-number pattern extends to Welford variance
     and covariance matrices.
     """
-    e = events_sane(spark, sf_dir).select(
+    e = events_moment(spark, sf_dir).select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000").alias("es"),
         F.expr("CAST(floor(value * 10000.0) AS BIGINT)").alias("y"),
@@ -332,19 +333,33 @@ def events_linear_trend(spark, sf_dir):
         F.expr("(es - mn) div 3600").alias("x"),
         "y",
     )
+    # per-row products stay inside int64 (x <= ~1.14e6 hours to the
+    # 2100 ts-domain edge, |y| <= 1e12 in the moment domain -> x*y <=
+    # 1.14e18), but the SUMS accumulate in DECIMAL(38,0)/HUGEINT —
+    # the r12 maxmass sweep caught the old LONG sums ANSI-overflowing
+    # while the oracle's HUGEINT kept going.  mean_y4 uses the
+    # (a - a%b)/b trunc-division idiom (sign semantics identical to
+    # the old `div` and DuckDB's `//` for negative sy) with a loud
+    # final CAST.
     s = x.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x * y AS DECIMAL(38,0)))").alias("sxy"),
+        F.expr("sum(CAST(x * x AS DECIMAL(38,0)))").alias("sxx"),
     )
     return s.select(
         "event_type", "n",
-        F.expr("sy div n").alias("mean_y4"),
-        F.expr("CAST(floor(((n * sxy - sx * sy) * 1.0"
-               " / nullif(n * sxx - sx * sx, 0))"
-               " * 1000000.0) AS BIGINT)").alias("slope_1e6"),
+        F.expr("CAST((sy - sy % n) / n AS BIGINT)").alias("mean_y4"),
+        # identical DOUBLE op tree in both dialects: with DECIMAL /
+        # HUGEINT sufficient statistics, a bare `* 1.0` literal keeps
+        # the division in each engine's own decimal arithmetic (they
+        # round differently at the last 1e-6 digit); explicit CAST AS
+        # DOUBLE makes the exact integer operands convert identically
+        # and the division one deterministic IEEE op
+        F.expr("CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0e0)"
+               " * 1000000.0e0) AS BIGINT)").alias("slope_1e6"),
     ).orderBy("event_type")
 
 
@@ -360,7 +375,7 @@ def events_linear_trend(spark, sf_dir):
 _ROLLUP_TAIL_ORACLE = EVENTS_TIMED_CTE + """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(floor(value * 10000.0)) AS BIGINT) / 10000.0 AS sum_value
+       sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -400,13 +415,13 @@ def rollup_plus_tail_merge(spark, sf_dir):
     hist = (
         ec.filter(F.col("ts") < F.col("cutoff"))
         .groupBy(hour.alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4).alias("s4"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4.cast("decimal(38,0)")).alias("s4"))
     )
     # the raw tail: identical partials over only the recent rows
     tail = (
         ec.filter(F.col("ts") >= F.col("cutoff"))
         .groupBy(hour.alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4).alias("s4"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y4.cast("decimal(38,0)")).alias("s4"))
     )
     merged = (
         hist.unionByName(tail)

@@ -179,7 +179,7 @@ def events_time_decay(spark, sf_dir):
 _RESAMPLE_ORACLE = EVENTS_SANITIZED_CTE + """,
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
-         sum(floor(value * 10000.0)) / 10000.0 AS hv
+         sum(CAST(floor(value * 10000.0) AS HUGEINT)) / 10000.0 AS hv
   FROM events GROUP BY 1, 2
 ),
 span AS (
@@ -232,7 +232,7 @@ def events_resample_ffill(spark, sf_dir):
             F.floor(F.col("value") * F.lit(10000.0)).alias("v4"),
         )
         .groupBy("event_type", "hr")
-        .agg((F.sum("v4") / F.lit(10000.0)).alias("hv"))
+        .agg((F.sum(F.col("v4").cast("decimal(38,0)")) / F.lit(10000.0)).alias("hv"))
     )
     span = hourly.groupBy("event_type").agg(
         F.min("hr").alias("mn"), F.max("hr").alias("mx")

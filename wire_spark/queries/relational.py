@@ -35,9 +35,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                            AS sum_qty,
-  sum(floor(l_extendedprice * 10000.0)) / 10000.0                      AS sum_base_price,
-  sum(floor(l_extendedprice * (1 - l_discount) * 10000.0)) / 10000.0   AS sum_disc_price,
-  sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0)) / 10000.0 AS sum_charge,
+  sum(CAST(floor(l_extendedprice * 10000.0) AS HUGEINT)) / 10000.0                      AS sum_base_price,
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0) AS HUGEINT)) / 10000.0   AS sum_disc_price,
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS HUGEINT)) / 10000.0 AS sum_charge,
   round(avg(l_quantity), 4)                                            AS avg_qty,
   round(avg(l_extendedprice), 4)                                       AS avg_price,
   round(avg(l_discount), 4)                                            AS avg_disc,
@@ -78,7 +78,7 @@ def q1_pricing_summary(spark, sf_dir):
 _Q3_ORACLE = """
 SELECT
   o.o_orderkey,
-  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+  sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS revenue,
   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')          AS orderdate,
   o.o_orderpriority
 FROM customer c
@@ -130,7 +130,7 @@ _Q5_ORACLE = """
 SELECT
   r.r_name,
   n.n_name,
-  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue
+  sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -183,7 +183,7 @@ _BRAND_ORACLE = """
 SELECT
   p.p_brand,
   round(sum(l.l_quantity), 2)                           AS sum_qty,
-  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+  sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS revenue,
   count(*)                                              AS n_items
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -262,7 +262,7 @@ _OUTER_ORACLE = """
 SELECT
   n.n_name,
   count(s.s_suppkey)                            AS n_suppliers,
-  coalesce(sum(floor(s.s_acctbal * 10000.0)), 0) / 10000.0 AS total_bal
+  coalesce(sum(CAST(floor(s.s_acctbal * 10000.0) AS HUGEINT)), 0) / 10000.0 AS total_bal
 FROM nation n
 LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name
@@ -280,7 +280,7 @@ def outer_join_nation_suppliers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
-            (F.coalesce(F.sum(F.floor(F.col("s_acctbal") * F.lit(10000.0))), F.lit(0)) / F.lit(10000.0)).alias("total_bal"),
+            (F.coalesce(F.sum(F.floor(F.col("s_acctbal") * F.lit(10000.0)).cast("decimal(38,0)")), F.lit(0)) / F.lit(10000.0)).alias("total_bal"),
         )
         .orderBy("n_name")
     )
@@ -374,7 +374,7 @@ _CUBE_ORACLE = """
 SELECT
   coalesce(l_returnflag, 'ALL') AS returnflag,
   coalesce(l_linestatus, 'ALL') AS linestatus,
-  sum(floor(l_extendedprice * 10000.0)) / 10000.0 AS sum_price
+  sum(CAST(floor(l_extendedprice * 10000.0) AS HUGEINT)) / 10000.0 AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
@@ -433,7 +433,7 @@ def pivot_linestatus(spark, sf_dir):
 _ABOVE_AVG_ORACLE = """
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders
-WHERE o_totalprice > 1.5 * ((SELECT sum(floor(o_totalprice * 100.0)) / 100.0 FROM orders)
+WHERE o_totalprice > 1.5 * ((SELECT sum(CAST(floor(o_totalprice * 100.0) AS HUGEINT)) / 100.0 FROM orders)
                             / (SELECT count(*) FROM orders))
 ORDER BY o_orderkey
 """
@@ -445,7 +445,7 @@ def scalar_subquery_above_avg(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     avg_df = o.agg(
         (
-            (F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))) / F.lit(100.0))
+            (F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("decimal(38,0)")) / F.lit(100.0))
             / F.count(F.lit(1))
         ).alias("avg_price")
     )

@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.functions.text import ascii_lower
-from wire_spark.queries._util import EVENTS_SANITIZED_CTE, T, events_sane, md5_long
+from wire_spark.queries._util import (
+    EVENTS_MOMENT_CTE,
+    EVENTS_SANITIZED_CTE,
+    T,
+    events_moment,
+    events_sane,
+    md5_long,
+)
 from wire_spark.queries.features import _hist_prefix
 
 # --------------------------------------------------------------------
@@ -138,17 +145,17 @@ def events_ab_ztest(spark, sf_dir):
 # Welch's t-test: unequal-variance mean comparison from integer moments
 # --------------------------------------------------------------------
 
-_WELCH_ORACLE = EVENTS_SANITIZED_CTE + """,
+_WELCH_ORACLE = EVENTS_MOMENT_CTE + """,
 e AS (
   SELECT event_type = 'click' AS g1, value AS v FROM events
   WHERE event_type IN ('click', 'view') AND value IS NOT NULL
 ), m AS (
   SELECT CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS n1,
          CAST(count(*) FILTER (WHERE NOT g1) AS BIGINT) AS n2,
-         CAST(sum(CAST(floor(v * 10000.0e0) AS BIGINT))
-              FILTER (WHERE g1) AS BIGINT) AS s1,
-         CAST(sum(CAST(floor(v * 10000.0e0) AS BIGINT))
-              FILTER (WHERE NOT g1) AS BIGINT) AS s2,
+         CAST(sum(CAST(floor(v * 10000.0e0) AS HUGEINT))
+              FILTER (WHERE g1) AS HUGEINT) AS s1,
+         CAST(sum(CAST(floor(v * 10000.0e0) AS HUGEINT))
+              FILTER (WHERE NOT g1) AS HUGEINT) AS s2,
          CAST(sum(CAST(floor(v * v * 100.0e0) AS HUGEINT))
               FILTER (WHERE g1) AS HUGEINT) AS q1,
          CAST(sum(CAST(floor(v * v * 100.0e0) AS HUGEINT))
@@ -197,23 +204,34 @@ def events_welch_ttest(spark, sf_dir):
 
     The second-moment summand is ~2.4e9 per row (value <= 490), so
     the sum outgrows int64 around sf3000 — it accumulates in
-    DECIMAL(38,0)/HUGEINT per the model_auc_rank discipline.
+    DECIMAL(38,0)/HUGEINT per the model_auc_rank discipline, and the
+    first moments are widened the same way (r12 maxmass).
+
+    Moment-tier domain (r12 maxmass sweep): Spark's floor(DOUBLE)
+    returns LONG and SATURATES SILENTLY at int64 max, so a value
+    admitted by the 1e12 SANITIZE budget poisons floor(v*v*100)
+    without any error while DuckDB's DOUBLE floor keeps the true
+    value (observed: the t gate flipped to 0 on Spark only).  Input
+    therefore comes from events_moment / EVENTS_MOMENT_CTE, which
+    NULL-bands |v| > 1e8 on both engines (v*v*100 <= 1e18 stays
+    per-row exact); real data carries |v| <= ~500, verified
+    bit-identical.
 
     Scale shape: single scan, map-side combine into one row; no
     shuffle beyond the six-counter partials.  A zero pooled standard
     error (both groups constant) reports t = 0 on both sides rather
     than dividing by zero.
     """
-    e = events_sane(spark, sf_dir).filter(
+    e = events_moment(spark, sf_dir).filter(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     ).select((F.col("event_type") == "click").alias("g1"), F.col("value").alias("v"))
     m = e.agg(
         F.count(F.when(F.col("g1"), 1)).alias("n1"),
         F.count(F.when(~F.col("g1"), 1)).alias("n2"),
         F.sum(F.when(F.col("g1"),
-                     F.expr("CAST(floor(v * 10000.0e0) AS BIGINT)"))).alias("s1"),
+                     F.expr("CAST(floor(v * 10000.0e0) AS DECIMAL(38,0))"))).alias("s1"),
         F.sum(F.when(~F.col("g1"),
-                     F.expr("CAST(floor(v * 10000.0e0) AS BIGINT)"))).alias("s2"),
+                     F.expr("CAST(floor(v * 10000.0e0) AS DECIMAL(38,0))"))).alias("s2"),
         F.sum(F.when(F.col("g1"),
                      F.expr("CAST(floor(v * v * 100.0e0) AS DECIMAL(38,0))")))
         .alias("q1"),

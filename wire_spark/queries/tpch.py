@@ -52,7 +52,7 @@ _Q7_ORACLE = """
 SELECT
   n1.n_name AS supp_nation,
   n2.n_name AS cust_nation,
-  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS volume
+  sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS volume
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -100,7 +100,7 @@ def q7_nation_volume(spark, sf_dir):
 _Q10_ORACLE = """
 SELECT
   c.c_custkey, c.c_name,
-  sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+  sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS revenue,
   round(c.c_acctbal, 2) AS acctbal,
   n.n_name
 FROM customer c
@@ -142,10 +142,10 @@ def q10_returned_items(spark, sf_dir):
 # and denominator are order-independent, so the ratio is bit-stable
 _Q14_ORACLE = """
 SELECT
-  floor(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+  floor(100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
                          THEN floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
-                         ELSE 0 END)
-        / sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0))
+                         ELSE 0 END AS HUGEINT))
+        / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT))
         * 10000.0) / 10000.0 AS promo_pct,
   count(*) AS n_items
 FROM lineitem l
@@ -168,8 +168,8 @@ def q14_promo_revenue(spark, sf_dir):
     )
     ratio = (
         F.lit(100.0)
-        * F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0)))
-        / F.sum(rev_i)
+        * F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0)).cast("decimal(38,0)"))
+        / F.sum(rev_i.cast("decimal(38,0)"))
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
@@ -228,7 +228,7 @@ def q18_large_orders(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT sum(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)) / 10000.0 AS revenue,
+SELECT sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0) AS HUGEINT)) / 10000.0 AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -270,7 +270,7 @@ WITH pos_avg AS (
 SELECT
   c.c_mktsegment,
   count(*) AS n_cust,
-  sum(floor(c.c_acctbal * 10000.0)) / 10000.0 AS total_bal
+  sum(CAST(floor(c.c_acctbal * 10000.0) AS HUGEINT)) / 10000.0 AS total_bal
 FROM customer c, pos_avg
 WHERE c.c_acctbal > pos_avg.a
   AND c.c_custkey NOT IN
@@ -302,7 +302,7 @@ def q22_rich_inactive(spark, sf_dir):
 
 _Q6_ORACLE = """
 SELECT
-  sum(floor(l_extendedprice * l_discount * 10000.0)) / 10000.0 AS revenue_effect,
+  sum(CAST(floor(l_extendedprice * l_discount * 10000.0) AS HUGEINT)) / 10000.0 AS revenue_effect,
   count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -324,7 +324,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000.0)))
+            (F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000.0)).cast("decimal(38,0)"))
              / F.lit(10000.0)).alias("revenue_effect"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -493,7 +493,7 @@ WITH pa AS (
          sum(l_quantity) * 1.0 / count(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT floor(sum(floor(l_extendedprice * 10000.0)) / 10000.0 / 7.0 * 100.0) / 100.0
+SELECT floor(sum(CAST(floor(l_extendedprice * 10000.0) AS HUGEINT)) / 10000.0 / 7.0 * 100.0) / 100.0
          AS avg_yearly
 FROM lineitem JOIN pa ON pk = l_partkey
 WHERE l_quantity < 0.2 * avg_qty
@@ -517,7 +517,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
     )
     yearly = F.floor(
-        (F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0))) / F.lit(10000.0))
+        (F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("decimal(38,0)")) / F.lit(10000.0))
         / F.lit(7.0) * F.lit(100.0)
     ) / F.lit(100.0)
     return joined.agg(yearly.alias("avg_yearly"))
@@ -578,8 +578,8 @@ def q8_market_share(spark, sf_dir):
         .select(F.year("o_orderdate").alias("o_year"), v.alias("v"), "supp_nation")
     )
     share = F.floor(
-        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0))
-        * F.lit(1.0) / F.sum("v") * F.lit(10000.0)
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0).cast("decimal(38,0)"))
+        * F.lit(1.0) / F.sum(F.col("v").cast("decimal(38,0)")) * F.lit(10000.0)
     ) / F.lit(10000.0)
     return vol.groupBy("o_year").agg(share.alias("mkt_share")).orderBy("o_year")
 
@@ -630,7 +630,7 @@ def q9_profit_by_nation(spark, sf_dir):
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg((F.sum(amount) / F.lit(10000.0)).alias("profit"))
+        .agg((F.sum(amount.cast("decimal(38,0)")) / F.lit(10000.0)).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -669,7 +669,7 @@ def q11_important_parts(spark, sf_dir):
         li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("long")).alias("val_i"))
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("decimal(38,0)")).alias("val_i"))
     )
     tot = pv.agg(F.sum("val_i").alias("total_i"))
     return (

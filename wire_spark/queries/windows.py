@@ -150,7 +150,7 @@ SELECT coalesce(week_s, 'ALL') AS week_s,
        coalesce(day_s, 'ALL')  AS day_s,
        coalesce(hour_s, 'ALL') AS hour_s,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(v4) AS BIGINT) / 10000.0 AS sum_value
+       sum(CAST(v4 AS HUGEINT)) / 10000.0 AS sum_value
 FROM b
 GROUP BY ROLLUP (week_s, day_s, hour_s)
 ORDER BY week_s, day_s, hour_s
@@ -188,7 +188,7 @@ def rollup_time_lattice(spark, sf_dir):
     return (
         e.rollup("week_s", "day_s", "hour_s")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             (F.sum("v4") / F.lit(10000.0)).alias("sum_value"))
+             (F.sum(F.col("v4").cast("decimal(38,0)")) / F.lit(10000.0)).alias("sum_value"))
         .select(
             F.coalesce("week_s", F.lit("ALL")).alias("week_s"),
             F.coalesce("day_s", F.lit("ALL")).alias("day_s"),
