@@ -966,19 +966,24 @@ def test_source_ablation_loso_replay(spark, sf_dir):
 
 
 def test_valid_embedding_domain_gate(spark, tmp_path):
-    """The r12 zerovec contract gate: zero-norm, non-finite, and
-    >=1e15-norm vectors are excluded by the shared loader; unit-scale
-    and denormal-scale vectors pass.  One malformed row must never be
-    able to crash a cosine kernel (ANSI 0/0) again."""
+    """The r12 zerovec contract gate (tightened by the r12 review
+    pass): zero-norm, non-finite, and >=1e6-norm vectors (dd >= 1e12)
+    are excluded by the shared loader; unit-scale, denormal-scale,
+    and near-budget vectors pass.  One malformed row must never be
+    able to crash a cosine kernel (ANSI 0/0) or silently saturate a
+    1e6-scale fixed-point floor again."""
     import pyspark.sql.functions as F
 
     rows = [
         (0, [0.0] * 64, 1),            # zero norm -> out
         (1, [0.5] * 64, 1),            # unit-ish -> in
-        (2, [1.0e30] * 64, 1),         # huge -> out (dd overflows 1e30)
+        (2, [1.0e30] * 64, 1),         # huge -> out
         (3, [1.0e-30] * 64, 1),        # denormal-scale, nonzero -> in
         (4, [float("nan")] * 64, 1),   # non-finite -> out
         (5, [float("inf")] * 64, 1),   # non-finite -> out
+        (6, [1.0e10] * 64, 1),         # dd=6.4e21: old gate admitted,
+                                       # saturates 1e6 floors -> out
+        (7, [1.0e5] * 64, 1),          # dd=6.4e11: near-budget -> in
     ]
     df = spark.createDataFrame(rows, ["vec_id", "raw", "label"]).select(
         "vec_id", F.col("raw").cast("array<float>").alias("embedding"), "label"
@@ -991,4 +996,4 @@ def test_valid_embedding_domain_gate(spark, tmp_path):
     kept = sorted(
         r.vec_id for r in _valid_vectors(spark, str(tmp_path)).collect()
     )
-    assert kept == [1, 3]
+    assert kept == [1, 3, 7]

@@ -216,6 +216,12 @@ def build_corpus(spark, mode: str, dst: str) -> None:
         elif mode == "zerovec" and t == "embeddings":
             from pyspark.sql import functions as F
             # vector-space degeneracy: the ZERO vector (cosine's 0/0 —
+            # r12 review additions: a 1e10-component vector (dd=6.4e21
+            # — admitted by the old 1e30 gate, silently saturating
+            # Spark's 1e6-scale floors; must now be EXCLUDED by the
+            # tightened dd < 1e12 gate on both engines) and a
+            # 1e5-component vector (dd=6.4e11 — just inside the gate;
+            # every kernel must agree at near-budget magnitude) —
             # the division-guard class that has bitten every other
             # family), a shared CONSTANT vector duplicated across many
             # rows (exact distance ties — any top-k without a total
@@ -233,6 +239,12 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 .when(F.col("vec_id") % 19 == 0, F.expr(
                     "transform(sequence(1, 64),"
                     " i -> CAST(1.0e30 AS FLOAT) * CAST(i AS FLOAT))"))
+                .when(F.col("vec_id") % 29 == 0, F.expr(
+                    "transform(sequence(1, 64),"
+                    " i -> CAST(1.0e10 AS FLOAT))"))
+                .when(F.col("vec_id") % 31 == 0, F.expr(
+                    "transform(sequence(1, 64),"
+                    " i -> CAST(1.0e5 AS FLOAT))"))
                 .when(F.col("vec_id") % 23 == 0, F.expr(
                     "transform(sequence(1, 64),"
                     " i -> CAST(1.0e-30 AS FLOAT) * CAST(i AS FLOAT))"))

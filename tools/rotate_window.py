@@ -153,6 +153,13 @@ def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
     def green(name: str):
         return q[name]["newest_green"]
 
+    unknown = sorted(n for n in EDITED_SINCE_GREEN if n not in q)
+    if unknown:
+        raise SystemExit(
+            f"EDITED_SINCE_GREEN names not in the registry: {unknown} — "
+            "a typo or rename here silently loses the edited-since-green "
+            "re-verification guarantee; fix the entry"
+        )
     red = sorted(n for n in q if green(n) is None and q[n]["ever_failed"])
     never = sorted(n for n in q if green(n) is None and not q[n]["ever_failed"])
     forced = sorted(

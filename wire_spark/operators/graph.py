@@ -140,6 +140,14 @@ def connected_components(
                 # if a label's vertex were somehow absent (defensive;
                 # inner would drop the vertex).  Skipped for the first
                 # _JUMP_AFTER rounds — see the docstring.
+                #
+                # stepped is materialized BEFORE the self-join: the
+                # join's two inputs are the same union+groupBy
+                # subtree, and without persistence Spark executes the
+                # round's dominant shuffle/aggregation twice per jump
+                # round (AQE exchange reuse is an optimization, not a
+                # guarantee).
+                stepped = _persist_round(stepped)
                 hop = stepped.select(
                     F.col("id").alias("jid"), F.col("comp").alias("jcomp")
                 )

@@ -29,7 +29,7 @@ _DIM = 64
 LLOYD_CENT1_CTE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
 assign0 AS (
   SELECT vec_id, cid, v FROM (
@@ -107,7 +107,7 @@ def _lloyd_refine(e, cent):
         .select("cid", (F.col("d0") + 1).alias("d"), "val")
     )
     sums = dims.groupBy("cid", "d").agg(
-        F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias("s"),
+        F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     return (

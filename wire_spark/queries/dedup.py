@@ -1027,7 +1027,7 @@ _CROSSMODAL_ORACLE = _SHINGLES_CTE + """
   WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
 ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30)
+           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12)
 SELECT p.d1, p.d2, p.jaccard,
        floor(list_dot_product(e1.v, e2.v)
              / (sqrt(list_dot_product(e1.v, e1.v))

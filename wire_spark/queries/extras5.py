@@ -455,7 +455,7 @@ prod AS (
                     * 1000000.0) AS BIGINT) AS v
   FROM embeddings e, pairs p
   WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e12
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
        CAST(sum(v) AS BIGINT) AS gram_1e6
@@ -630,7 +630,7 @@ am AS (
                              * 1000000.0) AS BIGINT)) AS BIGINT) AS v
   FROM embeddings e, pr p
   WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e12
   GROUP BY 1, 2
 ),
 v0 AS (SELECT i, v AS x FROM am WHERE i = j),

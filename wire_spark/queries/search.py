@@ -280,7 +280,7 @@ _HYBRID_ORACLE = _BM25_CTE + """
 ), lex AS (SELECT doc_id, r FROM lex0 WHERE r <= 50),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 qv AS (SELECT v FROM e WHERE vec_id = 0),
 sims AS (
   SELECT e.vec_id AS doc_id,

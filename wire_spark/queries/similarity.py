@@ -35,22 +35,31 @@ def _dot(x, y):
 
 def _valid_vectors(spark, sf_dir):
     """(vec_id, label, v, dd): double-cast vectors restricted to the
-    VALID-EMBEDDING DOMAIN — 0 < dot(v,v) < 1e30, i.e. non-zero,
-    finite, norm < 1e15.  The r12 ``zerovec`` sweep showed one
-    malformed row (an all-zero or 1e30-scale vector) crashes every
-    cosine kernel under ANSI (0/0 → DIVIDE_BY_ZERO) or silently
-    saturates int64 fixed-point; at 100 TB a contract gate in front of
-    the vector stage is the production shape, so the exclusion lives
-    in the loader and is mirrored verbatim in every oracle's scan
-    (no real test row at any SF is excluded — norms are unit-scale).
-    NaN/Inf components make dd non-finite, and both engines order NaN
-    above every number, so dd < 1e30 rejects them identically."""
+    VALID-EMBEDDING DOMAIN — 0 < dot(v,v) < 1e12, i.e. non-zero,
+    finite, norm < 1e6 (and so every component <= 1e6 and every
+    pairwise |dot| < 1e12 by Cauchy-Schwarz).  The r12 ``zerovec``
+    sweep showed one malformed row (an all-zero or huge vector)
+    crashes every cosine kernel under ANSI (0/0 → DIVIDE_BY_ZERO) or
+    silently saturates int64 fixed-point; the r12 review pass then
+    tightened the bound from 1e30 to 1e12 so the domain actually
+    covers the kernels' fixed-point budgets — Spark's floor(DOUBLE)
+    SATURATES SILENTLY at int64 max, so a 1e13-component vector
+    admitted by the old gate gave a silently wrong 1e6-fixed-point
+    centroid on Spark while DuckDB errored.  With dd < 1e12 every
+    1e6-scale floor input (components, dots, squared distances <=
+    4e12) stays per-row exact.  At 100 TB a contract gate in front
+    of the vector stage is the production shape, so the exclusion
+    lives in the loader and is mirrored verbatim in every oracle's
+    scan (no real test row at any SF is excluded — norms are
+    unit-scale).  NaN/Inf components make dd non-finite, and both
+    engines order NaN above every number, so dd < 1e12 rejects them
+    identically."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     return (
         T(spark, sf_dir, "embeddings")
         .select("vec_id", "label", v.alias("v"))
         .withColumn("dd", _dot(F.col("v"), F.col("v")))
-        .filter((F.col("dd") > 0.0) & (F.col("dd") < 1.0e30))
+        .filter((F.col("dd") > 0.0) & (F.col("dd") < 1.0e12))
     )
 
 
@@ -61,7 +70,7 @@ def valid_embedding_cond():
     and so can't go through ``_valid_vectors``."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     dd = _dot(v, v)
-    return (dd > 0.0) & (dd < 1.0e30)
+    return (dd > 0.0) & (dd < 1.0e12)
 
 
 def _vectors(spark, sf_dir):
@@ -86,7 +95,7 @@ def _vectors(spark, sf_dir):
 _KNN_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
 sims AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -131,7 +140,7 @@ def knn_bruteforce_cosine(spark, sf_dir):
 _IVF_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, cid FROM (
@@ -359,7 +368,7 @@ SELECT label,
        floor(max(sqrt(list_dot_product(v, v))) * 1000000.0) / 1000000.0 AS max_norm
 FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30)
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12)
 GROUP BY label
 ORDER BY label
 """
@@ -418,7 +427,7 @@ e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 100 = 0),
@@ -460,7 +469,7 @@ e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 100 = 0),
@@ -593,7 +602,7 @@ def ann_lsh_cosine(spark, sf_dir):
 _QUANT_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 q AS (
   SELECT vec_id, v,
          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -654,7 +663,7 @@ def _pq_oracle() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 subs AS (SELECT unnest(range({_PQ_M})) AS m),
 cw AS (
   SELECT vec_id AS code, m, v[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS cv
@@ -765,7 +774,7 @@ def ann_pq_adc(spark, sf_dir):
         assigned.join(F.broadcast(dist_table), ["m", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("nid"))
-        .agg(F.sum(F.floor(F.col("qd") * F.lit(1000000.0)).cast("long")).alias("adist_i"))
+        .agg(F.sum(F.floor(F.col("qd") * F.lit(1000000.0)).cast("decimal(38,0)")).alias("adist_i"))
     )
     w_top = W.partitionBy("qid").orderBy(F.col("adist_i"), F.asc("nid"))
     return (
@@ -789,7 +798,7 @@ def _ivfpq_oracle() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 ivf_assign AS (
   SELECT vec_id, cid FROM (
@@ -948,7 +957,7 @@ def ann_ivfpq_adc(spark, sf_dir):
             (F.col("s.qid") == F.col("c.qid")) & (F.col("s.vec_id") == F.col("c.nid")),
         )
         .groupBy(F.col("s.qid").alias("qid"), F.col("s.vec_id").alias("nid"))
-        .agg(F.sum(F.floor(F.col("s.qd") * F.lit(1000000.0)).cast("long")).alias("adist_i"))
+        .agg(F.sum(F.floor(F.col("s.qd") * F.lit(1000000.0)).cast("decimal(38,0)")).alias("adist_i"))
     )
     w_top = W.partitionBy("qid").orderBy(F.col("adist_i"), F.asc("nid"))
     return (
@@ -1030,7 +1039,7 @@ _LABEL_AGREE_ORACLE = """
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12
 ),
 q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
 sims AS (
@@ -1135,7 +1144,7 @@ def knn_label_agreement(spark, sf_dir):
 _CENTROID_ORACLE = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30),
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12),
 dims AS (SELECT unnest(range(1, 65)) AS i),
 x AS (
   SELECT e.label, dims.i AS dim,
@@ -1233,7 +1242,7 @@ e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {plane_cols}
   FROM embeddings, pl_t
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
-    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e30
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) < 1.0e12
 ), hashed AS (
   SELECT vec_id, v, {bucket_terms} AS bucket FROM e
 ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM hashed WHERE vec_id % 50 = 0),

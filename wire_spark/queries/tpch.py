@@ -705,7 +705,7 @@ def q15_top_supplier(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(
-            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)).cast("long")
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)).cast("decimal(38,0)")
         ).alias("rev_i")
     )
     mx = rev.agg(F.max("rev_i").alias("max_i"))

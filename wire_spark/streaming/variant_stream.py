@@ -51,6 +51,15 @@ def windowed_variant_profile(
     query's ``coverage_bp``) is deliberately absent — it needs a
     second, payload-grain aggregation; the monitor watches the type
     mix, the batch audit owns coverage.
+
+    Event-time contract: rows with a NULL ``ts_col`` never enter a
+    window (``F.window``/watermarking drop them), so a feed that
+    starts losing timestamps fades from this monitor silently — the
+    batch profile, which counts every payload regardless of event
+    time, is the audit that catches that axis, and an ingest-time
+    NULL-ts gate (``governance_stream.contract_gate``) is the live
+    alarm for it.  Window-vs-batch diffs therefore only reconcile on
+    corpora whose rows all carry in-domain timestamps.
     """
     labeled = (
         stream.select(
