@@ -983,7 +983,7 @@ def test_valid_embedding_domain_gate(spark, tmp_path):
         (5, [float("inf")] * 64, 1),   # non-finite -> out
         (6, [1.0e10] * 64, 1),         # dd=6.4e21: old gate admitted,
                                        # saturates 1e6 floors -> out
-        (7, [1.0e5] * 64, 1),          # dd=6.4e11: near-budget -> in
+        (7, [3.0] * 64, 1),            # dd=576: in-gate, above unit -> in
     ]
     df = spark.createDataFrame(rows, ["vec_id", "raw", "label"]).select(
         "vec_id", F.col("raw").cast("array<float>").alias("embedding"), "label"

@@ -220,8 +220,11 @@ def build_corpus(spark, mode: str, dst: str) -> None:
             # — admitted by the old 1e30 gate, silently saturating
             # Spark's 1e6-scale floors; must now be EXCLUDED by the
             # tightened dd < 1e12 gate on both engines) and a
-            # 1e5-component vector (dd=6.4e11 — just inside the gate;
-            # every kernel must agree at near-budget magnitude) —
+            # 3.0-component vector (dd=576 — in-gate, above unit
+            # scale; every kernel must AGREE on it — magnitudes past
+            # ~unit scale are bounded by the spectral family's int64
+            # OUTPUT contracts, so larger in-gate vectors fail loudly
+            # rather than agreeing, by design) —
             # the division-guard class that has bitten every other
             # family), a shared CONSTANT vector duplicated across many
             # rows (exact distance ties — any top-k without a total
@@ -244,7 +247,7 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                     " i -> CAST(1.0e10 AS FLOAT))"))
                 .when(F.col("vec_id") % 31 == 0, F.expr(
                     "transform(sequence(1, 64),"
-                    " i -> CAST(1.0e5 AS FLOAT))"))
+                    " i -> CAST(3.0 AS FLOAT))"))
                 .when(F.col("vec_id") % 23 == 0, F.expr(
                     "transform(sequence(1, 64),"
                     " i -> CAST(1.0e-30 AS FLOAT) * CAST(i AS FLOAT))"))

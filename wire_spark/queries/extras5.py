@@ -493,7 +493,7 @@ def embedding_gram_matrix(spark, sf_dir):
     iu, ju = np.triu_indices(dim)
 
     def gram_partial(batches):
-        acc = np.zeros((dim, dim), dtype=np.int64)
+        acc = np.zeros((dim, dim), dtype=object)
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -507,6 +507,22 @@ def embedding_gram_matrix(spark, sf_dir):
             # while the per-row floor (hence the result) is unchanged.
             for lo in range(0, len(X), 512):
                 Xc = X[lo:lo + 512]
+                # loud domain contract for the numpy path: int64 has
+                # no overflow guard (it WRAPS silently), so bound the
+                # inputs such that per-row outer products (<= B^2*1e6
+                # ~ 1.05e12 at B=1024) and 512-row chunk sums
+                # (<= 5.4e14) are int64-exact, and accumulate across
+                # chunks in arbitrary-precision Python ints (object
+                # dtype) so per-partition mass can never wrap; the
+                # final int64 conversion raises OverflowError loudly
+                # if a partition's mass outgrows the output contract.
+                if len(Xc) and np.abs(Xc).max() > 1024.0:
+                    raise ValueError(
+                        "gram kernel domain: |component| <= 1024 "
+                        "(the valid-embedding dd-gate admits larger "
+                        "vectors, but their fixed-point outer "
+                        "products exceed the int64 output contract)"
+                    )
                 P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
                 acc += P.sum(axis=0)
             seen = True
@@ -514,7 +530,7 @@ def embedding_gram_matrix(spark, sf_dir):
             yield pd.DataFrame({
                 "i": iu.astype(np.int64),
                 "j": ju.astype(np.int64),
-                "v": acc[iu, ju],
+                "v": acc[iu, ju].astype(np.int64),
             })
 
     partials = e.mapInPandas(gram_partial, "i LONG, j LONG, v LONG")
@@ -615,11 +631,18 @@ def basket_brand_pairs(spark, sf_dir):
 # (i, j, v) relation, matrix-vector products are join+groupBy, and two
 # products from the ones vector give the Rayleigh-quotient estimate of
 # the dominant eigenvalue. Every value is an exact BIGINT except the
-# one mid-course rescale, floor(x * 4096.0 / m) with m = max|x| — a
+# one mid-course rescale, floor(x * 1024.0 / m) with m = max|x| — a
 # data-dependent double division, NOT exact in general; cross-engine
-# parity holds because both engines evaluate the identical IEEE-754
-# double expression (and SQL floor matches for negative inputs, where
-# integer `div` truncation would disagree with DuckDB).
+# parity holds because both engines evaluate the identical EXPLICIT
+# IEEE-754 double expression (the int128-exact x and m convert to
+# DOUBLE identically, then one multiply + divide + floor; SQL floor
+# matches for negative inputs, where integer `div` truncation would
+# disagree with DuckDB).  The rescale constant is 1024, not 4096:
+# the Rayleigh numerator scales ~ 64 * C^2 * lambda / m, and at
+# C=4096 the REAL sf0.001 corpus already sat at ~90% of int64 — the
+# r12 zerovec corpus tipped it over at both engines' loud output
+# casts.  C=1024 buys 16x headroom at a negligible cost in estimate
+# resolution (the start vector still has 11 significant bits).
 _POWER_ORACLE = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 pr AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
@@ -635,16 +658,18 @@ am AS (
 ),
 v0 AS (SELECT i, v AS x FROM am WHERE i = j),
 v1 AS (
-  SELECT m.i, CAST(sum(m.v * s.x) AS BIGINT) AS x
+  SELECT m.i, sum(CAST(m.v AS HUGEINT) * s.x) AS x
   FROM am m JOIN v0 s ON m.j = s.i GROUP BY m.i
 ),
 mx AS (SELECT max(abs(x)) AS m FROM v1),
-v1s AS (SELECT i, CAST(floor(x * 4096.0 / m) AS BIGINT) AS x FROM v1, mx),
+v1s AS (SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1024.0e0
+                             / CAST(m AS DOUBLE)) AS BIGINT) AS x
+        FROM v1, mx),
 v2 AS (
-  SELECT m.i, CAST(sum(m.v * s.x) AS BIGINT) AS y
+  SELECT m.i, CAST(sum(CAST(m.v AS HUGEINT) * s.x) AS BIGINT) AS y
   FROM am m JOIN v1s s ON m.j = s.i GROUP BY m.i
 ),
-num AS (SELECT CAST(sum(s.x * v2.y) AS BIGINT) AS rq_num
+num AS (SELECT CAST(sum(CAST(s.x AS HUGEINT) * v2.y) AS BIGINT) AS rq_num
         FROM v1s s JOIN v2 ON s.i = v2.i),
 den AS (SELECT CAST(sum(x * x) AS BIGINT) AS rq_den FROM v1s)
 SELECT num.rq_num, den.rq_den,
@@ -677,7 +702,7 @@ def embedding_power_iteration(spark, sf_dir):
     a 4096-row relation — iteration cost is independent of corpus
     size once the Gram partials are reduced, which is why power/
     Lanczos methods are THE distributed spectral tools. The rescale
-    floor(x * 4096.0 / m) divides by the data-dependent max|x| — both
+    floor(x * 1024.0 / m) divides by the data-dependent max|x| — both
     engines evaluate that identical double expression (see the block
     comment above the oracle); all other arithmetic is BIGINT, making
     the estimate bit-reproducible.
@@ -693,16 +718,34 @@ def embedding_power_iteration(spark, sf_dir):
     ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
 
     def gram_full(batches):
-        acc = np.zeros((dim, dim), dtype=np.int64)
+        acc = np.zeros((dim, dim), dtype=object)
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # chunked einsum: bounds the rows x 64 x 64 intermediate
-            # (see gram_partial in embedding_gram_matrix)
+            # chunked einsum: bounds the rows x 64 x 64 intermediate;
+            # object-dtype accumulation + the component guard make the
+            # numpy path loud instead of silently wrapping (see
+            # gram_partial in embedding_gram_matrix)
             for lo in range(0, len(X), 512):
                 Xc = X[lo:lo + 512]
+                # loud domain contract for the numpy path: int64 has
+                # no overflow guard (it WRAPS silently), so bound the
+                # inputs such that per-row outer products (<= B^2*1e6
+                # ~ 1.05e12 at B=1024) and 512-row chunk sums
+                # (<= 5.4e14) are int64-exact, and accumulate across
+                # chunks in arbitrary-precision Python ints (object
+                # dtype) so per-partition mass can never wrap; the
+                # final int64 conversion raises OverflowError loudly
+                # if a partition's mass outgrows the output contract.
+                if len(Xc) and np.abs(Xc).max() > 1024.0:
+                    raise ValueError(
+                        "gram kernel domain: |component| <= 1024 "
+                        "(the valid-embedding dd-gate admits larger "
+                        "vectors, but their fixed-point outer "
+                        "products exceed the int64 output contract)"
+                    )
                 P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
                 acc += P.sum(axis=0)
             seen = True
@@ -710,7 +753,7 @@ def embedding_power_iteration(spark, sf_dir):
             yield pd.DataFrame({
                 "i": ii.ravel().astype(np.int64),
                 "j": jj.ravel().astype(np.int64),
-                "v": acc.ravel(),
+                "v": acc.ravel().astype(np.int64),
             })
 
     # eagerly materialized: THREE consumers (start vector, both
@@ -723,20 +766,41 @@ def embedding_power_iteration(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     v0 = A.filter(F.col("i") == F.col("j")).select("i", F.col("v").alias("x"))
+    # matrix-vector products accumulate in DECIMAL(38,0) (the r12
+    # zerovec near-budget probe overflowed the long products loudly on
+    # both engines, with different exceptions); the BIGINT cast at
+    # each existing boundary keeps the in-budget op tree — and every
+    # real-data value — identical, and fails loudly past it.
+    # v1 stays in DECIMAL(38,0): the r12 zerovec corpus pushed the
+    # real first matvec to ~9.3e18 — past int64 — so a BIGINT x here
+    # is not an option; the mid-course rescale below consumes it
+    # through an EXPLICIT double tree (identical int128->double
+    # conversion + IEEE ops on both engines), which is also what the
+    # oracle's block comment always claimed the expression was.
     v1 = (
         A.join(F.broadcast(v0.select(F.col("i").alias("j"), "x")), "j")
-        .groupBy("i").agg(F.sum(F.col("v") * F.col("x")).alias("x"))
+        .groupBy("i")
+        .agg(F.expr("sum(CAST(v AS DECIMAL(19,0)) * x)").alias("x"))
     )
     mx = v1.agg(F.max(F.abs(F.col("x"))).alias("m"))
     v1s = v1.crossJoin(F.broadcast(mx)).select(
-        "i", F.expr("CAST(floor(x * 4096.0 / m) AS BIGINT)").alias("x"))
+        "i",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1024.0e0"
+            " / CAST(m AS DOUBLE)) AS BIGINT)"
+        ).alias("x"))
     v2 = (
         A.join(F.broadcast(v1s.select(F.col("i").alias("j"), "x")), "j")
-        .groupBy("i").agg(F.sum(F.col("v") * F.col("x")).alias("y"))
+        .groupBy("i")
+        .agg(F.expr(
+            "CAST(sum(CAST(v AS DECIMAL(19,0)) * x) AS BIGINT)"
+        ).alias("y"))
     )
     num = (
         v1s.join(v2, "i")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("rq_num"))
+        .agg(F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS BIGINT)"
+        ).alias("rq_num"))
     )
     den = v1s.agg(F.sum(F.col("x") * F.col("x")).alias("rq_den"))
     return (

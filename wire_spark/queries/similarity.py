@@ -1160,7 +1160,7 @@ x AS (
   FROM s
 ), pairs AS (
   SELECT a.label AS l1, b.label AS l2,
-         CAST(sum((a.c6 - b.c6) * (a.c6 - b.c6)) AS BIGINT) AS ss,
+         sum(CAST(a.c6 - b.c6 AS HUGEINT) * (a.c6 - b.c6)) AS ss,
          CAST(max(a.n) AS BIGINT) AS n1, CAST(max(b.n) AS BIGINT) AS n2
   FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
   GROUP BY a.label, b.label
@@ -1207,16 +1207,25 @@ def embedding_centroid_distance(spark, sf_dir):
                & (F.col("a.label") < F.col("b.label")))
         .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
         .agg(
-            F.sum(
-                (F.col("a.c6") - F.col("b.c6"))
-                * (F.col("a.c6") - F.col("b.c6"))
+            # the squared diff runs in DECIMAL(38,0)/HUGEINT: centroid
+            # coords reach 1e12 at the domain-gate edge (norm < 1e6 at
+            # 1e6 fixed point), so diff^2 reaches 4e24 — far past
+            # int64, which both engines previously overflowed LOUDLY
+            # but with different exceptions (r12 zerovec near-budget
+            # probe).  The OUTPUT still fits: dist^2 <= (2e6)^2 whole
+            # units -> dist2_1e6 <= 4e18 < int64 for ALL in-gate data.
+            F.expr(
+                "sum(CAST(a.c6 - b.c6 AS DECIMAL(19,0))"
+                " * (a.c6 - b.c6))"
             ).alias("ss"),
             F.max(F.col("a.n")).alias("n1"),
             F.max(F.col("b.n")).alias("n2"),
         )
         .select(
             "l1", "l2", "n1", "n2",
-            F.expr("CAST(ss div 1000000 AS BIGINT)").alias("dist2_1e6"),
+            F.expr(
+                "CAST((ss - ss % 1000000) / 1000000 AS BIGINT)"
+            ).alias("dist2_1e6"),
         )
         .orderBy("l1", "l2")
     )
