@@ -161,20 +161,26 @@ def test_rotate_window_proposal_satisfies_invariants(freshness):
     greens = [q[n]["newest_green"] for n in forced_tail]
     assert greens == sorted(greens)
     # slack slots: eligible edited-since-green kernels outrank untouched
-    # stale greens — oldest edit wave first, then furthest forced
-    # deadline (largest newest_green) within a wave
+    # stale greens — outputs-changed edits first (r13 tier, VERDICT r12
+    # "What's wrong" #4), then oldest edit wave, then furthest forced
+    # deadline (largest newest_green) within a tier+wave
     slack = [n for n in window[len(never):] if n not in forced]
     eligible = sorted(
         (
             n
-            for n, edit_round in EDITED_SINCE_GREEN.items()
+            for n, (edit_round, _oc) in EDITED_SINCE_GREEN.items()
             if n in q
             and n not in forced
             and n not in never
             and q[n]["newest_green"] is not None
             and q[n]["newest_green"] < edit_round
         ),
-        key=lambda n: (EDITED_SINCE_GREEN[n], -q[n]["newest_green"], n),
+        key=lambda n: (
+            not EDITED_SINCE_GREEN[n][1],
+            EDITED_SINCE_GREEN[n][0],
+            -q[n]["newest_green"],
+            n,
+        ),
     )
     k = min(len(slack), len(eligible))
     assert slack[:k] == eligible[:k], (slack[:k], eligible[:k])

@@ -21,15 +21,23 @@ edited-since-green rule the r11 verdict asked to make explicit):
    evidence is strong, but the driver hash-match is the hard
    signal and a rewritten kernel should re-earn it at the earliest
    opportunity (VERDICT r11 "What's wrong" #3).  Among edited
-   candidates: OLDEST EDIT ROUND first (an edit that has waited
-   more rounds for driver confirmation outranks every newer wave —
-   otherwise a flood of new low-risk edits, like the r12 zerovec
-   loader-WHERE wave, starves the substantial r11 kernel rewrites
-   indefinitely), and within one edit wave the FURTHEST forced
-   deadline first (the near-deadline ones get forced slots in a
-   round or two anyway, so slack there saves almost nothing, while
-   the furthest-deadline query would otherwise wait the full
-   staleness budget);
+   candidates, three-level ordering (the OUTPUTS-CHANGED tier was
+   added at r13 per VERDICT r12 "What's wrong" #4):
+   a. edits that CHANGED REAL-DATA OUTPUTS first — an edit whose
+      values differ on real data carries strictly more driver-risk
+      than a plan-only or gate-identity edit (local bit-identity
+      evidence does not even exist for it), so it must not wait
+      behind older low-risk waves;
+   b. then OLDEST EDIT ROUND first (an edit that has waited more
+      rounds for driver confirmation outranks every newer wave —
+      otherwise a flood of new low-risk edits, like the r12
+      zerovec loader-WHERE wave, starves the substantial r11
+      kernel rewrites indefinitely);
+   c. within one tier+wave the FURTHEST forced deadline first (the
+      near-deadline ones get forced slots in a round or two anyway,
+      so slack there saves almost nothing, while the
+      furthest-deadline query would otherwise wait the full
+      staleness budget);
 5. any slots still left fill stalest-green-first as before.
 
 Prints the ready-to-paste tuple body plus a deferral summary.  It
@@ -49,96 +57,84 @@ WINDOW = 50
 BUDGET = 5
 
 # Queries whose kernels were substantially rewritten AFTER their newest
-# driver green: name -> round whose commits contain the rewrite.  A
-# query stays here until a driver green lands at/after that round
-# (``newest_green >= edit round`` drops it from slack consideration
-# automatically, but prune the entry too for readability).  The five
-# below are the r11 ``longdocs`` super-linear kernel rewrites (commit
-# 5b83190); ``quality_logreg_step`` / ``multimodal_feature_stats`` were
-# r7-green so the r12 forced cohort re-checks them for free — the dict
-# still lists them so the rule is data, not prose.
-EDITED_SINCE_GREEN: dict[str, int] = {
-    # r11 longdocs super-linear kernel rewrites (commit 5b83190)
-    "dedup_winnowing_overlap": 11,
-    "context_chunking_plan": 11,
-    "text_langid_trigram_trained": 11,
-    "quality_logreg_step": 11,
-    "multimodal_feature_stats": 11,
+# driver green: name -> (edit round, outputs_changed).  ``edit round``
+# is the round whose commits contain the rewrite; ``outputs_changed``
+# is True when the edit CHANGED REAL-DATA OUTPUT VALUES (not merely the
+# plan, an identity gate, or an oracle-mirrored definition) — those
+# entries take slack slots ahead of every plan-only wave because local
+# bit-identity evidence does not exist for them (VERDICT r12 "What's
+# wrong" #4).  A query stays here until a driver green lands at/after
+# its edit round (``newest_green >= edit round`` drops it from slack
+# consideration automatically, but prune the entry too for readability
+# — 15 r12-green entries pruned at the r13 open, plus
+# ``q15_top_supplier`` ADDED at r13 (ADVICE r12: its revenue sum was
+# widened in the r12 maxmass wave but the entry was omitted; it is
+# r13-forced so the re-check lands this round).
+EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
+    # r11 longdocs super-linear kernel rewrites (commit 5b83190);
+    # the first two hold the r13 slack slots, the third is r13-forced.
+    "text_langid_trigram_trained": (11, False),
+    "context_chunking_plan": (11, False),
+    "dedup_winnowing_overlap": (11, False),
     # r12 zerovec valid-embedding domain gate (loader + oracle WHERE,
-    # identity on real data at every SF — verified at r12): every
-    # embedding-consuming query gained the filter.  The ones inside
-    # the r12 window (ann_ivf_cosine, ann_lsh_cosine, ann_pq_adc,
-    # embedding_norm_stats, knn_bruteforce_cosine, knn_label_agreement)
-    # earn post-edit greens this round and are listed for completeness;
-    # the rest queue for slack slots.
-    "ann_ivf_cosine": 12,
-    "ann_lsh_cosine": 12,
-    "ann_pq_adc": 12,
-    "embedding_norm_stats": 12,
-    "knn_bruteforce_cosine": 12,
-    "knn_label_agreement": 12,
-    "ann_ivf_lloyd_cosine": 12,
-    "ann_lsh_multiprobe_cosine": 12,
-    "embedding_quantize_int8": 12,
-    "ann_ivfpq_adc": 12,
-    "ann_recall_audit": 12,
-    "embedding_centroid_distance": 12,
-    "embedding_hard_negatives": 12,
-    "kmeans_lloyd_round": 12,
-    "kmeans_lloyd_two_rounds": 12,
-    "embedding_gram_matrix": 12,
-    "embedding_power_iteration": 12,
-    "search_hybrid_rrf": 12,
-    "dedup_crossmodal_audit": 12,
+    # identity on real data at every SF — verified at r12).
+    "ann_ivf_lloyd_cosine": (12, False),
+    "ann_lsh_multiprobe_cosine": (12, False),
+    "embedding_quantize_int8": (12, False),
+    "ann_ivfpq_adc": (12, False),
+    "ann_recall_audit": (12, False),
+    "embedding_centroid_distance": (12, False),
+    "embedding_hard_negatives": (12, False),
+    "kmeans_lloyd_two_rounds": (12, False),
+    "search_hybrid_rrf": (12, False),
+    "dedup_crossmodal_audit": (12, False),
+    "knn_label_agreement": (12, False),
+    # r12 spectral overflow-proofing: the power-iteration rescale
+    # constant dropped 4096 -> 1024, which CHANGED REAL-DATA OUTPUTS
+    # for these three — they take the r15 slack slots under the
+    # outputs-changed tier instead of waiting for the r16 forced
+    # deadline (kmeans_lloyd_two_rounds kept its outputs; r13-forced).
+    "embedding_gram_matrix": (12, True),
+    "embedding_power_iteration": (12, True),
+    "kmeans_lloyd_round": (12, True),
     # r12 connected_components pointer-jumping rewrite (operator-level;
-    # dedup_connected_components / dedup_components_lsh /
-    # dedup_survivors_central / sample_dedup_weighted changed plans,
-    # same outputs — bigclique sweep + full oracle drive re-verified)
-    "dedup_connected_components": 12,
-    "dedup_components_lsh": 12,
-    "dedup_survivors_central": 12,
-    "sample_dedup_weighted": 12,
+    # plans changed, outputs bit-identical on real data — bigclique
+    # sweep + full oracle drive re-verified)
+    "dedup_connected_components": (12, False),
+    "dedup_components_lsh": (12, False),
+    "dedup_survivors_central": (12, False),
+    "sample_dedup_weighted": (12, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
     # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
     # (bit-identical on real data); welch/anova/linear_trend moved to
     # the quadratic-moment tier (|v| <= 1e8 gate, identity on real
-    # data); linear_trend's slope and type_stats' avg moved to
-    # deterministic integer-derived trees (last-digit definition
-    # change, verified both-engine at 3 SFs); sliding-window oracle
-    # rebuilt on naive timestamp arithmetic (to_timestamp returned
-    # TIMESTAMPTZ -> host-tz labels on non-UTC hosts).  In-window
-    # names (r12 cohort) earn their post-edit greens immediately and
-    # drop out; the rest queue for slack.
-    "events_anova_f": 12,
-    "events_linear_trend": 12,
-    "events_resample_ffill": 12,
-    "events_type_stats": 12,
-    "events_welch_ttest": 12,
-    "join_broadcast_brand_volume": 12,
-    "cube_flag_status": 12,
-    "orders_by_month": 12,
-    "outer_join_nation_suppliers": 12,
-    "q10_returned_items": 12,
-    "q11_important_parts": 12,
-    "q14_promo_revenue": 12,
-    "q17_small_quantity_revenue": 12,
-    "q19_disjunctive_filter": 12,
-    "q1_pricing_summary": 12,
-    "q22_rich_inactive": 12,
-    "q3_shipping_priority": 12,
-    "q5_local_supplier_volume": 12,
-    "q6_forecast_revenue": 12,
-    "q7_nation_volume": 12,
-    "q8_market_share": 12,
-    "q9_profit_by_nation": 12,
-    "range_join_price_bands": 12,
-    "rollup_plus_tail_merge": 12,
-    "rollup_time_lattice": 12,
-    "scalar_subquery_above_avg": 12,
-    "window_range_frame_30m": 12,
-    "window_session_10m": 12,
-    "window_sliding_30m": 12,
-    "window_tumbling_hourly": 12,
+    # data); linear_trend's slope moved to a deterministic
+    # integer-derived double tree that reproduces the old values on
+    # real data.  In-window r12 names earned their post-edit greens
+    # and were pruned; the rest queue for slack (most are r13-forced).
+    "events_anova_f": (12, False),
+    "events_linear_trend": (12, False),
+    "events_resample_ffill": (12, False),
+    "events_welch_ttest": (12, False),
+    "orders_by_month": (12, False),
+    "q10_returned_items": (12, False),
+    "q11_important_parts": (12, False),
+    "q14_promo_revenue": (12, False),
+    "q15_top_supplier": (12, False),
+    "q17_small_quantity_revenue": (12, False),
+    "q19_disjunctive_filter": (12, False),
+    "q1_pricing_summary": (12, False),
+    "q22_rich_inactive": (12, False),
+    "q6_forecast_revenue": (12, False),
+    "q7_nation_volume": (12, False),
+    "q8_market_share": (12, False),
+    "q9_profit_by_nation": (12, False),
+    "range_join_price_bands": (12, False),
+    "rollup_plus_tail_merge": (12, False),
+    "rollup_time_lattice": (12, False),
+    "window_range_frame_30m": (12, False),
+    "window_session_10m": (12, False),
+    "window_tumbling_hourly": (12, False),
 }
 
 
@@ -173,19 +169,24 @@ def propose(root: str = ".") -> tuple[list[str], list[tuple[str, int]]]:
             f"{WINDOW}-slot window — the staleness budget is blown"
         )
     chosen = set(window)
-    # slack: edited-since-green first — oldest edit wave first, then
-    # furthest forced deadline (largest newest_green) within a wave —
-    # then stalest untouched greens
+    # slack: edited-since-green first — outputs-changed tier first,
+    # then oldest edit wave, then furthest forced deadline (largest
+    # newest_green) within a tier+wave — then stalest untouched greens
     edited = sorted(
         (
             n
-            for n, edit_round in EDITED_SINCE_GREEN.items()
+            for n, (edit_round, _oc) in EDITED_SINCE_GREEN.items()
             if n in q
             and n not in chosen
             and green(n) is not None
             and green(n) < edit_round
         ),
-        key=lambda n: (EDITED_SINCE_GREEN[n], -green(n), n),
+        key=lambda n: (
+            not EDITED_SINCE_GREEN[n][1],
+            EDITED_SINCE_GREEN[n][0],
+            -green(n),
+            n,
+        ),
     )
     rest = sorted(
         (n for n in q if n not in chosen and n not in set(edited) and green(n) is not None),
