@@ -135,6 +135,19 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "window_range_frame_30m": (12, False),
     "window_session_10m": (12, False),
     "window_tumbling_hourly": (12, False),
+    # r13 fixed-point accumulator widening (the scoped r12 worklist
+    # plus one audit find): the 1e6-scale text sums (lp6 / clnc6 /
+    # a6) and embedding_centroid_distance's sx now accumulate in
+    # DECIMAL(38,0)/HUGEINT with explicit CAST-to-DOUBLE trees in
+    # place of the oracle `* 1.0` decimal-division trees.
+    # Bit-identity vs the HEAD oracles verified at all 3 SFs under
+    # Asia/Kolkata (outputs unchanged on real data).  unigram /
+    # centroid are r13-forced; the rest queue for slack.
+    "text_unigram_logprob": (13, False),
+    "text_bigram_logprob": (13, False),
+    "text_token_entropy": (13, False),
+    "corpus_js_divergence": (13, False),
+    "embedding_centroid_distance": (13, False),
 }
 
 

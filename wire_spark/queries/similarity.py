@@ -1134,13 +1134,15 @@ def knn_label_agreement(spark, sf_dir):
 # aggregation runs on the labels x dims grid (10 x 64 rows).
 #
 # Exactness: per-cell values are floored to integer micro-units
-# BEFORE summation (exact any-order integer sums); each centroid
-# coordinate is floor(sum/count) evaluated in double — the int64 ->
-# double conversion and the division round identically (IEEE) in
-# both engines, so the coordinate is deterministic even where sums
-# exceed 2^53; pair distances are then pure BIGINT (coordinates are
-# value-bounded ~1e6-scale regardless of row count, so the squared
-# sums never approach int64 at ANY corpus size).
+# BEFORE summation (exact any-order integer sums accumulated in
+# DECIMAL(38,0)/HUGEINT — r13 widening, see the kernel comment);
+# each centroid coordinate is floor(sum/count) evaluated in double —
+# the int128 -> double conversion and the division round identically
+# (IEEE) in both engines, so the coordinate is deterministic even
+# where sums exceed 2^53; pair distances are then pure BIGINT
+# (coordinates are value-bounded by the per-vector domain gate
+# regardless of row count, so the squared sums never approach int64
+# at ANY corpus size).
 _CENTROID_ORACLE = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0.0
@@ -1151,12 +1153,12 @@ x AS (
          CAST(floor(e.v[dims.i] * 1000000.0e0) AS BIGINT) AS x6
   FROM e, dims
 ), s AS (
-  SELECT label, dim, CAST(sum(x6) AS BIGINT) AS sx,
+  SELECT label, dim, sum(CAST(x6 AS HUGEINT)) AS sx,
          CAST(count(*) AS BIGINT) AS n
   FROM x GROUP BY label, dim
 ), c AS (
   SELECT label, dim,
-         CAST(floor(sx * 1.0e0 / n) AS BIGINT) AS c6, n
+         CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS c6, n
   FROM s
 ), pairs AS (
   SELECT a.label AS l1, b.label AS l2,
@@ -1194,12 +1196,21 @@ def embedding_centroid_distance(spark, sf_dir):
         (F.col("d0") + 1).alias("dim"),
         F.floor(F.col("xv") * F.lit(1000000.0)).cast("long").alias("x6"),
     )
+    # sx accumulates in DECIMAL(38,0)/HUGEINT (r13 widening): the
+    # valid-embedding gate admits |component| up to ~1e6, so |x6| can
+    # reach 1e12 per cell and a LONG accumulator broke at ~9.2e6
+    # vectors per label — far below a 100 TB corpus's per-label
+    # count.  The exact int128 converts to DOUBLE identically in both
+    # engines, so the centroid coordinate floor(sx/n) stays
+    # deterministic at any mass (and c6 itself is value-bounded by
+    # the mean, so BIGINT downstream is safe at any corpus size).
     s = e.groupBy("label", "dim").agg(
-        F.sum("x6").alias("sx"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
     )
     c = s.select(
         "label", "dim", "n",
-        F.expr("CAST(floor(sx * 1.0e0 / n) AS BIGINT)").alias("c6"),
+        F.expr("CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT)").alias("c6"),
     )
     a, b = c.alias("a"), c.alias("b")
     return (

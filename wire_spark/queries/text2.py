@@ -253,7 +253,8 @@ scored AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       floor(sum(lp6) * 1.0 / count(*) / 1000000.0 * 10000.0) / 10000.0
+       floor(CAST(sum(CAST(lp6 AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0e0 * 10000.0e0) / 10000.0e0
          AS avg_logprob
 FROM scored
 GROUP BY doc_id
@@ -275,9 +276,14 @@ def text_unigram_logprob(spark, sf_dir):
     Cross-engine determinism: each token's ln(c/T) addend is floored
     in integer micro-units BEFORE summation (the msum pattern), so
     the per-doc sum is an exact integer in any order; one division
-    at the end. Scale shape: unigram counts shuffle on token once,
-    the vocabulary-sized model broadcasts back, the per-doc fold
-    shuffles on doc_id once; top-30 via TakeOrdered."""
+    at the end.  The sum accumulates in DECIMAL(38,0)/HUGEINT (r13
+    widening — per-addend |lp6| <= ~4e7, so a LONG accumulator broke
+    at ~2.3e11 tokens per document; the exact int128 converts to
+    DOUBLE identically in both engines, so the final division chain
+    stays deterministic at any mass).  Scale shape: unigram counts
+    shuffle on token once, the vocabulary-sized model broadcasts
+    back, the per-doc fold shuffles on doc_id once; top-30 via
+    TakeOrdered."""
     tok = (
         T(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("token"))
@@ -294,7 +300,8 @@ def text_unigram_logprob(spark, sf_dir):
         .select("doc_id", lp6.alias("lp6"))
     )
     avg = F.floor(
-        F.sum("lp6") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0) * F.lit(10000.0)
+        F.sum(F.col("lp6").cast("decimal(38,0)")).cast("double")
+        / F.count(F.lit(1)) / F.lit(1000000.0) * F.lit(10000.0)
     ) / F.lit(10000.0)
     return (
         scored.groupBy("doc_id")

@@ -27,11 +27,12 @@ WITH tok AS (
 pt AS (SELECT doc_id, token, count(*) AS c FROM tok2 GROUP BY 1, 2),
 pd AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-         sum(CAST(floor(c * ln(c) * 1000000.0) AS BIGINT)) AS clnc6
+         sum(CAST(floor(c * ln(c) * 1000000.0e0) AS BIGINT)) AS clnc6
   FROM pt GROUP BY doc_id
 )
 SELECT doc_id, n AS n_tokens,
-       floor((ln(n) - clnc6 / 1000000.0 / n) * 10000.0) / 10000.0 AS entropy
+       floor((ln(n) - CAST(clnc6 AS DOUBLE) / 1000000.0e0 / n) * 10000.0e0)
+         / 10000.0e0 AS entropy
 FROM pd ORDER BY entropy ASC, doc_id LIMIT 30
 """
 
@@ -60,14 +61,23 @@ def text_token_entropy(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # clnc6 accumulates in DECIMAL(38,0)/HUGEINT (r13 widening): the
+    # per-type addend floor(c*ln(c)*1e6) reaches ~2.8e19 > int64 only
+    # at c ~ 3.3e11 repeats of one token (documented per-addend
+    # budget), but the per-DOC sum is bounded by n*ln(n)*1e6, which
+    # crosses int64 already at n ~ 1e12 tokens — the maxmass
+    # accumulation class.  The exact int128 converts to DOUBLE
+    # identically in both engines.
     pd = pt.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.sum(
-            F.floor(F.col("c") * F.log(F.col("c")) * F.lit(1000000.0)).cast("long")
+            F.floor(F.col("c") * F.log(F.col("c")) * F.lit(1000000.0))
+            .cast("decimal(38,0)")
         ).alias("clnc6"),
     )
     ent = F.floor(
-        (F.log(F.col("n")) - F.col("clnc6") / F.lit(1000000.0) / F.col("n"))
+        (F.log(F.col("n"))
+         - F.col("clnc6").cast("double") / F.lit(1000000.0) / F.col("n"))
         * F.lit(10000.0)
     ) / F.lit(10000.0)
     return (
@@ -103,7 +113,8 @@ model AS (
 ),
 scored AS (SELECT occ.doc_id, model.lp6 FROM occ JOIN model USING (bg))
 SELECT doc_id, count(*) AS n_bigrams,
-       floor(sum(lp6) * 1.0 / count(*) / 1000000.0 * 10000.0) / 10000.0
+       floor(CAST(sum(CAST(lp6 AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0e0 * 10000.0e0) / 10000.0e0
          AS avg_logprob
 FROM scored GROUP BY doc_id
 ORDER BY avg_logprob ASC, doc_id
@@ -122,8 +133,11 @@ def text_bigram_logprob(spark, sf_dir):
 
     Cross-engine: each distinct bigram's log-prob is floored into
     integer micro-units once, in the model table, so the per-doc
-    fold is an exact-integer sum; one floor-truncated division chain
-    at the end (NOTES.md rule 1).
+    fold is an exact-integer sum accumulated in DECIMAL(38,0)/HUGEINT
+    (r13 widening — a LONG accumulator broke at ~2.3e11 bigrams per
+    document; the exact int128 converts to DOUBLE identically in
+    both engines); one floor-truncated division chain at the end
+    (NOTES.md rule 1).
 
     Scale shape: bigram extraction is a pure array op inside the
     scan projection (transform over sequence — NO shuffle, text
@@ -173,7 +187,8 @@ def text_bigram_logprob(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.floor(
-                F.sum("lp6") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0)
+                F.sum(F.col("lp6").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)) / F.lit(1000000.0)
                 * F.lit(10000.0)
             ).alias("_a"),
         )
@@ -581,7 +596,8 @@ WITH tok AS (
   FROM grid
 )
 SELECT source, ns AS n_tokens, vocab_used, vocab_total,
-       floor(sum(a6) / 200.0e0) / 10000.0e0 AS js4
+       floor(CAST(sum(CAST(a6 AS HUGEINT)) AS DOUBLE) / 200.0e0)
+         / 10000.0e0 AS js4
 FROM add6
 GROUP BY source, ns, vocab_used, vocab_total
 ORDER BY source
@@ -633,14 +649,21 @@ def corpus_js_divergence(spark, sf_dir):
         "* ln((ct * 1.0e0 / n) / ((cst * 1.0e0 / ns + ct * 1.0e0 / n) / 2.0e0)) "
         "* 1000000.0e0) AS BIGINT)"
     )
+    # s6 accumulates in DECIMAL(38,0)/HUGEINT (r13 widening): each
+    # |a6| addend is <= ~2.8e7 micro-nats (p*ln(p/m) bounded by the
+    # distributions), so a LONG sum broke at ~3e11 vocabulary cells
+    # per source — inside the engine's design language even though no
+    # real vocabulary reaches it.  The exact int128 converts to
+    # DOUBLE identically in both engines before the /200 scale-back.
     return (
         grid.withColumn("a6", F.expr(a6))
         .groupBy("source", "ns", "vocab_used", "vocab_total")
-        .agg(F.sum("a6").alias("s6"))
+        .agg(F.sum(F.col("a6").cast("decimal(38,0)")).alias("s6"))
         .select(
             "source", F.col("ns").alias("n_tokens"), "vocab_used",
             "vocab_total",
-            F.expr("floor(s6 / 200.0e0) / 10000.0e0").alias("js4"),
+            F.expr("floor(CAST(s6 AS DOUBLE) / 200.0e0) / 10000.0e0")
+            .alias("js4"),
         )
         .orderBy("source")
     )
