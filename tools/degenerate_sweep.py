@@ -248,6 +248,16 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 .when(F.col("vec_id") % 31 == 0, F.expr(
                     "transform(sequence(1, 64),"
                     " i -> CAST(3.0 AS FLOAT))"))
+                .when(F.col("vec_id") % 37 == 0, F.expr(
+                    # the ADVICE-r12 asymmetric band: dd = 64*2048^2
+                    # ~ 2.7e8 passes the dd-gate, but |component| >
+                    # 1024 exceeds the spectral kernels' fixed-point
+                    # budget — before r13 Spark RAISED while the
+                    # DuckDB oracle returned rows; gram_domain_cond()
+                    # now excludes it identically on both engines,
+                    # and this vector pins that agreement.
+                    "transform(sequence(1, 64),"
+                    " i -> CAST(2048.0 AS FLOAT))"))
                 .when(F.col("vec_id") % 23 == 0, F.expr(
                     "transform(sequence(1, 64),"
                     " i -> CAST(1.0e-30 AS FLOAT) * CAST(i AS FLOAT))"))

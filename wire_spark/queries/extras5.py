@@ -456,6 +456,7 @@ prod AS (
   FROM embeddings e, pairs p
   WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
     AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e12
+    AND list_max(list_transform(e.embedding::DOUBLE[], x -> abs(x))) <= 1024.0e0
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
        CAST(sum(v) AS BIGINT) AS gram_1e6
@@ -485,10 +486,10 @@ def embedding_gram_matrix(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from wire_spark.queries.similarity import valid_embedding_cond
+    from wire_spark.queries.similarity import gram_domain_cond
 
     e = (T(spark, sf_dir, "embeddings")
-         .filter(valid_embedding_cond()).select("embedding"))
+         .filter(gram_domain_cond()).select("embedding"))
     dim = 64
     iu, ju = np.triu_indices(dim)
 
@@ -517,11 +518,17 @@ def embedding_gram_matrix(spark, sf_dir):
                 # final int64 conversion raises OverflowError loudly
                 # if a partition's mass outgrows the output contract.
                 if len(Xc) and np.abs(Xc).max() > 1024.0:
+                    # unreachable through the registered queries since
+                    # r13: gram_domain_cond() excludes |component| >
+                    # 1024 at the scan on BOTH engines (ADVICE r12
+                    # found the band (1024, ~3e4] was Spark-raise vs
+                    # DuckDB-result asymmetric).  Kept as an invariant
+                    # backstop for direct kernel callers.
                     raise ValueError(
                         "gram kernel domain: |component| <= 1024 "
-                        "(the valid-embedding dd-gate admits larger "
-                        "vectors, but their fixed-point outer "
-                        "products exceed the int64 output contract)"
+                        "(gram_domain_cond() should have excluded "
+                        "this vector before the numpy path; direct "
+                        "callers must pre-filter)"
                     )
                 P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
                 acc += P.sum(axis=0)
@@ -654,6 +661,7 @@ am AS (
   FROM embeddings e, pr p
   WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.0
     AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1.0e12
+    AND list_max(list_transform(e.embedding::DOUBLE[], x -> abs(x))) <= 1024.0e0
   GROUP BY 1, 2
 ),
 v0 AS (SELECT i, v AS x FROM am WHERE i = j),
@@ -710,10 +718,10 @@ def embedding_power_iteration(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from wire_spark.queries.similarity import valid_embedding_cond
+    from wire_spark.queries.similarity import gram_domain_cond
 
     e = (T(spark, sf_dir, "embeddings")
-         .filter(valid_embedding_cond()).select("embedding"))
+         .filter(gram_domain_cond()).select("embedding"))
     dim = 64
     ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
 
@@ -740,11 +748,17 @@ def embedding_power_iteration(spark, sf_dir):
                 # final int64 conversion raises OverflowError loudly
                 # if a partition's mass outgrows the output contract.
                 if len(Xc) and np.abs(Xc).max() > 1024.0:
+                    # unreachable through the registered queries since
+                    # r13: gram_domain_cond() excludes |component| >
+                    # 1024 at the scan on BOTH engines (ADVICE r12
+                    # found the band (1024, ~3e4] was Spark-raise vs
+                    # DuckDB-result asymmetric).  Kept as an invariant
+                    # backstop for direct kernel callers.
                     raise ValueError(
                         "gram kernel domain: |component| <= 1024 "
-                        "(the valid-embedding dd-gate admits larger "
-                        "vectors, but their fixed-point outer "
-                        "products exceed the int64 output contract)"
+                        "(gram_domain_cond() should have excluded "
+                        "this vector before the numpy path; direct "
+                        "callers must pre-filter)"
                     )
                 P = np.floor(np.einsum("ri,rj->rij", Xc, Xc) * 1e6).astype(np.int64)
                 acc += P.sum(axis=0)

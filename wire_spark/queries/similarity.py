@@ -73,6 +73,27 @@ def valid_embedding_cond():
     return (dd > 0.0) & (dd < 1.0e12)
 
 
+def gram_domain_cond():
+    """``valid_embedding_cond()`` PLUS the spectral kernels'
+    per-component fixed-point budget: max |component| <= 1024, so
+    per-row outer products (<= 1024^2 * 1e6 ~ 1.05e12) stay
+    int64-exact inside the numpy partials.  The dd-gate alone admits
+    components up to ~1e6, which left an engine-ASYMMETRIC band
+    (ADVICE r12): for |component| in (1024, ~3e4] Spark's kernel
+    raised its domain ValueError while the DuckDB oracle still
+    returned rows.  Mirroring the bound into BOTH scans (oracle
+    WHERE: ``list_max(list_transform(embedding::DOUBLE[], x ->
+    abs(x))) <= 1024.0e0``) makes the two engines exclude the band
+    identically; the kernel's internal raise becomes an unreachable
+    invariant backstop for the registered queries.  Identity on real
+    data (components are O(1)).  Rows reaching this condition have
+    finite components — non-finite vectors already fail the dd-gate
+    in both engines (NaN orders above all numbers)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    return valid_embedding_cond() & (mx <= F.lit(1024.0))
+
+
 def _vectors(spark, sf_dir):
     # NOT cached: columnar-caching array<double> columns measurably
     # hurts here (cache build + InMemoryTableScan breaks the codegen
