@@ -187,3 +187,42 @@ def test_rotate_window_proposal_satisfies_invariants(freshness):
     # at-risk report only lists genuinely near-horizon deferrals
     horizon = freshness["latest_round"] - 2
     assert all(g <= horizon for _n, g in at_risk)
+
+
+def test_kernel_audit_no_unaccounted_edits():
+    """tools/kernel_audit.py mechanizes edited-since-green OMISSION
+    detection (ADVICE r12: q15_top_supplier's kernel edit was in
+    neither the driver window nor EDITED_SINCE_GREEN, and only the
+    NOTES prose could have caught it).  Every query whose
+    kernel/oracle source hash differs from its driver-verified
+    baseline must be scheduled in the current window or carried in
+    EDITED_SINCE_GREEN."""
+    from tools.kernel_audit import audit
+
+    violations = audit(ROOT)
+    assert not violations, "\n".join(violations)
+
+
+def test_kernel_audit_catches_planted_omission(tmp_path, monkeypatch):
+    """The audit must actually FIRE on the q15 class: fake a baseline
+    whose hash differs for a query that is neither in the window nor
+    in EDITED_SINCE_GREEN."""
+    import json as _json
+
+    from tools import kernel_audit
+    from tools.rotate_window import EDITED_SINCE_GREEN
+    from wire_spark.catalog import _DRIVER_PRIORITY, load_registry
+
+    victim = next(
+        n for n in load_registry()
+        if n not in _DRIVER_PRIORITY and n not in EDITED_SINCE_GREEN
+    )
+    baseline = _json.load(open(os.path.join(ROOT, kernel_audit.BASELINE_PATH)))
+    baseline[victim]["hash"] = "0" * 64
+    fake = tmp_path / kernel_audit.BASELINE_PATH
+    fake.write_text(_json.dumps(baseline))
+    monkeypatch.setattr(
+        kernel_audit, "_load_baseline", lambda root: _json.load(open(fake))
+    )
+    violations = kernel_audit.audit(ROOT)
+    assert any(v.startswith(victim + ":") for v in violations), violations
