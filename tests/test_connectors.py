@@ -854,3 +854,62 @@ def test_mongodb_source_changelog_replay_end_to_end(spark, tmp_path):
             SourceConfig(name="m", type="mongodb", key="k",
                          config={"uri": "mongodb://nowhere"})
         ).read(spark)
+
+
+def test_cdc_checkpoint_resume_idempotent(spark):
+    """checkpoint_state + resume_apply must reproduce the straight
+    one-shot fold under at-least-once replay overlap — INCLUDING when
+    resume-token order disagrees with cluster_time order (the ord
+    columns must come from the argmax winner via max_by; a plain
+    max(resume_token) builds a synthetic ord that can outrank tail
+    events the straight fold lets win)."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.transforms.cdc import (
+        CDC_SCHEMA, apply_cdc, checkpoint_state, resume_apply,
+    )
+
+    def env(token, op, doc, payload, ct):
+        return (token, op, doc, payload, "db", "c", None, None, None, ct)
+
+    # d1: insert then update; the UPDATE has the LOWER token but the
+    # HIGHER cluster_time (token/ct order disagreement).  d2: inserted
+    # then deleted in the prefix.  d3: lives only in the tail.
+    rows = [
+        env("t09", "insert", "d1", '{"a":1}', 100),
+        env("t05", "update", "d1", '{"a":2}', 200),   # winner of prefix
+        env("t02", "insert", "d2", '{"b":1}', 120),
+        env("t11", "delete", "d2", None, 130),
+        env("t12", "update", "d1", '{"a":3}', 150),   # tail, but OLDER ct
+        env("t13", "insert", "d3", '{"c":1}', 300),
+    ]
+    changes = spark.createDataFrame(rows, CDC_SCHEMA)
+    straight = {
+        r.document_id: r.full_document for r in apply_cdc(changes).collect()
+    }
+    # d1: max ord is (200, t05) -> {"a":2}; the t12 tail update has a
+    # LOWER cluster_time so it must lose despite the higher token
+    assert straight == {"d1": '{"a":2}', "d3": '{"c":1}'}
+
+    # checkpoint after the first four (prefix by token <= t11), replay
+    # tail from token > t02 — overlapping redelivery of t05/t09/t11
+    prefix = changes.filter(F.col("resume_token") <= "t11")
+    tail = changes.filter(F.col("resume_token") > "t02")
+    ckpt = checkpoint_state(prefix)
+    # the checkpoint must carry the WINNER's ord, not a synthetic max
+    d1 = {r.document_id: r for r in ckpt.collect()}["d1"]
+    assert (d1.cluster_time, d1.resume_token) == (200, "t05")
+    restarted = {
+        r.document_id: r.full_document
+        for r in resume_apply(ckpt, tail).collect()
+    }
+    assert restarted == straight
+
+    # resume with ZERO overlap (tail strictly after the checkpoint
+    # high-water mark) must also agree
+    tail2 = changes.filter(F.col("resume_token") > "t11")
+    restarted2 = {
+        r.document_id: r.full_document
+        for r in resume_apply(ckpt, tail2).collect()
+    }
+    assert restarted2 == straight

@@ -15,6 +15,7 @@ Usage:
     python tools/degenerate_sweep.py bigclique  # giant dup clique + long chain
     python tools/degenerate_sweep.py zerovec    # zero/dup/non-finite embeddings
     python tools/degenerate_sweep.py maxmass    # values at the sanitization budget edge
+    python tools/degenerate_sweep.py manykeys   # key-cardinality explosion (~1 group per row)
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -58,6 +59,7 @@ KNOWN_BADJSON: set[str] = set()
 KNOWN_BIGCLIQUE: set[str] = set()
 KNOWN_ZEROVEC: set[str] = set()
 KNOWN_MAXMASS: set[str] = set()
+KNOWN_MANYKEYS: set[str] = set()
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -285,6 +287,48 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                       F.lit(999999999999.9999))
                 .otherwise(F.col("value")),
             )
+        elif mode == "manykeys":
+            from pyspark.sql import functions as F
+            # KEY-CARDINALITY explosion — the dual of maxmass: maxmass
+            # attacked mass-per-group, this attacks groups-per-key-space
+            # (~1 row per group).  Stresses partial-agg hash tables
+            # (map-side combine buys nothing when every key is unique),
+            # per-key offset/bucket relations, pivot/profile queries
+            # whose docstrings claim "rows ~ #types x #keys"
+            # (variant_ingest), broadcast relations that are secretly
+            # keyed per-group (js_divergence's source marginals), and
+            # any top-k whose tie-break assumed few groups.  Every 10th
+            # row keeps its original key so multi-row groups, joins,
+            # and funnels still have structure; the rest are unique.
+            # main() pins a distinct-count floor so the corpus really
+            # exercises the axis (a silent mutation no-op would pass
+            # vacuously).
+            if t == "events":
+                df = df.withColumn(
+                    "event_type",
+                    F.when(F.col("event_id") % 10 == 0, F.col("event_type"))
+                    .otherwise(F.concat(F.lit("t"), F.col("event_id"))),
+                ).withColumn(
+                    "user_id",
+                    F.when(F.col("event_id") % 10 == 0, F.col("user_id"))
+                    .otherwise(F.col("event_id") + F.lit(1000000)),
+                )
+            if t == "documents":
+                df = df.withColumn(
+                    "source",
+                    F.when(F.col("doc_id") % 10 == 0, F.col("source"))
+                    .otherwise(F.concat(F.lit("s"), F.col("doc_id"))),
+                ).withColumn(
+                    "lang",
+                    F.when(F.col("doc_id") % 10 == 0, F.col("lang"))
+                    .otherwise(F.concat(F.lit("l"), F.col("doc_id"))),
+                )
+            if t == "embeddings":
+                df = df.withColumn(
+                    "label",
+                    F.when(F.col("vec_id") % 10 == 0, F.col("label"))
+                    .otherwise(F.col("vec_id") + F.lit(1000)),
+                )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -314,11 +358,29 @@ def main() -> int:
              "badjson": KNOWN_BADJSON,
              "bigclique": KNOWN_BIGCLIQUE,
              "zerovec": KNOWN_ZEROVEC,
-             "maxmass": KNOWN_MAXMASS}[mode]
+             "maxmass": KNOWN_MAXMASS,
+             "manykeys": KNOWN_MANYKEYS}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"
     build_corpus(spark, mode, dst)
+    if mode == "manykeys":
+        # pinned distinct-count budget: the axis only bites if the
+        # key spaces really are ~row-sized — a silent no-op mutation
+        # (column renamed, modulus typo) would otherwise pass the
+        # whole sweep vacuously
+        import duckdb as _dk
+        _c = _dk.connect()
+        for tbl, col, floor_ in (("events", "event_type", 850),
+                                 ("events", "user_id", 850),
+                                 ("documents", "source", 400),
+                                 ("documents", "lang", 400),
+                                 ("embeddings", "label", 400)):
+            got = _c.execute(
+                f"SELECT count(DISTINCT {col}) FROM "
+                f"read_parquet('{dst}/{tbl}.parquet/*.parquet')"
+            ).fetchone()[0]
+            assert got >= floor_, (tbl, col, got, floor_)
 
     import __spark_entry__ as E
     qs, oracles = E.queries(), E.oracle_sql()

@@ -94,6 +94,66 @@ def cdc_apply_state(spark, sf_dir):
     return apply_cdc(_envelope(spark, sf_dir)).orderBy("document_id")
 
 
+_CDC_RESUME_ORACLE = _CDC_APPLY_ORACLE
+
+
+@register("cdc_resume_restart", oracle=_CDC_RESUME_ORACLE, bench=True,
+          doc="CDC restart from a mid-stream resume token with "
+              "overlapping at-least-once replay — restarted state must "
+              "equal the straight one-shot fold (oracle-pinned)")
+def cdc_resume_restart(spark, sf_dir):
+    """Exactly-once-EFFECT restart (r13 registry addition, the one
+    VERDICT-r12-endorsed capacity slot): the reference's change-stream
+    source persists a resume token and, on restart, resumes the
+    stream from it (sources/mongo.go:23-41 — ``resume_token`` is the
+    envelope's first field precisely so consumers can checkpoint it);
+    the existing cdc queries READ that envelope but never restarted
+    from it.
+
+    This query executes the full restart protocol and returns the
+    restarted state; the ORACLE is the straight one-shot fold over
+    the whole log — equality (the driver's row/schema/hash gate) IS
+    the idempotence proof, cross-engine:
+
+    1. phase 1 folds the log prefix up to a mid-stream cut token
+       (the zero-padded midpoint event id — deterministic, no
+       collect) into a resumable checkpoint that carries each live
+       document's winning (cluster_time, resume_token) ord
+       (transforms/cdc.py:checkpoint_state);
+    2. the restart replays the tail from a resume token 10% BEFORE
+       the cut — the at-least-once overlap a lagging token persist
+       produces — so a suffix of phase 1's events is re-delivered;
+    3. ``resume_apply`` unions checkpoint + tail and re-runs the
+       same argmax fold: re-delivered duplicates tie bit-identically
+       with checkpoint rows or lose to later ops, never
+       double-apply.
+
+    Scale: two document_id shuffles (prefix fold, resume fold); the
+    resume fold touches |live keys| + |tail| rows — restart cost is
+    O(changed keys), not O(log length), which is the entire point of
+    resume tokens at 100 TB of changelog.
+    """
+    from wire_spark.transforms.cdc import checkpoint_state, resume_apply
+
+    env = _envelope(spark, sf_dir)
+    cuts = env.groupBy().agg(
+        F.max(F.col("resume_token")).alias("mx")
+    ).select(
+        # token arithmetic in integer domain, re-padded: cut at the
+        # midpoint id, resume from 10% of the id space earlier
+        F.lpad((F.col("mx").cast("long") / 2).cast("long").cast("string"),
+               12, "0").alias("cut"),
+        F.lpad(((F.col("mx").cast("long") / 2).cast("long")
+                - (F.col("mx").cast("long") / 10).cast("long"))
+               .cast("string"), 12, "0").alias("resume_from"),
+    )
+    tagged = env.crossJoin(F.broadcast(cuts))
+    prefix = tagged.filter(F.col("resume_token") <= F.col("cut"))
+    tail = tagged.filter(F.col("resume_token") > F.col("resume_from"))
+    ckpt = checkpoint_state(prefix)
+    return resume_apply(ckpt, tail).orderBy("document_id")
+
+
 _CDC_STATS_ORACLE = _ENVELOPE_SQL_CTE + """
 SELECT operation_type,
        count(*) AS n_ops,

@@ -63,6 +63,68 @@ def apply_cdc(changes: DataFrame) -> DataFrame:
     )
 
 
+def checkpoint_state(changes: DataFrame) -> DataFrame:
+    """Fold a change-log prefix into a RESUMABLE checkpoint: live
+    documents carrying the (cluster_time, resume_token, op) of the
+    event that produced them.
+
+    The ord columns are what make the checkpoint resumable under
+    at-least-once redelivery (mongo.go:23-41 — a restart resumes from
+    a persisted resume token that may LAG the last applied event, so
+    the replayed tail re-delivers a suffix of already-applied events):
+    unioned with the replayed tail, the same argmax fold re-decides
+    every key, and a re-delivered duplicate of the checkpoint's own
+    winning event ties bit-identically (same ord, same op, same
+    document) instead of double-applying.  A checkpoint WITHOUT ord
+    columns cannot distinguish "replayed event older than my state"
+    from "new event" — the classic CDC restart corruption.
+
+    Deletes are folded through (a key whose last prefix op is a
+    delete simply has no checkpoint row — exactly the live-state
+    contract; a replayed or new upsert re-creates it, and a replayed
+    older event for it loses the argmax against any later tail op or
+    produces the same pre-delete state the straight fold would).
+    """
+    ranked = changes.withColumn(
+        "__ord", F.struct(F.col("cluster_time"), F.col("resume_token"))
+    )
+    # every column via max_by on the SAME ord key: plain max() of
+    # resume_token could take a token from a different (older-ct but
+    # higher-token) event, giving the checkpoint row a synthetic ord
+    # that can outrank tail events the straight fold would let win
+    latest = ranked.groupBy("document_id").agg(
+        F.max_by("operation_type", "__ord").alias("operation_type"),
+        F.max_by("full_document", "__ord").alias("full_document"),
+        F.max_by("cluster_time", "__ord").alias("cluster_time"),
+        F.max_by("resume_token", "__ord").alias("resume_token"),
+    )
+    return latest.filter(F.col("operation_type").isin(*_UPSERTS)).select(
+        "resume_token", "operation_type", "document_id", "full_document",
+        "cluster_time",
+    )
+
+
+def resume_apply(checkpoint: DataFrame, tail: DataFrame) -> DataFrame:
+    """Restart the CDC fold from a checkpoint plus a replayed tail
+    (which may OVERLAP the checkpoint — at-least-once redelivery).
+
+    Exactly-once EFFECT from at-least-once DELIVERY: the union
+    re-runs the same (cluster_time, resume_token) argmax, so
+    duplicates are absorbed (a redelivered event either ties with
+    the checkpoint row bit-identically or loses to a later op) and
+    the result equals the straight one-shot fold over the full log —
+    the property ``cdc_resume_restart``'s oracle pins cross-engine.
+    Scale: one shuffle on document_id over |checkpoint keys| +
+    |tail|, independent of the full log length — the O(changed keys)
+    restart cost the reference's resume-token design targets.
+    """
+    cols = ["resume_token", "operation_type", "document_id",
+            "full_document", "cluster_time"]
+    return apply_cdc(
+        checkpoint.select(*cols).unionByName(tail.select(*cols))
+    )
+
+
 def cdc_stats(changes: DataFrame) -> DataFrame:
     """Operational summary per collection: op counts + lag."""
     return (
