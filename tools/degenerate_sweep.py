@@ -79,8 +79,26 @@ _UNI = (" héllo wörld 日本語テキスト 🚀 ΣΟΦΟΣ İstanbul café"
 
 
 def build_corpus(spark, mode: str, dst: str) -> None:
+    import hashlib
+    import shutil
+
     from wire_spark.engine import load_table
 
+    # Corpus staleness stamp (r13): corpora persist in .tmp across
+    # runs and the old existence check skipped rebuilds even after
+    # the MUTATION LOGIC changed — the r13 zerovec band vector
+    # silently never materialized and the sweep "passed" against the
+    # r12-era corpus.  Stamp each corpus with this script's source
+    # hash; a mismatch wipes and rebuilds.  (Mutations are
+    # deterministic functions of sf0.001, so a rebuild with
+    # unchanged logic is bit-identical.)
+    src_hash = hashlib.sha256(
+        open(os.path.abspath(__file__), "rb").read()
+    ).hexdigest()
+    stamp = f"{dst}/.stamp"
+    stamped = os.path.exists(stamp) and open(stamp).read() == src_hash
+    if not stamped and os.path.isdir(dst):
+        shutil.rmtree(dst)
     for t in TABLES:
         p = f"{dst}/{t}.parquet"
         if os.path.exists(p):
@@ -342,6 +360,8 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                 .otherwise(F.col("text")),
             )
         df.coalesce(1).write.mode("overwrite").parquet(p)
+    with open(stamp, "w") as f:
+        f.write(src_hash)
 
 
 def main() -> int:
