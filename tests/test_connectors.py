@@ -913,3 +913,74 @@ def test_cdc_checkpoint_resume_idempotent(spark):
         for r in resume_apply(ckpt, tail2).collect()
     }
     assert restarted2 == straight
+
+
+def _cdc_reference_fold(rows):
+    """Dict-model reference of apply_cdc: argmax over
+    (cluster_time, resume_token), upsert-ops live, deletes drop."""
+    best = {}
+    for r in rows:
+        key = (r[9], r[0])  # (cluster_time, resume_token)
+        if r[2] not in best or key > best[r[2]][0]:
+            best[r[2]] = (key, r[1], r[3])
+    return {
+        doc: payload
+        for doc, (_k, op, payload) in best.items()
+        if op in ("insert", "update", "replace")
+    }
+
+
+def test_cdc_resume_property(spark):
+    """Generative restart coverage: for RANDOM change logs and EVERY
+    (cut, resume) pair with resume <= cut, checkpoint(prefix<=cut) +
+    replay(tail>resume) must equal the straight fold — the full
+    idempotence surface, including resume=0 (replay everything over
+    a full checkpoint) and cut=max (empty tail beyond overlap).
+    Hypothesis-free: the op space is small enough to enumerate a
+    deterministic grid, and one Spark job per (cut, resume) pair
+    keeps the runtime bounded by |grid| x fold cost."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from wire_spark.transforms.cdc import (
+        CDC_SCHEMA, apply_cdc, checkpoint_state, resume_apply,
+    )
+
+    # deterministic hostile log: interleaved docs, ct ties broken by
+    # token, ct order DISAGREEING with token order, delete-then-
+    # reinsert, trailing delete, dup-free tokens t00..t09
+    rows = [
+        ("t00", "insert", "a", '{"a":0}', None, None, None, None, None, 50),
+        ("t01", "insert", "b", '{"b":0}', None, None, None, None, None, 60),
+        ("t02", "update", "a", '{"a":1}', None, None, None, None, None, 40),
+        ("t03", "delete", "b", None, None, None, None, None, None, 70),
+        ("t04", "update", "a", '{"a":2}', None, None, None, None, None, 50),
+        ("t05", "insert", "b", '{"b":1}', None, None, None, None, None, 80),
+        ("t06", "insert", "c", '{"c":0}', None, None, None, None, None, 10),
+        ("t07", "delete", "c", None, None, None, None, None, None, 90),
+        ("t08", "update", "b", '{"b":2}', None, None, None, None, None, 80),
+        ("t09", "update", "c", '{"c":1}', None, None, None, None, None, 30),
+    ]
+    changes = spark.createDataFrame(rows, CDC_SCHEMA).cache()
+    straight = {
+        r.document_id: r.full_document for r in apply_cdc(changes).collect()
+    }
+    assert straight == _cdc_reference_fold(rows)
+
+    tokens = sorted(r[0] for r in rows)
+    mismatches = []
+    for cut_i, res_i in itertools.product(range(len(tokens)), repeat=2):
+        if res_i > cut_i:
+            continue
+        cut, resume = tokens[cut_i], tokens[res_i]
+        ckpt = checkpoint_state(changes.filter(F.col("resume_token") <= cut))
+        tail = changes.filter(F.col("resume_token") > resume)
+        got = {
+            r.document_id: r.full_document
+            for r in resume_apply(ckpt, tail).collect()
+        }
+        if got != straight:
+            mismatches.append((cut, resume, got))
+    assert not mismatches, mismatches[:3]
+    changes.unpersist()

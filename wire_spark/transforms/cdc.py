@@ -64,44 +64,62 @@ def apply_cdc(changes: DataFrame) -> DataFrame:
 
 
 def checkpoint_state(changes: DataFrame) -> DataFrame:
-    """Fold a change-log prefix into a RESUMABLE checkpoint: live
-    documents carrying the (cluster_time, resume_token, op) of the
-    event that produced them.
+    """Fold a change-log prefix into a RESUMABLE checkpoint: every
+    document's winning op — TOMBSTONES INCLUDED — carrying the
+    (cluster_time, resume_token) of the event that produced it.
+    ``checkpoint_live`` derives the serving view.
 
-    The ord columns are what make the checkpoint resumable under
-    at-least-once redelivery (mongo.go:23-41 — a restart resumes from
-    a persisted resume token that may LAG the last applied event, so
-    the replayed tail re-delivers a suffix of already-applied events):
-    unioned with the replayed tail, the same argmax fold re-decides
-    every key, and a re-delivered duplicate of the checkpoint's own
-    winning event ties bit-identically (same ord, same op, same
-    document) instead of double-applying.  A checkpoint WITHOUT ord
-    columns cannot distinguish "replayed event older than my state"
-    from "new event" — the classic CDC restart corruption.
+    Two design points, each covering a real restart corruption class
+    (both caught by tests/test_connectors.py's exhaustive cut x
+    resume grid before shipping):
 
-    Deletes are folded through (a key whose last prefix op is a
-    delete simply has no checkpoint row — exactly the live-state
-    contract; a replayed or new upsert re-creates it, and a replayed
-    older event for it loses the argmax against any later tail op or
-    produces the same pre-delete state the straight fold would).
+    1. ORD COLUMNS FROM THE WINNER (via max_by on one ord key): the
+       checkpoint is resumable under at-least-once redelivery
+       (mongo.go:23-41 — the persisted resume token may LAG the last
+       applied event, so the replayed tail re-delivers a suffix of
+       already-applied events) because unioned with the tail, the
+       same argmax fold re-decides every key and a re-delivered
+       duplicate of the winner ties bit-identically instead of
+       double-applying.  A plain max(resume_token) would build a
+       synthetic ord that can outrank tail events the straight fold
+       lets win.
+
+    2. TOMBSTONE RETENTION: a checkpoint that keeps only live docs
+       FORGETS deletes, and a replayed event that is older in fold
+       order than a prefix tombstone (possible whenever replay order
+       — resume_token — is not perfectly aligned with the
+       (cluster_time, resume_token) fold order) would resurrect the
+       document on restart while the straight fold keeps it dead.
+       Keeping the delete row with its winning ord makes
+       ``resume_apply`` correct under ARBITRARY token/ct order
+       relationships, not just the monotone-token happy path;
+       production CDC consumers (Kafka compaction, Debezium) retain
+       tombstones through the replay horizon for exactly this
+       reason.  Tombstone GC is safe once the resume horizon passes
+       the tombstone's token — a compaction policy, not a fold
+       concern.
     """
     ranked = changes.withColumn(
         "__ord", F.struct(F.col("cluster_time"), F.col("resume_token"))
     )
-    # every column via max_by on the SAME ord key: plain max() of
-    # resume_token could take a token from a different (older-ct but
-    # higher-token) event, giving the checkpoint row a synthetic ord
-    # that can outrank tail events the straight fold would let win
-    latest = ranked.groupBy("document_id").agg(
+    return ranked.groupBy("document_id").agg(
+        F.max_by("resume_token", "__ord").alias("resume_token"),
         F.max_by("operation_type", "__ord").alias("operation_type"),
         F.max_by("full_document", "__ord").alias("full_document"),
         F.max_by("cluster_time", "__ord").alias("cluster_time"),
-        F.max_by("resume_token", "__ord").alias("resume_token"),
-    )
-    return latest.filter(F.col("operation_type").isin(*_UPSERTS)).select(
+    ).select(
         "resume_token", "operation_type", "document_id", "full_document",
         "cluster_time",
     )
+
+
+def checkpoint_live(checkpoint: DataFrame) -> DataFrame:
+    """Serving view of a checkpoint: live documents only (the
+    apply_cdc output contract); tombstone rows stay in the
+    checkpoint for restart-correctness."""
+    return checkpoint.filter(
+        F.col("operation_type").isin(*_UPSERTS)
+    ).select("document_id", "full_document")
 
 
 def resume_apply(checkpoint: DataFrame, tail: DataFrame) -> DataFrame:
