@@ -203,6 +203,34 @@ def test_kernel_audit_no_unaccounted_edits():
     assert not violations, "\n".join(violations)
 
 
+def test_kernel_audit_hash_covers_helper_deps():
+    """The r13 CDC tombstone fix proved the shallow hash's blind
+    spot: the fix lived in transforms/cdc.py and left the kernel's
+    own source untouched.  The hash must now cover one level of
+    referenced wire_spark functions — module-global helpers (T /
+    msum via co_names) AND kernel-local multi-name imports (the
+    greedy-regex bug dropped every name after the first)."""
+    import inspect
+
+    from tools.kernel_audit import _dep_sources
+    from wire_spark.catalog import load_registry
+
+    reg = load_registry()
+    fn = reg["cdc_resume_restart"].fn
+    heads = [
+        d.splitlines()[0]
+        for d in _dep_sources(fn, inspect.getsource(fn))
+    ]
+    assert any("checkpoint_state" in h for h in heads), heads
+    assert any("resume_apply" in h for h in heads), heads
+    fn2 = reg["q1_pricing_summary"].fn
+    heads2 = [
+        d.splitlines()[0]
+        for d in _dep_sources(fn2, inspect.getsource(fn2))
+    ]
+    assert any("def msum" in h for h in heads2), heads2
+
+
 def test_kernel_audit_catches_planted_omission(tmp_path, monkeypatch):
     """The audit must actually FIRE on the q15 class: fake a baseline
     whose hash differs for a query that is neither in the window nor

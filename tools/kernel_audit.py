@@ -26,11 +26,16 @@ This tool closes that hole with a per-query source-hash baseline:
   just-landed round: at open, the working tree still equals the code
   that driver run executed, so current-hash == verified-hash.
 
-Scope: the hash covers the kernel function's own source and its
-oracle string.  Edits to SHARED helpers (``_util.msum``, CTE
-constants, operator modules) do not change a caller's hash — those
-waves still require manual EDITED_SINCE_GREEN entries, as at r12.
-This tool guarantees the per-kernel layer only.
+Scope: the hash covers the kernel function's own source, its oracle
+string, and — one level deep — the source of every ``wire_spark``
+FUNCTION the kernel references (module-global names like ``T`` /
+``msum`` via ``co_names``, plus kernel-local ``from wire_spark.x
+import y`` targets resolved by regex).  The r13 CDC tombstone fix
+proved the shallow version's blind spot in practice: the fix lived
+in ``transforms/cdc.py:checkpoint_state`` and left the kernel's own
+source untouched.  Deeper transitive edits (a helper's helper) and
+non-function dependencies (CTE string constants referenced via
+module attribute) still require manual EDITED_SINCE_GREEN entries.
 
 Run from the repo root:
     python tools/kernel_audit.py            # audit (exit 1 on violations)
@@ -48,14 +53,59 @@ import sys
 BASELINE_PATH = "KERNEL_BASELINE.json"
 
 
+_IMPORT_RE = None
+
+
+def _dep_sources(fn, src: str) -> list[str]:
+    """Source of every wire_spark FUNCTION the kernel references,
+    one level deep: module-global names the code object uses
+    (``co_names`` resolved through ``__globals__``) plus
+    kernel-local ``from wire_spark.x import y`` targets."""
+    global _IMPORT_RE
+    import importlib
+    import re as _re
+
+    if _IMPORT_RE is None:
+        # names group must NOT cross newlines (a greedy [\w,\s]+ ate
+        # the following code lines and silently dropped every name
+        # after the first — caught by the resolved-deps unit test)
+        _IMPORT_RE = _re.compile(
+            r"from\s+(wire_spark[.\w]*)\s+import\s+\(?([^\n)]+)"
+        )
+    deps = {}
+
+    def consider(obj):
+        if not (inspect.isfunction(obj)
+                and getattr(obj, "__module__", "").startswith("wire_spark")):
+            return
+        key = f"{obj.__module__}.{obj.__qualname__}"
+        if key not in deps:
+            try:
+                deps[key] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                pass
+
+    for name in fn.__code__.co_names:
+        consider(fn.__globals__.get(name))
+    for mod_name, names in _IMPORT_RE.findall(src):
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for n in (x.strip() for x in names.split(",") if x.strip()):
+            consider(getattr(mod, n, None))
+    return [deps[k] for k in sorted(deps)]
+
+
 def _hashes() -> dict[str, str]:
     from wire_spark.catalog import load_registry
 
     out = {}
     for name, q in load_registry().items():
         src = inspect.getsource(q.fn)
-        body = src + "\n----oracle----\n" + (q.oracle or "")
-        out[name] = hashlib.sha256(body.encode()).hexdigest()
+        parts = [src, "----oracle----", q.oracle or ""]
+        parts += ["----deps----"] + _dep_sources(q.fn, src)
+        out[name] = hashlib.sha256("\n".join(parts).encode()).hexdigest()
     return out
 
 
@@ -149,9 +199,31 @@ def refresh(root: str = ".") -> tuple[int, int]:
     return updated, seeded
 
 
+def migrate(root: str = ".") -> int:
+    """Recompute every baseline hash under the CURRENT hash
+    definition, preserving each name's recorded round — for when the
+    hash scope itself evolves (as at r13: one-level dep sources
+    added).  Queries with genuinely pending edits keep their status
+    through EDITED_SINCE_GREEN, exactly as at initial seeding."""
+    sys.path.insert(0, root)
+    baseline = _load_baseline(root)
+    current = _hashes()
+    n = 0
+    for name, h in current.items():
+        if name in baseline and baseline[name]["hash"] != h:
+            baseline[name] = {"hash": h, "round": baseline[name]["round"]}
+            n += 1
+    with open(os.path.join(root, BASELINE_PATH), "w") as f:
+        json.dump(baseline, f, indent=0, sort_keys=True)
+        f.write("\n")
+    return n
+
+
 if __name__ == "__main__":
     root = "."
-    if "--refresh" in sys.argv:
+    if "--migrate" in sys.argv:
+        print(f"wrote {BASELINE_PATH}: {migrate(root)} hashes recomputed")
+    elif "--refresh" in sys.argv:
         updated, seeded = refresh(root)
         print(f"wrote {BASELINE_PATH}: {updated} re-baselined, {seeded} seeded")
     else:
