@@ -254,3 +254,106 @@ def test_kernel_audit_catches_planted_omission(tmp_path, monkeypatch):
     )
     violations = kernel_audit.audit(ROOT)
     assert any(v.startswith(victim + ":") for v in violations), violations
+
+
+def test_kernel_audit_resolves_multiline_parenthesized_imports():
+    """ADVICE r13 medium: the old import regex captured only '(' for
+    a parenthesized import whose name list starts on the next line
+    (extras.py's multimodal_frame_plan), silently dropping every
+    helper from the hash.  The ast-based parser must resolve all
+    four."""
+    import inspect
+
+    from tools.kernel_audit import _dep_sources
+    from wire_spark.catalog import load_registry
+
+    fn = load_registry()["multimodal_frame_plan"].fn
+    parts = _dep_sources(fn, inspect.getsource(fn))
+    for helper in ("attach_media", "decode_media",
+                   "frame_offsets", "resize_plan"):
+        assert any(p.splitlines() and f"def {helper}" in p.splitlines()[0]
+                   for p in parts), helper
+
+
+def test_kernel_audit_depth_two_helper_closure():
+    """VERDICT r13 item 5: the hash closure must follow one more call
+    level — cdc_resume_restart references resume_apply, which calls
+    apply_cdc; the kernel itself names apply_cdc only in a docstring,
+    so only the depth-2 walk can pull apply_cdc's SOURCE in."""
+    import inspect
+
+    from tools.kernel_audit import _dep_sources
+    from wire_spark.catalog import load_registry
+
+    fn = load_registry()["cdc_resume_restart"].fn
+    parts = _dep_sources(fn, inspect.getsource(fn))
+    heads = [p.splitlines()[0] for p in parts if p.splitlines()]
+    assert any("def resume_apply" in h for h in heads), heads
+    assert any("def apply_cdc" in h for h in heads), heads
+
+
+def test_kernel_audit_hash_covers_runtime_constants(monkeypatch):
+    """VERDICT r13 item 5: a kernel that reads a module-level CTE
+    string (or cap constant) at RUNTIME via module attribute must
+    have that constant's VALUE in its hash inputs, so a planted edit
+    to _util.EVENTS_SANITIZED_CTE fires the audit for that kernel."""
+    import types
+
+    from tools.kernel_audit import _dep_sources
+    from wire_spark.queries import _util
+
+    # Catalog kernels are MODULE-LEVEL functions resolving their
+    # helpers through module globals; build the probe kernel the same
+    # way (a test-local def would close over _util as a freevar, a
+    # shape no registered kernel has).
+    src = "def kernel(spark, sf_dir):\n    return _util.EVENTS_SANITIZED_CTE\n"
+    g = {"_util": _util}
+    exec(compile(src, "<probe>", "exec"), g)
+    kernel = g["kernel"]
+    assert isinstance(kernel, types.FunctionType)
+    before = _dep_sources(kernel, src)
+    assert any("EVENTS_SANITIZED_CTE=" in p for p in before), before
+    monkeypatch.setattr(_util, "EVENTS_SANITIZED_CTE",
+                        _util.EVENTS_SANITIZED_CTE + "/*planted-edit*/")
+    after = _dep_sources(kernel, src)
+    assert before != after
+
+
+def test_kernel_audit_migrate_refuses_unaccounted_own_drift(tmp_path):
+    """ADVICE r13 low: migrate() must not absolve a genuine kernel
+    edit.  A baseline whose FULL hash drifted but OWN hash matches is
+    a scope-only change (migrate proceeds); an unaccounted OWN drift
+    blocks with exit code 2 unless --force."""
+    import json as _json
+    import shutil
+
+    import pytest as _pytest
+
+    from tools import kernel_audit
+    from tools.rotate_window import EDITED_SINCE_GREEN
+    from wire_spark.catalog import _DRIVER_PRIORITY, load_registry
+
+    victim = next(
+        n for n in load_registry()
+        if n not in _DRIVER_PRIORITY and n not in EDITED_SINCE_GREEN
+    )
+    src_path = os.path.join(ROOT, kernel_audit.BASELINE_PATH)
+    baseline = _json.load(open(src_path))
+    assert "own" in baseline[victim]  # r14 migration backfilled it
+
+    # scope-only drift: full hash wrong, own intact -> migrate rewrites
+    baseline[victim]["hash"] = "0" * 64
+    fake = tmp_path / kernel_audit.BASELINE_PATH
+    fake.write_text(_json.dumps(baseline))
+    assert kernel_audit.migrate(str(tmp_path)) >= 1
+    rewritten = _json.load(open(fake))
+    assert rewritten[victim]["hash"] != "0" * 64
+    assert rewritten[victim]["round"] == baseline[victim]["round"]
+
+    # unaccounted own drift -> refused without force
+    baseline[victim]["hash"] = "0" * 64
+    baseline[victim]["own"] = "1" * 64
+    fake.write_text(_json.dumps(baseline))
+    with _pytest.raises(SystemExit):
+        kernel_audit.migrate(str(tmp_path))
+    assert kernel_audit.migrate(str(tmp_path), force=True) >= 1

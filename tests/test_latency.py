@@ -161,3 +161,19 @@ def test_median_latency_combines_runs_per_metric():
     bad = bench._median_latency(always_fail, runs=2)
     assert bad["error"] == "all latency runs failed"
     assert all("error" in p for p in bad["runs"])
+
+
+def test_host_correction_factor_deadband_and_floor():
+    """The round-14 contention model (SCALE.md): raw == corrected
+    inside the 1.3x probe deadband; beyond it the factor is
+    ref/measured; a >3.3x probe blowup floors at 0.3; a missing probe
+    (old artifacts) corrects nothing."""
+    import bench
+
+    ref = bench._REF_CALIBRATION["cpu_saturate_ms"]
+    assert bench.host_correction_factor(None) == 1.0
+    assert bench.host_correction_factor(ref) == 1.0
+    assert bench.host_correction_factor(1.29 * ref) == 1.0  # jitter
+    # r13-class contention: ~2x probe -> ~0.5x correction
+    assert abs(bench.host_correction_factor(2.0 * ref) - 0.5) < 1e-9
+    assert bench.host_correction_factor(100.0 * ref) == 0.3  # floor

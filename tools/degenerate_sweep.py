@@ -342,10 +342,18 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                     .otherwise(F.concat(F.lit("l"), F.col("doc_id"))),
                 )
             if t == "embeddings":
+                # cast the mutated branch back to label's INT type:
+                # when/otherwise would coerce the whole column to the
+                # BIGINT of vec_id and the written corpus schema would
+                # differ from sf0.001, breaking the module contract
+                # that schemas stay identical (ADVICE r13; the other
+                # manykeys branches are type-stable — int64+int64 and
+                # string concat).  vec_id+1000 fits int32 at every
+                # sweep SF by orders of magnitude.
                 df = df.withColumn(
                     "label",
                     F.when(F.col("vec_id") % 10 == 0, F.col("label"))
-                    .otherwise(F.col("vec_id") + F.lit(1000)),
+                    .otherwise((F.col("vec_id") + F.lit(1000)).cast("int")),
                 )
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
