@@ -50,3 +50,84 @@ def test_stored_index_codes_read_is_cell_pruned(spark, tmp_path):
     # the cid equi-join against the partitionBy(cid) layout must allow
     # partition pruning: the scan exposes cid as a partition column
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def _rebuild_reference(spark, sf_dir):
+    """One-shot rebuild: apply the change rules to the vector table,
+    then assign EVERY live vector from scratch — the semantics the
+    incremental path must reproduce bit-for-bit."""
+    from wire_spark.operators.vector_index import assign_cells
+    from wire_spark.queries.similarity import _valid_vectors
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                           F.lit(0.0), lambda a, b: a + b)).alias("cn"),
+    )
+    untouched = e.filter(
+        (F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 13 != 0))
+    updated = (
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 13 != 0))
+        .select("vec_id", F.transform("v", lambda x: -x).alias("v"))
+    )
+    inserted = e.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.reverse("v").alias("v"),
+    )
+    live = untouched.unionByName(updated).unionByName(inserted)
+    return assign_cells(live, cent)
+
+
+def test_incremental_update_equals_rebuild(spark):
+    """update_cells(base, fold(changelog), cent) must equal a from-
+    scratch assignment of the post-change table — the incremental ==
+    rebuild property the staged catalog query pins cross-engine."""
+    from wire_spark.queries.similarity import vector_index_cdc_update
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.cid, r.n_vecs, r.sum_vec_id, r.n_changed)
+        for r in vector_index_cdc_update(spark, sf_dir).collect()
+    }
+    ref = {
+        (r.cid, r["n"], float(r.s), None)
+        for r in _rebuild_reference(spark, sf_dir)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    }
+    assert {(c, n, s) for c, n, s, _ in got} == {
+        (c, n, s) for c, n, s, _ in ref}
+    # churn metering: every changed row is an upsert winner
+    n_changed = sum(r[3] for r in got)
+    assert n_changed > 0
+
+
+def test_staged_query_matches_duckdb_oracle(spark):
+    """The r15-staged catalog entry must already be driver-green in
+    this suite: Spark kernel vs the DuckDB rebuild oracle, value
+    equality on sorted rows, at two SFs."""
+    import duckdb
+
+    from wire_spark.queries.similarity import (
+        VECTOR_INDEX_CDC_ORACLE, vector_index_cdc_update)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sdf = vector_index_cdc_update(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        srows = sorted([tuple(r[c] for c in scols) for r in sdf.collect()],
+                       key=repr)
+        assert srows, sf_dir  # non-vacuous at every SF
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        res = con.execute(VECTOR_INDEX_CDC_ORACLE)
+        oc = [d[0] for d in res.description]
+        idx = sorted(range(len(oc)), key=lambda i: oc[i])
+        orows = sorted([tuple(row[i] for i in idx) for row in res.fetchall()],
+                       key=repr)
+        assert scols == sorted(oc)
+        assert srows == orows, sf_dir

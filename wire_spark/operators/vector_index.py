@@ -53,6 +53,29 @@ def _t6(col):
     return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
 
 
+def assign_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest TRAINED centroid per vector by
+    floor-truncated cosine (desc, ties to the lowest cid) — the one
+    ranking shared by the full build and incremental maintenance, so
+    an incrementally-updated cells relation is bit-identical to a
+    rebuild by construction of the kernel, not by luck.
+
+    ``vectors``: (vec_id, v double[]); ``cent``: (cid, cv, cn) tiny
+    and broadcast — cost is |vectors| x K cosine evals, one window
+    per vec_id, no shuffle of the vector table beyond the window's
+    hash on vec_id."""
+    v_n = vectors.withColumn("__nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    sim_c = _t6(_dot(F.col("v"), F.col("cv")) / (F.col("__nrm") * F.col("cn")))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        v_n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
 def build_index(embeddings: DataFrame, path: str) -> dict:
     """Materialize the IVF-PQ index for an (vec_id, embedding) frame.
 
@@ -65,15 +88,7 @@ def build_index(embeddings: DataFrame, path: str) -> dict:
     cent = e.filter(F.col("vec_id") < _K_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim_c = _t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    cells = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", sim_c.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    cells = assign_cells(e.select("vec_id", "v"), cent)
     spark = embeddings.sparkSession
     subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     sub_v = e.crossJoin(F.broadcast(subs)).select(
@@ -170,3 +185,70 @@ def search_index(
         .select("qid", "nid", (F.col("adist_i") / F.lit(1000000.0)).alias("adist"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# --------------------------------------------------------------------
+# Incremental maintenance: CDC fold -> assignment update
+# --------------------------------------------------------------------
+
+def fold_vector_delta(changes: DataFrame) -> DataFrame:
+    """Fold a vector change log into a per-key delta — TOMBSTONES
+    INCLUDED — ready to merge into a stored cells relation.
+
+    ``changes`` is the CDC envelope shape (transforms/cdc.py
+    CDC_SCHEMA field names; reference sources/mongo.go:23-41) with
+    ``document_id`` a vector key and ``full_document`` the vector
+    payload (array<double> — the fold is payload-type-agnostic).
+    Reuses ``checkpoint_state``: the (cluster_time, resume_token)
+    argmax decides each key's winning op, and tombstones survive the
+    fold because an index MERGE needs them to DELETE entries — the
+    same retention argument the CDC restart protocol proved
+    (transforms/cdc.py:checkpoint_state point 2).
+
+    Returns (vec_id, op, v) with v NULL on tombstones.  One shuffle
+    on the key; cost O(|log|), output O(|distinct keys touched|).
+    """
+    from wire_spark.transforms.cdc import checkpoint_state
+
+    return checkpoint_state(changes).select(
+        F.col("document_id").alias("vec_id"),
+        F.col("operation_type").alias("op"),
+        F.col("full_document").alias("v"),
+    )
+
+
+def update_cells(cells: DataFrame, delta: DataFrame,
+                 cent: DataFrame) -> DataFrame:
+    """Incrementally maintain the IVF cells relation under a folded
+    CDC delta: the streaming-first reference's identity (README.md:7)
+    applied to the index surface — the index follows the change
+    stream instead of being rebuilt.
+
+    - every touched key (upsert OR tombstone) leaves ``cells`` via
+      one left-anti join on vec_id;
+    - upserted vectors are (re)assigned against the FROZEN trained
+      centroids with the same ``assign_cells`` kernel the full build
+      uses, so incremental == rebuild is bit-identical by
+      construction (centroid retraining is a periodic build concern,
+      not a per-batch one — production IVF systems pin the codebook
+      between retrains for exactly this reason);
+    - the union carries ``changed`` = 1 on re-assigned rows so a
+      caller can meter churn per cell.
+
+    Scale: the distance kernel runs on |delta upserts| x K rows ONLY
+    — restart-cost O(changes), never O(corpus); the anti join
+    shuffles on vec_id (or stays shuffle-free when ``cells`` is
+    bucketed by vec_id at rest).  Inside foreachBatch against the
+    stored cells table this is the per-microbatch MERGE.
+    """
+    from wire_spark.transforms.cdc import _UPSERTS
+
+    touched = delta.select("vec_id")
+    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    survivors = cells.join(touched, "vec_id", "left_anti").select(
+        "vec_id", "cid", F.lit(0).alias("changed")
+    )
+    reassigned = assign_cells(live, cent).select(
+        "vec_id", "cid", F.lit(1).alias("changed")
+    )
+    return survivors.unionByName(reassigned)
