@@ -131,3 +131,80 @@ def test_staged_query_matches_duckdb_oracle(spark):
                        key=repr)
         assert scols == sorted(oc)
         assert srows == orows, sf_dir
+
+
+def test_streaming_changelog_maintains_stored_cells(spark, tmp_path):
+    """End-to-end streaming maintenance: a changelog file-stream,
+    one microbatch per file (delivery in cluster_time order), each
+    folded with fold_vector_delta and MERGEd into the bucketed cells
+    table by merge_cells_update inside foreachBatch.  The final
+    stored table must equal the from-scratch assignment of the
+    post-change corpus — including the % 91 keys whose update
+    (batch 1) is overridden by a later delete (batch 2)."""
+    from wire_spark.operators.upsert import read_table, write_initial
+    from wire_spark.operators.vector_index import (
+        assign_cells, fold_vector_delta, merge_cells_update)
+    from wire_spark.queries.similarity import _valid_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    cells_path = str(tmp_path / "cells_tbl")
+    log_dir = tmp_path / "changelog"
+    log_dir.mkdir()
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                           F.lit(0.0), lambda a, b: a + b)).alias("cn"),
+    )
+    write_initial(assign_cells(e, cent), cells_path, "vec_id", n_buckets=8)
+
+    tok = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.lpad(F.col("vec_id").cast("string"), 12, "0"))
+    batch1 = (
+        e.filter(F.col("vec_id") % 7 == 0).select(
+            tok("u").alias("resume_token"),
+            F.lit("update").alias("operation_type"),
+            F.col("vec_id").alias("document_id"),
+            F.transform("v", lambda x: -x).alias("full_document"),
+            F.lit(1).cast("long").alias("cluster_time"))
+        .unionByName(e.filter(F.col("vec_id") % 11 == 0).select(
+            tok("i").alias("resume_token"),
+            F.lit("insert").alias("operation_type"),
+            (F.col("vec_id") + F.lit(10_000_000)).alias("document_id"),
+            F.reverse("v").alias("full_document"),
+            F.lit(1).cast("long").alias("cluster_time")))
+    )
+    batch2 = e.filter(F.col("vec_id") % 13 == 0).select(
+        tok("d").alias("resume_token"),
+        F.lit("delete").alias("operation_type"),
+        F.col("vec_id").alias("document_id"),
+        F.lit(None).cast("array<double>").alias("full_document"),
+        F.lit(2).cast("long").alias("cluster_time"))
+    schema = batch1.schema
+    batch1.coalesce(1).write.parquet(str(log_dir / "b0001"))
+    batch2.coalesce(1).write.parquet(str(log_dir / "b0002"))
+
+    cent_rows = cent.collect()  # bounded: K centroids
+
+    def apply_batch(batch, _bid):
+        s = batch.sparkSession
+        c = s.createDataFrame(cent_rows, cent.schema)
+        merge_cells_update(s, cells_path, fold_vector_delta(batch), c,
+                           n_buckets=8)
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir / "b*"))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {(r.vec_id, r.cid) for r in read_table(spark, cells_path).collect()}
+    want = {(r.vec_id, r.cid)
+            for r in _rebuild_reference(spark, sf_dir).collect()}
+    assert got == want

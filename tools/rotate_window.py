@@ -71,23 +71,22 @@ BUDGET = 5
 # widened in the r12 maxmass wave but the entry was omitted; it is
 # r13-forced so the re-check lands this round).
 EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
-    # r11 longdocs super-linear kernel rewrites (commit 5b83190);
-    # the first two hold the r13 slack slots, the third is r13-forced.
+    # Driver-green-covered entries pruned in place at r14 (21 names
+    # whose newest green >= edit round; the auto-drop rule had already
+    # retired them — this is readability only, same as the r13 prune).
+    # r11 longdocs super-linear kernel rewrites (commit 5b83190):
+    # context_chunking_plan is r14-forced (r9-green cohort);
+    # text_langid_trigram_trained is r15-forced (r10-green cohort).
     "text_langid_trigram_trained": (11, False),
     "context_chunking_plan": (11, False),
-    "dedup_winnowing_overlap": (11, False),
     # r12 zerovec valid-embedding domain gate (loader + oracle WHERE,
     # identity on real data at every SF — verified at r12).
     "ann_ivf_lloyd_cosine": (12, False),
     "ann_lsh_multiprobe_cosine": (12, False),
     "embedding_quantize_int8": (12, False),
-    "ann_ivfpq_adc": (12, False),
     "ann_recall_audit": (12, False),
-    "embedding_centroid_distance": (12, False),
     "embedding_hard_negatives": (12, False),
-    "kmeans_lloyd_two_rounds": (12, False),
     "search_hybrid_rrf": (12, False),
-    "dedup_crossmodal_audit": (12, False),
     "knn_label_agreement": (12, False),
     # r12 spectral overflow-proofing: the power-iteration rescale
     # constant dropped 4096 -> 1024, which CHANGED REAL-DATA OUTPUTS
@@ -98,12 +97,10 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # (kmeans_lloyd_two_rounds kept its outputs; r13-forced).
     "embedding_gram_matrix": (13, True),
     "embedding_power_iteration": (13, True),
-    "kmeans_lloyd_round": (12, True),
     # r12 connected_components pointer-jumping rewrite (operator-level;
     # plans changed, outputs bit-identical on real data — bigclique
     # sweep + full oracle drive re-verified)
     "dedup_connected_components": (12, False),
-    "dedup_components_lsh": (12, False),
     "dedup_survivors_central": (12, False),
     "sample_dedup_weighted": (12, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
@@ -118,20 +115,7 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "events_linear_trend": (12, False),
     "events_resample_ffill": (12, False),
     "events_welch_ttest": (12, False),
-    "orders_by_month": (12, False),
-    "q10_returned_items": (12, False),
-    "q11_important_parts": (12, False),
-    "q14_promo_revenue": (12, False),
-    "q15_top_supplier": (12, False),
-    "q17_small_quantity_revenue": (12, False),
-    "q19_disjunctive_filter": (12, False),
     "q1_pricing_summary": (12, False),
-    "q22_rich_inactive": (12, False),
-    "q6_forecast_revenue": (12, False),
-    "q7_nation_volume": (12, False),
-    "q8_market_share": (12, False),
-    "q9_profit_by_nation": (12, False),
-    "range_join_price_bands": (12, False),
     "rollup_plus_tail_merge": (12, False),
     "rollup_time_lattice": (12, False),
     "window_range_frame_30m": (12, False),
@@ -145,11 +129,9 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # Bit-identity vs the HEAD oracles verified at all 3 SFs under
     # Asia/Kolkata (outputs unchanged on real data).  unigram /
     # centroid are r13-forced; the rest queue for slack.
-    "text_unigram_logprob": (13, False),
     "text_bigram_logprob": (13, False),
     "text_token_entropy": (13, False),
     "corpus_js_divergence": (13, False),
-    "embedding_centroid_distance": (13, False),
 }
 
 

@@ -252,3 +252,34 @@ def update_cells(cells: DataFrame, delta: DataFrame,
         "vec_id", "cid", F.lit(1).alias("changed")
     )
     return survivors.unionByName(reassigned)
+
+
+def merge_cells_update(spark: SparkSession, path: str, delta: DataFrame,
+                       cent: DataFrame, n_buckets: int = 16) -> int:
+    """MERGE a folded CDC delta into the STORED cells table — the
+    ``foreachBatch`` body of a streaming index-maintenance pipeline
+    (changelog stream -> ``fold_vector_delta`` -> this).
+
+    The cells table lives as hash-bucketed parquet
+    (operators/upsert.py): upserted vectors are re-assigned against
+    the frozen trained centroids with ``assign_cells`` and MERGEd,
+    tombstoned keys are deleted, and only the buckets the touched
+    keys hash into are rewritten — per-microbatch cost
+    O(|delta| x K distance evals + touched buckets), never O(table).
+    Returns the number of partitions rewritten.
+
+    Ordering: the per-batch fold resolves intra-batch duplicates by
+    the CDC (cluster_time, resume_token) order; ACROSS microbatches
+    the stream's delivery order decides, the same monotone-token
+    assumption every foreachBatch CDC consumer makes — out-of-order
+    replay after a restart is the checkpoint/resume protocol's job
+    (transforms/cdc.py:resume_apply, pinned by cdc_resume_restart).
+    """
+    from wire_spark.operators.upsert import merge_upsert
+    from wire_spark.transforms.cdc import _UPSERTS
+
+    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    assigned = assign_cells(live, cent)
+    dead = delta.filter(~F.col("op").isin(*_UPSERTS)).select("vec_id")
+    return merge_upsert(spark, path, assigned, "vec_id",
+                        n_buckets=n_buckets, delete_keys=dead)
