@@ -56,7 +56,7 @@ def host_correction_factor(measured_cpu_ms: float | None) -> float:
     return max(0.3, ref / measured_cpu_ms)
 
 
-def host_calibration(spark) -> dict:
+def host_calibration(spark, cpu_reps: int = 5) -> dict:
     """Measure THIS host's scheduling overhead AND effective parallel
     CPU throughput so cross-round bench sums are comparable even when
     the sandbox is oversubscribed (round-13 lesson: the driver-run
@@ -119,7 +119,7 @@ def host_calibration(spark) -> dict:
         return time.perf_counter() - t0
 
     cpu_run(-1)  # warm codegen for the probe shape
-    cpu = [cpu_run(s) for s in range(5)]
+    cpu = [cpu_run(s) for s in range(cpu_reps)]
     return {
         "collect_1stage_ms": round(one * 1000.0, 1),
         "count_2stage_ms": round(two * 1000.0, 1),
@@ -462,9 +462,17 @@ def main() -> None:
     # most of the raw drift rather than invent a correction).  All raw
     # probe values stay in the artifact so any better model can be
     # applied mechanically later.
-    host_factor = host_correction_factor(
-        calibration.get("cpu_saturate_ms")
-    )
+    # second probe AFTER the query loop: a point-in-time probe cannot
+    # see a contention burst that starts mid-run (observed at r14: a
+    # pre-probe of 1888 ms passed the deadband while a ~20-query
+    # stretch ran 2-6x slow).  Correct on the WORSE of the two
+    # bracketing probes; both land in the artifact.
+    calibration_post = host_calibration(spark, cpu_reps=3)
+    calibration["cpu_saturate_post_ms"] = calibration_post["cpu_saturate_ms"]
+    host_factor = host_correction_factor(max(
+        calibration.get("cpu_saturate_ms") or 0.0,
+        calibration_post["cpu_saturate_ms"],
+    ))
     corrected = round(total * host_factor, 3)
     detail = {
         "metric": "headline query wall time, sum over bench set",

@@ -208,3 +208,86 @@ def test_streaming_changelog_maintains_stored_cells(spark, tmp_path):
     want = {(r.vec_id, r.cid)
             for r in _rebuild_reference(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_merge_index_update_matches_frozen_rebuild(spark, tmp_path):
+    """Full-index maintenance: merge_index_update must land BOTH
+    stored relations (cells reverse index, cid-partitioned codes)
+    exactly on a frozen-codebook rebuild of the post-change corpus —
+    so search_index over the incrementally-updated index is
+    bit-identical to search over that rebuild by construction."""
+    from wire_spark.engine import load_table
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        assign_cells, build_index, fold_vector_delta, merge_index_update,
+        pq_encode)
+    from wire_spark.queries.similarity import _valid_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq_inc")
+    build_index(load_table(spark, sf_dir, "embeddings"), idx)
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
+    tok = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.lpad(F.col("vec_id").cast("string"), 12, "0"))
+    changes = (
+        e.filter(F.col("vec_id") % 7 == 0).select(
+            tok("u").alias("resume_token"),
+            F.lit("update").alias("operation_type"),
+            F.col("vec_id").alias("document_id"),
+            F.transform("v", lambda x: -x).alias("full_document"),
+            F.lit(1).cast("long").alias("cluster_time"))
+        .unionByName(e.filter(F.col("vec_id") % 13 == 0).select(
+            tok("d").alias("resume_token"),
+            F.lit("delete").alias("operation_type"),
+            F.col("vec_id").alias("document_id"),
+            F.lit(None).cast("array<double>").alias("full_document"),
+            F.lit(2).cast("long").alias("cluster_time")))
+        .unionByName(e.filter(F.col("vec_id") % 11 == 0).select(
+            tok("i").alias("resume_token"),
+            F.lit("insert").alias("operation_type"),
+            (F.col("vec_id") + F.lit(10_000_000)).alias("document_id"),
+            F.reverse("v").alias("full_document"),
+            F.lit(1).cast("long").alias("cluster_time")))
+    )
+    n_affected = merge_index_update(spark, idx, fold_vector_delta(changes))
+    assert n_affected > 0
+
+    # frozen-codebook rebuild of the post-change corpus.  NOTE: the
+    # delta vectors are the CDC-applied table, NOT _valid_vectors of
+    # some re-gated set — build_index loads the raw table, so the
+    # reference corpus is raw-table rows transformed by the rules.
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    # the changelog was derived from the GATED set, so untouched =
+    # raw minus gated-touched keys; at sf0.001 the gate excludes no
+    # row (asserted), keeping this reference exact
+    assert raw.count() == e.count()
+    cent = spark.read.parquet(idx + "/centroids").withColumn(
+        "cn", F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, b: a + b)))
+    cw = spark.read.parquet(idx + "/codebook")
+    post = (
+        raw.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 13 != 0))
+        .unionByName(
+            raw.filter((F.col("vec_id") % 7 == 0)
+                       & (F.col("vec_id") % 13 != 0))
+            .select("vec_id", F.transform("v", lambda x: -x).alias("v")))
+        .unionByName(
+            raw.filter(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                F.reverse("v").alias("v")))
+    )
+    want_cells = {(r.vec_id, r.cid)
+                  for r in assign_cells(post, cent).collect()}
+    got_cells = {(r.vec_id, r.cid)
+                 for r in read_table(spark, idx + "/cells").collect()}
+    assert got_cells == want_cells
+
+    want_codes = {(r.vec_id, r.m, r.code)
+                  for r in pq_encode(post, cw).collect()}
+    got_codes = {(r.vec_id, r.m, r.code)
+                 for r in spark.read.parquet(idx + "/codes")
+                 .select("vec_id", "m", "code").collect()}
+    assert got_codes == want_codes

@@ -34,6 +34,7 @@ _K_CELLS = 8
 _PQ_M = 8
 _PQ_SUB = 8
 _PQ_K = 16
+_CELLS_BUCKETS = 16  # hash buckets of the cells reverse index
 
 
 def _dot(x, y):
@@ -76,6 +77,27 @@ def assign_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def pq_encode(vectors: DataFrame, cw: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest codebook entry per subspace by
+    floor-truncated L2 (ties to the lowest code) — shared by the full
+    build and incremental maintenance, same bit-identity argument as
+    ``assign_cells``.  ``vectors``: (vec_id, v double[]); ``cw``: the
+    FROZEN codebook (code, m, cv), tiny and broadcast."""
+    spark = vectors.sparkSession
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub_v = vectors.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "m", F.slice("v", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sv")
+    )
+    w_pq = W.partitionBy("vec_id", "m").orderBy("d", "code")
+    return (
+        sub_v.join(F.broadcast(cw), "m")
+        .select("vec_id", "m", "code", _t6(_l2(F.col("sv"), F.col("cv"))).alias("d"))
+        .withColumn("rn", F.row_number().over(w_pq))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
 def build_index(embeddings: DataFrame, path: str) -> dict:
     """Materialize the IVF-PQ index for an (vec_id, embedding) frame.
 
@@ -98,20 +120,20 @@ def build_index(embeddings: DataFrame, path: str) -> dict:
         sub_v.filter(F.col("vec_id") < _PQ_K)
         .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
     )
-    w_pq = W.partitionBy("vec_id", "m").orderBy("d", "code")
-    codes = (
-        sub_v.join(F.broadcast(cw), "m")
-        .select("vec_id", "m", "code", _t6(_l2(F.col("sv"), F.col("cv"))).alias("d"))
-        .withColumn("rn", F.row_number().over(w_pq))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
+    codes = pq_encode(e.select("vec_id", "v"), cw)
     # co-locate codes with their cell: one shuffle on cid at BUILD
     # time buys cell-pruned reads on every future search
     codes_by_cell = codes.join(cells, "vec_id")
     cent.select("cid", "cv").write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     cw.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    cells.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    # cells is hash-bucketed by vec_id (operators/upsert.py layout):
+    # it doubles as the REVERSE index (vec_id -> cid) incremental
+    # maintenance needs to locate a touched key's old codes partition
+    # with a bucket-pruned read instead of a codes scan
+    from wire_spark.operators.upsert import write_initial
+
+    write_initial(cells, os.path.join(path, "cells"), "vec_id",
+                  n_buckets=_CELLS_BUCKETS)
     (
         codes_by_cell.repartition("cid")
         .write.mode("overwrite")
@@ -283,3 +305,85 @@ def merge_cells_update(spark: SparkSession, path: str, delta: DataFrame,
     dead = delta.filter(~F.col("op").isin(*_UPSERTS)).select("vec_id")
     return merge_upsert(spark, path, assigned, "vec_id",
                         n_buckets=n_buckets, delete_keys=dead)
+
+
+def merge_index_update(spark: SparkSession, path: str,
+                       delta: DataFrame) -> int:
+    """MERGE a folded CDC delta into the FULL stored IVF-PQ index
+    (build_index layout) — both relations search reads stay fresh:
+
+    - ``cells`` (the vec_id-bucketed reverse index) upserts via
+      operators/upsert.py merge_upsert — touched buckets only;
+    - ``codes`` (partitioned by cid) rewrites only the AFFECTED cid
+      partitions: the old partition of every touched key comes from a
+      bucket-pruned reverse-index read (never a codes scan), the new
+      partition from re-assigning the upserted vectors against the
+      frozen centroids; upserted vectors are re-encoded against the
+      frozen codebook with the same ``pq_encode`` kernel the build
+      uses.
+
+    Centroids and codebook are FROZEN — retraining is a periodic
+    rebuild concern; between retrains the incremental index is
+    bit-identical to a frozen-codebook rebuild (test-pinned).
+
+    Cost per batch: |delta| x K cosine evals + |delta| x k x m code
+    distances + (touched cells buckets + affected cid partitions)
+    rewrites — O(changes), never O(corpus).  The affected-cid
+    collect is bounded by _K_CELLS.  Returns #affected cid
+    partitions."""
+    from wire_spark.operators.upsert import (
+        BUCKET_COL, _with_bucket, merge_upsert)
+    from wire_spark.transforms.cdc import _UPSERTS
+
+    cells_path = os.path.join(path, "cells")
+    codes_path = os.path.join(path, "codes")
+    cent = spark.read.parquet(os.path.join(path, "centroids")).withColumn(
+        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cw = spark.read.parquet(os.path.join(path, "codebook"))
+
+    touched = delta.select("vec_id").distinct()
+    # old cid of every touched key: bucket-pruned reverse-index read
+    tb = _with_bucket(touched, "vec_id", _CELLS_BUCKETS)
+    tbuckets = [r[BUCKET_COL] for r in tb.select(BUCKET_COL).distinct().collect()]
+    old_cids = {
+        r.cid
+        for r in spark.read.parquet(cells_path)
+        .filter(F.col(BUCKET_COL).isin(tbuckets))
+        .join(touched, "vec_id")
+        .select("cid").distinct().collect()
+    }
+
+    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    assigned = assign_cells(live, cent)
+    new_codes = pq_encode(live, cw).join(assigned, "vec_id")
+    new_cids = {r.cid for r in assigned.select("cid").distinct().collect()}
+    affected = sorted(old_cids | new_cids)
+
+    if affected:
+        target = spark.read.parquet(codes_path).filter(
+            F.col("cid").isin(affected))
+        kept = target.join(touched, "vec_id", "left_anti")
+        merged = (
+            kept.select("vec_id", "m", "code", "cid")
+            .unionByName(new_codes.select("vec_id", "m", "code", "cid"))
+            .localCheckpoint(eager=True)  # upsert.py lesson: dynamic
+            # overwrite deletes the files a lazy plan would re-read
+        )
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cid").parquet(codes_path))
+        # a cid whose every key was deleted leaves no row in `merged`
+        # — dynamic overwrite never rewrites it; clear explicitly
+        present = {r.cid for r in merged.select("cid").distinct().collect()}
+        emptied = [c for c in affected if c not in present]
+        if emptied:
+            hconf = spark._jsc.hadoopConfiguration()
+            for c in emptied:
+                p = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{codes_path}/cid={c}")
+                p.getFileSystem(hconf).delete(p, True)
+
+    dead = delta.filter(~F.col("op").isin(*_UPSERTS)).select("vec_id")
+    merge_upsert(spark, cells_path, assigned, "vec_id",
+                 n_buckets=_CELLS_BUCKETS, delete_keys=dead)
+    return len(affected)
