@@ -291,3 +291,135 @@ def test_merge_index_update_matches_frozen_rebuild(spark, tmp_path):
                  for r in spark.read.parquet(idx + "/codes")
                  .select("vec_id", "m", "code").collect()}
     assert got_codes == want_codes
+
+
+def test_merge_index_update_idempotent_under_replay(spark, tmp_path):
+    """At-least-once delivery re-applies a batch after a crash between
+    MERGE and offset commit; the index MERGE must be idempotent —
+    re-applying the identical folded delta leaves both relations
+    bit-identical (the exactly-once-EFFECT argument of
+    transforms/cdc.py applied to the index surface)."""
+    from wire_spark.engine import load_table
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        build_index, fold_vector_delta, merge_index_update)
+    from wire_spark.queries.similarity import _valid_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq_replay")
+    build_index(load_table(spark, sf_dir, "embeddings"), idx)
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
+    tok = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.lpad(F.col("vec_id").cast("string"), 12, "0"))
+    changes = (
+        e.filter(F.col("vec_id") % 7 == 0).select(
+            tok("u").alias("resume_token"),
+            F.lit("update").alias("operation_type"),
+            F.col("vec_id").alias("document_id"),
+            F.transform("v", lambda x: -x).alias("full_document"),
+            F.lit(1).cast("long").alias("cluster_time"))
+        .unionByName(e.filter(F.col("vec_id") % 13 == 0).select(
+            tok("d").alias("resume_token"),
+            F.lit("delete").alias("operation_type"),
+            F.col("vec_id").alias("document_id"),
+            F.lit(None).cast("array<double>").alias("full_document"),
+            F.lit(2).cast("long").alias("cluster_time")))
+    )
+    merge_index_update(spark, idx, fold_vector_delta(changes))
+    cells_1 = sorted((r.vec_id, r.cid)
+                     for r in read_table(spark, idx + "/cells").collect())
+    codes_1 = sorted((r.vec_id, r.m, r.code)
+                     for r in spark.read.parquet(idx + "/codes")
+                     .select("vec_id", "m", "code").collect())
+
+    merge_index_update(spark, idx, fold_vector_delta(changes))  # replay
+    cells_2 = sorted((r.vec_id, r.cid)
+                     for r in read_table(spark, idx + "/cells").collect())
+    codes_2 = sorted((r.vec_id, r.m, r.code)
+                     for r in spark.read.parquet(idx + "/codes")
+                     .select("vec_id", "m", "code").collect())
+    assert cells_1 == cells_2
+    assert codes_1 == codes_2
+
+
+def test_streaming_cells_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart: the maintenance stream consumes batch 1,
+    stops, batch 2 lands, and a RESTART from the same checkpoint
+    processes only the new file — the final stored table still equals
+    the rebuild.  (foreachBatch + file source + availableNow is the
+    checkpoint-recovery shape the suite's streaming tests pin; this
+    extends it to the index-MERGE pipeline.)"""
+    from wire_spark.operators.upsert import read_table, write_initial
+    from wire_spark.operators.vector_index import (
+        assign_cells, fold_vector_delta, merge_cells_update)
+    from wire_spark.queries.similarity import _valid_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    cells_path = str(tmp_path / "cells_rst")
+    log_dir = tmp_path / "log_rst"
+    log_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_rst")
+
+    e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                           F.lit(0.0), lambda a, b: a + b)).alias("cn"),
+    )
+    write_initial(assign_cells(e, cent), cells_path, "vec_id", n_buckets=8)
+
+    tok = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.lpad(F.col("vec_id").cast("string"), 12, "0"))
+    batch1 = e.filter(F.col("vec_id") % 7 == 0).select(
+        tok("u").alias("resume_token"),
+        F.lit("update").alias("operation_type"),
+        F.col("vec_id").alias("document_id"),
+        F.transform("v", lambda x: -x).alias("full_document"),
+        F.lit(1).cast("long").alias("cluster_time"))
+    batch2 = e.filter(F.col("vec_id") % 13 == 0).select(
+        tok("d").alias("resume_token"),
+        F.lit("delete").alias("operation_type"),
+        F.col("vec_id").alias("document_id"),
+        F.lit(None).cast("array<double>").alias("full_document"),
+        F.lit(2).cast("long").alias("cluster_time"))
+    schema = batch1.schema
+    cent_rows = cent.collect()
+    applied = []
+
+    def apply_batch(batch, bid):
+        s = batch.sparkSession
+        c = s.createDataFrame(cent_rows, cent.schema)
+        merge_cells_update(s, cells_path, fold_vector_delta(batch), c,
+                           n_buckets=8)
+        applied.append(bid)
+
+    def run_stream():
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(str(log_dir / "b*"))
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start().awaitTermination(120))
+
+    batch1.coalesce(1).write.parquet(str(log_dir / "b0001"))
+    run_stream()          # consumes batch 1, then the query STOPS
+    n_first = len(applied)
+    assert n_first >= 1
+    batch2.coalesce(1).write.parquet(str(log_dir / "b0002"))
+    run_stream()          # restart from checkpoint: only the new file
+    assert len(applied) > n_first
+
+    got = {(r.vec_id, r.cid) for r in read_table(spark, cells_path).collect()}
+    want = {
+        (r.vec_id, r.cid)
+        for r in assign_cells(
+            e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 13 != 0))
+            .unionByName(
+                e.filter((F.col("vec_id") % 7 == 0)
+                         & (F.col("vec_id") % 13 != 0))
+                .select("vec_id", F.transform("v", lambda x: -x).alias("v"))),
+            cent).collect()
+    }
+    assert got == want
