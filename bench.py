@@ -48,12 +48,23 @@ def host_correction_factor(measured_cpu_ms: float | None) -> float:
     value, from the run's CPU-saturation probe (SCALE.md round-14):
     1.0 inside a 1.3x deadband of the pinned reference (ambient probe
     jitter is ±12% — healthy rounds must not be rescaled by noise),
-    else ref/measured floored at 0.3 (a >3.3x probe blowup indicts
-    the probe, not the queries)."""
+    then a CONTINUOUS blend ``1.3*ref/measured`` beyond it, floored
+    at 0.3 (a >4.3x probe blowup indicts the probe, not the queries).
+
+    The blend corrects only the EXCESS over the deadband, so the
+    factor is exactly 1.0 at the boundary and degrades smoothly —
+    the r14 form jumped 1.0 -> ~0.76 across the edge, letting ±1% of
+    probe noise swing the headline by ~24% and making borderline
+    rounds bimodal across the series (ADVICE r14).  The idle-host
+    case (measured ~= ref) stays a clean 1.0; a genuinely k-fold
+    oversubscribed host (measured ~= k*ref, k >> 1.3) corrects by
+    ~1.3/k — within 30% of the old ref/measured asymptote, and the
+    deadband's intent (never rescale a healthy round) is preserved
+    without the discontinuity."""
     ref = _REF_CALIBRATION["cpu_saturate_ms"]
-    if not measured_cpu_ms or measured_cpu_ms <= 1.3 * ref:
+    if not measured_cpu_ms:
         return 1.0
-    return max(0.3, ref / measured_cpu_ms)
+    return max(0.3, min(1.0, 1.3 * ref / measured_cpu_ms))
 
 
 def host_calibration(spark, cpu_reps: int = 5) -> dict:

@@ -164,16 +164,26 @@ def test_median_latency_combines_runs_per_metric():
 
 
 def test_host_correction_factor_deadband_and_floor():
-    """The round-14 contention model (SCALE.md): raw == corrected
-    inside the 1.3x probe deadband; beyond it the factor is
-    ref/measured; a >3.3x probe blowup floors at 0.3; a missing probe
-    (old artifacts) corrects nothing."""
+    """The round-15 contention model (SCALE.md; ADVICE r14 made the
+    deadband edge continuous): raw == corrected inside the 1.3x probe
+    deadband; beyond it the factor is 1.3*ref/measured — exactly 1.0
+    AT the boundary, so ±1% of probe noise moves the headline by ~1%,
+    never the old 24% cliff; a >4.3x probe blowup floors at 0.3; a
+    missing probe (old artifacts) corrects nothing."""
     import bench
 
     ref = bench._REF_CALIBRATION["cpu_saturate_ms"]
     assert bench.host_correction_factor(None) == 1.0
     assert bench.host_correction_factor(ref) == 1.0
     assert bench.host_correction_factor(1.29 * ref) == 1.0  # jitter
-    # r13-class contention: ~2x probe -> ~0.5x correction
-    assert abs(bench.host_correction_factor(2.0 * ref) - 0.5) < 1e-9
+    # CONTINUITY at the deadband edge: the two sides agree to ~1%
+    lo = bench.host_correction_factor(1.299 * ref)
+    hi = bench.host_correction_factor(1.301 * ref)
+    assert lo == 1.0 and abs(hi - 1.0) < 0.01
+    # r13-class contention: ~2x probe -> ~0.65x correction (1.3/2)
+    assert abs(bench.host_correction_factor(2.0 * ref) - 0.65) < 1e-9
     assert bench.host_correction_factor(100.0 * ref) == 0.3  # floor
+    # monotone non-increasing in measured time
+    xs = [ref * m for m in (0.5, 1.0, 1.3, 1.5, 2.0, 4.0, 10.0)]
+    fs = [bench.host_correction_factor(x) for x in xs]
+    assert all(a >= b for a, b in zip(fs, fs[1:]))

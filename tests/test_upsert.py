@@ -118,3 +118,56 @@ def test_merge_upsert_dedups_batch(spark, tmp_path):
     merge_upsert(spark, path, dup_batch, key="key", n_buckets=2)
     rows = read_table(spark, path).filter(F.col("key") == "a").collect()
     assert len(rows) == 1
+
+
+def test_merge_upsert_bucket_count_mismatch_raises(spark, tmp_path):
+    """A merge whose n_buckets differs from the count the table was
+    written with must REFUSE: keys would hash into different buckets,
+    the anti-join would miss the old rows, and the table would
+    silently accumulate duplicate keys (ADVICE r14). The count is
+    persisted as an underscore-prefixed sibling marker the parquet
+    reader never sees."""
+    import pytest
+
+    from wire_spark.operators.upsert import stored_bucket_count
+
+    path = str(tmp_path / "kvtable6")
+    write_initial(
+        spark.createDataFrame([("a", "1"), ("b", "2")], ["key", "value"]),
+        path, key="key", n_buckets=8,
+    )
+    assert stored_bucket_count(spark, path) == 8
+    batch = spark.createDataFrame([("a", "x")], ["key", "value"])
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        merge_upsert(spark, path, batch, key="key", n_buckets=16)
+    # the matching count still merges, and no duplicate appeared
+    merge_upsert(spark, path, batch, key="key", n_buckets=8)
+    rows = read_table(spark, path).filter(F.col("key") == "a").collect()
+    assert len(rows) == 1 and rows[0].value == "x"
+
+
+def test_merge_upsert_legacy_table_dir_check_and_stamp(spark, tmp_path):
+    """Tables written before the marker existed fall back to the
+    partition-dir check (any __bucket=B dir with B >= n_buckets proves
+    a mismatch) and are stamped with the caller's count on first
+    successful merge."""
+    import pytest
+
+    from wire_spark.operators.upsert import (
+        _BUCKET_META_PREFIX, stored_bucket_count)
+
+    path = str(tmp_path / "kvtable7")
+    base = spark.range(64).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    write_initial(base, path, key="key", n_buckets=8)
+    os.remove(os.path.join(path, f"{_BUCKET_META_PREFIX}8"))  # legacy
+    assert stored_bucket_count(spark, path) is None
+    batch = spark.createDataFrame([("1", "x")], ["key", "value"])
+    # 64 keys over 8 buckets occupy dirs 0..7, all >= 4: caught
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        merge_upsert(spark, path, batch, key="key", n_buckets=4)
+    # the true count passes the dir check and stamps the marker
+    merge_upsert(spark, path, batch, key="key", n_buckets=8)
+    assert stored_bucket_count(spark, path) == 8

@@ -4,6 +4,8 @@ partition-pruned to the probed cells."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from wire_spark.engine import load_table
@@ -423,3 +425,80 @@ def test_streaming_cells_restart_from_checkpoint(spark, tmp_path):
             cent).collect()
     }
     assert got == want
+
+
+def test_null_payload_upsert_is_tombstone_not_cell0(spark):
+    """A CDC update whose full_document payload is NULL (a Mongo
+    update event without fullDocument lookup) must NOT be assigned —
+    before the r15 gate its K NULL similarities plus NULLS-LAST
+    ordering silently parked it in cell 0 (ADVICE r14).  update_cells
+    treats it as a tombstone: the key leaves the index and re-enters
+    on the next payload-bearing change."""
+    from wire_spark.operators.vector_index import (
+        assign_cells, fold_vector_delta, update_cells)
+
+    e = spark.createDataFrame(
+        [(i, [float(i + 1), float((i * 7) % 5 + 1)]) for i in range(12)],
+        ["vec_id", "v"],
+    )
+    cent = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                           F.lit(0.0), lambda a, b: a + b)).alias("cn"),
+    )
+    cells0 = assign_cells(e, cent)
+    changes = spark.createDataFrame(
+        [("t1", "update", 5, None, 1),
+         ("t2", "update", 6, [9.0, 1.0], 1)],
+        "resume_token string, operation_type string, document_id long, "
+        "full_document array<double>, cluster_time long",
+    )
+    updated = update_cells(cells0, fold_vector_delta(changes), cent)
+    rows = {r.vec_id: (r.cid, r.changed) for r in updated.collect()}
+    assert 5 not in rows                      # tombstoned, not cell 0
+    assert rows[6][1] == 1                    # payload-bearing: reassigned
+    assert len(rows) == 11                    # 12 - the null-payload key
+
+
+def test_null_payload_upsert_deletes_from_stored_index(spark, tmp_path):
+    """The stored-table merge paths agree with update_cells: a
+    NULL-payload upsert routes to the delete side of the MERGE in
+    both merge_cells_update and merge_index_update."""
+    from wire_spark.engine import load_table
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        build_index, fold_vector_delta, merge_cells_update,
+        merge_index_update)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding")
+    idx = str(tmp_path / "ivfpq")
+    build_index(emb, idx)
+
+    victim = emb.select("vec_id").orderBy("vec_id").limit(1).collect()[0].vec_id
+    changes = spark.createDataFrame(
+        [("t1", "update", int(victim), None, 1)],
+        "resume_token string, operation_type string, document_id long, "
+        "full_document array<double>, cluster_time long",
+    )
+    merge_index_update(spark, idx, fold_vector_delta(changes))
+    cells = read_table(spark, os.path.join(idx, "cells"))
+    assert cells.filter(F.col("vec_id") == victim).count() == 0
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.filter(F.col("vec_id") == victim).count() == 0
+
+    # merge_cells_update with n_buckets derived from the stored marker
+    cent = spark.read.parquet(os.path.join(idx, "centroids")).withColumn(
+        "cn", F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, b: a + b)))
+    victim2 = emb.select("vec_id").orderBy(F.desc("vec_id")).limit(1)\
+        .collect()[0].vec_id
+    changes2 = spark.createDataFrame(
+        [("t2", "update", int(victim2), None, 1)],
+        "resume_token string, operation_type string, document_id long, "
+        "full_document array<double>, cluster_time long",
+    )
+    merge_cells_update(spark, os.path.join(idx, "cells"),
+                       fold_vector_delta(changes2), cent)  # derives buckets
+    cells = read_table(spark, os.path.join(idx, "cells"))
+    assert cells.filter(F.col("vec_id") == victim2).count() == 0

@@ -25,6 +25,69 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
+# Bucket-count marker: an EMPTY underscore-prefixed sibling file whose
+# NAME carries the count (``_n_buckets=16``) — underscore files are
+# invisible to Spark's parquet reader, and encoding the value in the
+# name means detection is one directory listing, no stream reads
+# (same dot/underscore-sibling rule as the maintenance markers;
+# a suffix on a partition dir would parse as a hive value).
+_BUCKET_META_PREFIX = "_n_buckets="
+
+
+def _hadoop_path(spark: SparkSession, s: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(s)
+
+
+def _write_bucket_meta(spark: SparkSession, path: str, n_buckets: int) -> None:
+    p = _hadoop_path(spark, f"{path}/{_BUCKET_META_PREFIX}{n_buckets}")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
+
+
+def stored_bucket_count(spark: SparkSession, path: str) -> int | None:
+    """The bucket count the table at ``path`` was written with, read
+    from the ``_n_buckets=`` marker; None when the table predates the
+    marker (or does not exist)."""
+    d = _hadoop_path(spark, path)
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(d):
+        return None
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith(_BUCKET_META_PREFIX):
+            return int(name[len(_BUCKET_META_PREFIX):])
+    return None
+
+
+def _check_bucket_count(spark: SparkSession, path: str, n_buckets: int) -> None:
+    """Refuse to merge with a bucket count the table was not written
+    with: keys would hash into different buckets, the anti-join would
+    miss the old rows, and the table would silently accumulate
+    duplicate keys (ADVICE r14). Tables that predate the marker get a
+    weaker partition-dir check (any ``__bucket=B`` dir with
+    B >= n_buckets proves a mismatch) and are stamped going forward."""
+    stored = stored_bucket_count(spark, path)
+    if stored is not None:
+        if stored != n_buckets:
+            raise ValueError(
+                f"bucket-count mismatch at {path}: table written with "
+                f"n_buckets={stored}, merge called with {n_buckets} — "
+                "merging would hash keys into different buckets and "
+                "silently duplicate them"
+            )
+        return
+    d = _hadoop_path(spark, path)
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith(f"{BUCKET_COL}="):
+            b = int(name.split("=", 1)[1])
+            if b >= n_buckets:
+                raise ValueError(
+                    f"bucket-count mismatch at {path}: partition "
+                    f"{name} exists but merge was called with "
+                    f"n_buckets={n_buckets}"
+                )
+    _write_bucket_meta(spark, path, n_buckets)
 
 
 def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -32,9 +95,12 @@ def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 
 
 def write_initial(df: DataFrame, path: str, key: str, n_buckets: int = 16) -> None:
-    """Materialize the initial keyed table, hash-bucketed on ``key``."""
+    """Materialize the initial keyed table, hash-bucketed on ``key``.
+    The bucket count is persisted as a ``_n_buckets=`` marker so later
+    merges can assert they were called with the same count."""
     (_with_bucket(df, key, n_buckets)
      .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
+    _write_bucket_meta(df.sparkSession, path, n_buckets)
 
 
 def merge_upsert(
@@ -50,7 +116,11 @@ def merge_upsert(
 
     Duplicate keys within one updates batch are collapsed to a single
     arbitrary-but-deterministic row (callers with an ordering column
-    should pre-resolve last-writer-wins before calling)."""
+    should pre-resolve last-writer-wins before calling).
+
+    Raises ValueError when ``n_buckets`` differs from the count the
+    table was written with (``stored_bucket_count``)."""
+    _check_bucket_count(spark, path, n_buckets)
     up = _with_bucket(updates.dropDuplicates([key]), key, n_buckets)
     changed = up.select(BUCKET_COL)
     if delete_keys is not None:

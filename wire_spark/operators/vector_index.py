@@ -6,10 +6,14 @@ the whole index inline per query — correct for the oracle gate, but a
 production corpus builds the index ONCE and amortizes it over every
 query. This module materializes the three index relations:
 
-- ``cells/``     (vec_id, cid)         bucketed by cid — a probe
-                 reads only its cells' buckets, not the table
-- ``codes/``     (vec_id, m, code)     bucketed by cid via join at
-                 build time (PQ codes co-located with their cell)
+- ``cells/``     (vec_id, cid)         hash-bucketed by vec_id — the
+                 REVERSE index (vec_id -> cid); searches never read
+                 it, incremental maintenance uses it to locate a
+                 touched key's old codes partition by a bucket-pruned
+                 read instead of a codes scan
+- ``codes/``     (vec_id, m, code)     partitioned by cid via join at
+                 build time (PQ codes co-located with their cell —
+                 this is the relation searches prune on)
 - ``centroids/`` (cid, cv)             tiny, broadcast at search
 - ``codebook/``  (code, m, cv)         tiny (k x m rows), broadcast
 
@@ -255,7 +259,15 @@ def update_cells(cells: DataFrame, delta: DataFrame,
       not a per-batch one — production IVF systems pin the codebook
       between retrains for exactly this reason);
     - the union carries ``changed`` = 1 on re-assigned rows so a
-      caller can meter churn per cell.
+      caller can meter churn per cell;
+    - an upsert whose payload is NULL (a Mongo update event delivered
+      WITHOUT fullDocument lookup) cannot be assigned — its K cosine
+      similarities would all be NULL and the NULLS-LAST/tie-break
+      ordering would silently park it in cell 0 (ADVICE r14). Such a
+      key is treated as a TOMBSTONE for the index: it leaves via the
+      touched anti join and re-enters on the next payload-bearing
+      change, the same don't-guess rule as the ``_valid_vectors``
+      domain gate.
 
     Scale: the distance kernel runs on |delta upserts| x K rows ONLY
     — restart-cost O(changes), never O(corpus); the anti join
@@ -266,7 +278,9 @@ def update_cells(cells: DataFrame, delta: DataFrame,
     from wire_spark.transforms.cdc import _UPSERTS
 
     touched = delta.select("vec_id")
-    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    live = delta.filter(
+        F.col("op").isin(*_UPSERTS) & F.col("v").isNotNull()
+    ).select("vec_id", "v")
     survivors = cells.join(touched, "vec_id", "left_anti").select(
         "vec_id", "cid", F.lit(0).alias("changed")
     )
@@ -277,7 +291,7 @@ def update_cells(cells: DataFrame, delta: DataFrame,
 
 
 def merge_cells_update(spark: SparkSession, path: str, delta: DataFrame,
-                       cent: DataFrame, n_buckets: int = 16) -> int:
+                       cent: DataFrame, n_buckets: int | None = None) -> int:
     """MERGE a folded CDC delta into the STORED cells table — the
     ``foreachBatch`` body of a streaming index-maintenance pipeline
     (changelog stream -> ``fold_vector_delta`` -> this).
@@ -296,13 +310,26 @@ def merge_cells_update(spark: SparkSession, path: str, delta: DataFrame,
     assumption every foreachBatch CDC consumer makes — out-of-order
     replay after a restart is the checkpoint/resume protocol's job
     (transforms/cdc.py:resume_apply, pinned by cdc_resume_restart).
+
+    ``n_buckets`` defaults to the count the stored table was written
+    with (the ``_n_buckets=`` marker); passing a different count
+    raises instead of silently duplicating keys (ADVICE r14).  A
+    NULL-payload upsert is routed to the delete side — it cannot be
+    assigned, and leaving the stale row would diverge from
+    ``update_cells`` (see its docstring).
     """
-    from wire_spark.operators.upsert import merge_upsert
+    from wire_spark.operators.upsert import merge_upsert, stored_bucket_count
     from wire_spark.transforms.cdc import _UPSERTS
 
-    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    if n_buckets is None:
+        n_buckets = stored_bucket_count(spark, path) or 16
+    live = delta.filter(
+        F.col("op").isin(*_UPSERTS) & F.col("v").isNotNull()
+    ).select("vec_id", "v")
     assigned = assign_cells(live, cent)
-    dead = delta.filter(~F.col("op").isin(*_UPSERTS)).select("vec_id")
+    dead = delta.filter(
+        ~F.col("op").isin(*_UPSERTS) | F.col("v").isNull()
+    ).select("vec_id")
     return merge_upsert(spark, path, assigned, "vec_id",
                         n_buckets=n_buckets, delete_keys=dead)
 
@@ -332,18 +359,22 @@ def merge_index_update(spark: SparkSession, path: str,
     collect is bounded by _K_CELLS.  Returns #affected cid
     partitions."""
     from wire_spark.operators.upsert import (
-        BUCKET_COL, _with_bucket, merge_upsert)
+        BUCKET_COL, _with_bucket, merge_upsert, stored_bucket_count)
     from wire_spark.transforms.cdc import _UPSERTS
 
     cells_path = os.path.join(path, "cells")
     codes_path = os.path.join(path, "codes")
+    # the stored table's own bucket count, never an assumed constant —
+    # a mismatched count hashes keys into different buckets and the
+    # reverse-index read silently misses the old rows (ADVICE r14)
+    n_buckets = stored_bucket_count(spark, cells_path) or _CELLS_BUCKETS
     cent = spark.read.parquet(os.path.join(path, "centroids")).withColumn(
         "cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     cw = spark.read.parquet(os.path.join(path, "codebook"))
 
     touched = delta.select("vec_id").distinct()
     # old cid of every touched key: bucket-pruned reverse-index read
-    tb = _with_bucket(touched, "vec_id", _CELLS_BUCKETS)
+    tb = _with_bucket(touched, "vec_id", n_buckets)
     tbuckets = [r[BUCKET_COL] for r in tb.select(BUCKET_COL).distinct().collect()]
     old_cids = {
         r.cid
@@ -353,7 +384,12 @@ def merge_index_update(spark: SparkSession, path: str,
         .select("cid").distinct().collect()
     }
 
-    live = delta.filter(F.col("op").isin(*_UPSERTS)).select("vec_id", "v")
+    # NULL-payload upserts route to the delete side (update_cells
+    # docstring: a vector we cannot assign must not be guessed into
+    # cell 0 — it re-enters on the next payload-bearing change)
+    live = delta.filter(
+        F.col("op").isin(*_UPSERTS) & F.col("v").isNotNull()
+    ).select("vec_id", "v")
     assigned = assign_cells(live, cent)
     new_codes = pq_encode(live, cw).join(assigned, "vec_id")
     new_cids = {r.cid for r in assigned.select("cid").distinct().collect()}
@@ -383,7 +419,9 @@ def merge_index_update(spark: SparkSession, path: str,
                     f"{codes_path}/cid={c}")
                 p.getFileSystem(hconf).delete(p, True)
 
-    dead = delta.filter(~F.col("op").isin(*_UPSERTS)).select("vec_id")
+    dead = delta.filter(
+        ~F.col("op").isin(*_UPSERTS) | F.col("v").isNull()
+    ).select("vec_id")
     merge_upsert(spark, cells_path, assigned, "vec_id",
-                 n_buckets=_CELLS_BUCKETS, delete_keys=dead)
+                 n_buckets=n_buckets, delete_keys=dead)
     return len(affected)

@@ -1412,16 +1412,18 @@ FROM assign GROUP BY cid ORDER BY cid
 """
 
 
+@register("vector_index_cdc_update", oracle=VECTOR_INDEX_CDC_ORACLE, bench=True,
+          doc="incremental IVF cell maintenance off the CDC fold == one-shot rebuild")
 def vector_index_cdc_update(spark, sf_dir):
     """Incremental IVF assignment maintenance driven off the CDC fold
     (VERDICT r13 endorsed stretch): the reference's streaming-first
     identity (README.md:7) applied to the vector-index surface — the
     index FOLLOWS the change stream instead of being rebuilt per
-    batch.  STAGED at r14 (operator + cross-engine test shipped);
-    @register lands at r15 open, where the never-checked-first rule
-    gives it the window's head slot — the r14 window is the full
+    batch.  Staged at r14 (operator + cross-engine test shipped),
+    REGISTERED at the r15 open where the never-checked-first rule
+    gives it the window's head slot — the r14 window was the full
     50-query r9 cohort at its staleness horizon, so a r14
-    registration would force a freshness breach.
+    registration would have forced a freshness breach.
 
     Protocol under test, end to end:
 
