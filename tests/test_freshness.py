@@ -356,4 +356,49 @@ def test_kernel_audit_migrate_refuses_unaccounted_own_drift(tmp_path):
     fake.write_text(_json.dumps(baseline))
     with _pytest.raises(SystemExit):
         kernel_audit.migrate(str(tmp_path))
-    assert kernel_audit.migrate(str(tmp_path), force=True) >= 1
+    assert kernel_audit.migrate(
+        str(tmp_path), force=True,
+        justification="unit test: planted own drift",
+    ) >= 1
+
+
+def test_kernel_audit_forced_migrate_requires_justification(tmp_path):
+    """VERDICT r14 #6: a --force migration is a hole punched through
+    the audit and must be self-documenting — forcing without a
+    justification exits non-zero; with one, the justification and the
+    absolved names are recorded under the baseline's reserved
+    __migrations__ key."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from tools import kernel_audit
+    from tools.rotate_window import EDITED_SINCE_GREEN
+    from wire_spark.catalog import _DRIVER_PRIORITY, load_registry
+
+    victim = next(
+        n for n in load_registry()
+        if n not in _DRIVER_PRIORITY and n not in EDITED_SINCE_GREEN
+    )
+    src_path = os.path.join(ROOT, kernel_audit.BASELINE_PATH)
+    baseline = _json.load(open(src_path))
+    baseline[victim]["hash"] = "0" * 64
+    baseline[victim]["own"] = "1" * 64  # unaccounted own drift
+    fake = tmp_path / kernel_audit.BASELINE_PATH
+    fake.write_text(_json.dumps(baseline))
+
+    with _pytest.raises(SystemExit):
+        kernel_audit.migrate(str(tmp_path), force=True)  # no reason
+    with _pytest.raises(SystemExit):
+        kernel_audit.migrate(str(tmp_path), force=True, justification="  ")
+
+    n = kernel_audit.migrate(str(tmp_path), force=True,
+                             justification="unit test absolution")
+    assert n >= 1
+    rewritten = _json.load(open(fake))
+    log = rewritten["__migrations__"]
+    assert log[-1]["justification"] == "unit test absolution"
+    assert victim in log[-1]["absolved"] and log[-1]["forced"] is True
+    # reserved key survives a subsequent refresh untouched
+    kernel_audit.refresh(str(tmp_path))
+    assert _json.load(open(fake))["__migrations__"] == log

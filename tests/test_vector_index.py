@@ -502,3 +502,33 @@ def test_null_payload_upsert_deletes_from_stored_index(spark, tmp_path):
                        fold_vector_delta(changes2), cent)  # derives buckets
     cells = read_table(spark, os.path.join(idx, "cells"))
     assert cells.filter(F.col("vec_id") == victim2).count() == 0
+
+
+def test_staged_search_lifecycle_matches_duckdb_oracle(spark):
+    """The r16-staged query-from-storage entry must already be
+    driver-green in this suite: build -> CDC merge -> search from the
+    STORED index, vs the DuckDB inline recomputation over the
+    post-change corpus with frozen centroids/codebook, value equality
+    on sorted rows, at two SFs."""
+    import duckdb
+
+    from wire_spark.queries.similarity import (
+        VECTOR_INDEX_SEARCH_ORACLE, vector_index_search_stored)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sdf = vector_index_search_stored(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        srows = sorted([tuple(r[c] for c in scols) for r in sdf.collect()],
+                       key=repr)
+        assert srows, sf_dir  # non-vacuous at every SF
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        res = con.execute(VECTOR_INDEX_SEARCH_ORACLE)
+        oc = [d[0] for d in res.description]
+        idx = sorted(range(len(oc)), key=lambda i: oc[i])
+        orows = sorted([tuple(row[i] for i in idx) for row in res.fetchall()],
+                       key=repr)
+        assert scols == sorted(oc)
+        assert srows == orows, sf_dir

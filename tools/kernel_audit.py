@@ -285,7 +285,8 @@ def refresh(root: str = ".") -> tuple[int, int]:
     return updated, seeded
 
 
-def migrate(root: str = ".", force: bool = False) -> int:
+def migrate(root: str = ".", force: bool = False,
+            justification: str | None = None) -> int:
     """Recompute every baseline hash under the CURRENT hash
     definition, preserving each name's recorded round — for when the
     hash scope itself evolves (as at r13: one-level dep sources
@@ -299,7 +300,14 @@ def migrate(root: str = ".", force: bool = False) -> int:
     driver window nor in EDITED_SINCE_GREEN) is a real edit —
     migrate refuses and lists them unless ``--force``.  Legacy
     entries without an own-hash cannot be verified and also require
-    ``--force`` (one-time, when the own field first lands)."""
+    ``--force`` (one-time, when the own field first lands).
+
+    A ``--force`` absolution is a hole punched through the audit, so
+    it must be SELF-DOCUMENTING (VERDICT r14 #6 — the r14 forced
+    migration's justification lived only in NOTES): forcing requires
+    a ``justification`` string, which is recorded with the absolved
+    names under the baseline's reserved ``__migrations__`` key; a
+    forced migrate without one exits non-zero."""
     sys.path.insert(0, root)
     from tools.rotate_window import EDITED_SINCE_GREEN
     from wire_spark.catalog import _DRIVER_PRIORITY
@@ -325,6 +333,19 @@ def migrate(root: str = ".", force: bool = False) -> int:
         for b in blockers:
             print("MIGRATE BLOCKED:", b)
         raise SystemExit(2)
+    if blockers and force:
+        if not (justification and justification.strip()):
+            print("MIGRATE BLOCKED: --force requires --justification "
+                  "\"<why these absolutions are safe>\" — the absolved "
+                  "names are recorded in the baseline so a forced "
+                  "migration is self-documenting")
+            raise SystemExit(2)
+        log = baseline.setdefault("__migrations__", [])
+        log.append({
+            "forced": True,
+            "justification": justification.strip(),
+            "absolved": sorted(b.split(":", 1)[0] for b in blockers),
+        })
     n = 0
     for name, cur in current.items():
         if name in baseline and baseline[name]["hash"] != cur["hash"]:
@@ -342,7 +363,11 @@ def migrate(root: str = ".", force: bool = False) -> int:
 if __name__ == "__main__":
     root = "."
     if "--migrate" in sys.argv:
-        n = migrate(root, force="--force" in sys.argv)
+        just = None
+        if "--justification" in sys.argv:
+            i = sys.argv.index("--justification")
+            just = sys.argv[i + 1] if i + 1 < len(sys.argv) else None
+        n = migrate(root, force="--force" in sys.argv, justification=just)
         print(f"wrote {BASELINE_PATH}: {n} hashes recomputed")
     elif "--refresh" in sys.argv:
         updated, seeded = refresh(root)
