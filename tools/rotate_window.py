@@ -90,11 +90,11 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "knn_label_agreement": (12, False),
     # r12 spectral overflow-proofing: the power-iteration rescale
     # constant dropped 4096 -> 1024, which CHANGED REAL-DATA OUTPUTS
-    # for these three.  gram/power took the r13 slack slots under the
-    # outputs-changed tier (edit round bumped to 13 for their
-    # output-preserving gram_domain_cond scan gate, ADVICE r12);
-    # kmeans_lloyd_round waits for the r15 slack slots
-    # (kmeans_lloyd_two_rounds kept its outputs; r13-forced).
+    # for these three.  kmeans_lloyd_round earned its post-edit green
+    # at r13 (r13-forced) and was pruned; gram/power's edit wave was
+    # bumped to 13 by their output-preserving gram_domain_cond scan
+    # gate (ADVICE r12), so they take the r15 slack slots under the
+    # outputs-changed tier.
     "embedding_gram_matrix": (13, True),
     "embedding_power_iteration": (13, True),
     # r12 connected_components pointer-jumping rewrite (operator-level;
