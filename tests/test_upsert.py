@@ -171,3 +171,36 @@ def test_merge_upsert_legacy_table_dir_check_and_stamp(spark, tmp_path):
     # the true count passes the dir check and stamps the marker
     merge_upsert(spark, path, batch, key="key", n_buckets=8)
     assert stored_bucket_count(spark, path) == 8
+
+
+def test_bucketed_writes_are_one_file_per_bucket(spark, tmp_path):
+    """Small-files guard: write_initial and every merge rewrite land
+    each bucket as ONE parquet file — without the bucket-column
+    repartition, every shuffle task holding rows for a bucket emits
+    its own file (~#tasks files/bucket) and bucket-pruned reads pay
+    the open/footer cost per file."""
+    path = str(tmp_path / "kvtable8")
+    base = spark.range(2000).repartition(16).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    write_initial(base, path, key="key", n_buckets=4)
+
+    def files_per_bucket():
+        out = {}
+        for d in glob.glob(os.path.join(path, "__bucket=*")):
+            out[os.path.basename(d)] = len(
+                glob.glob(os.path.join(d, "*.parquet")))
+        return out
+
+    assert set(files_per_bucket().values()) == {1}
+
+    updates = spark.range(200).repartition(8).select(
+        F.col("id").cast("string").alias("key"),
+        F.lit("u").alias("value"),
+    )
+    merge_upsert(spark, path, updates, key="key", n_buckets=4)
+    assert set(files_per_bucket().values()) == {1}
+    # correctness untouched by the write shaping
+    state = {r.key: r.value for r in read_table(spark, path).collect()}
+    assert len(state) == 2000 and state["5"] == "u" and state["1999"] == "1999"

@@ -97,8 +97,19 @@ def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 def write_initial(df: DataFrame, path: str, key: str, n_buckets: int = 16) -> None:
     """Materialize the initial keyed table, hash-bucketed on ``key``.
     The bucket count is persisted as a ``_n_buckets=`` marker so later
-    merges can assert they were called with the same count."""
+    merges can assert they were called with the same count.
+
+    The write is repartitioned ON THE BUCKET COLUMN first: without it
+    every shuffle task holding rows for a bucket emits its own file
+    into that bucket's partition dir (~#tasks files per bucket — the
+    classic small-files problem), and every later bucket-pruned read
+    pays the open/footer cost per file.  Repartitioning collapses
+    each bucket to ONE file; write parallelism becomes n_buckets, so
+    at cluster scale choose n_buckets >= the parallelism you want and
+    ~ (table size / target file size) — the same sizing rule as any
+    bucketed table."""
     (_with_bucket(df, key, n_buckets)
+     .repartition(n_buckets, F.col(BUCKET_COL))
      .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
     _write_bucket_meta(df.sparkSession, path, n_buckets)
 
@@ -139,8 +150,13 @@ def merge_upsert(
 
     # per-write dynamic overwrite: only partitions present in `merged`
     # are replaced, and the session-wide conf is left untouched for
-    # unrelated writes.
-    (merged.write.mode("overwrite")
+    # unrelated writes.  Repartition on the bucket column first so
+    # each rewritten bucket lands as ONE file (see write_initial) —
+    # without it every task holding rows for a bucket emits a file,
+    # and the bucket-pruned reads this layout exists for pay an
+    # open/footer cost per file on every subsequent merge and search.
+    (merged.repartition(max(1, len(touched)), F.col(BUCKET_COL))
+     .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(BUCKET_COL).parquet(path))
 

@@ -405,7 +405,11 @@ def merge_index_update(spark: SparkSession, path: str,
             .localCheckpoint(eager=True)  # upsert.py lesson: dynamic
             # overwrite deletes the files a lazy plan would re-read
         )
-        (merged.write.mode("overwrite")
+        # one file per rewritten cid partition (upsert.py small-files
+        # rule): the searches this layout serves read whole cid
+        # partitions and pay an open/footer cost per file
+        (merged.repartition(max(1, len(affected)), F.col("cid"))
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cid").parquet(codes_path))
         # a cid whose every key was deleted leaves no row in `merged`
