@@ -997,3 +997,81 @@ def test_valid_embedding_domain_gate(spark, tmp_path):
         r.vec_id for r in _valid_vectors(spark, str(tmp_path)).collect()
     )
     assert kept == [1, 3, 7]
+
+
+# --------------------------------------------------------------------
+# Vector-index maintenance: arbitrary CDC logs vs a replay model
+# --------------------------------------------------------------------
+
+_vop = st.sampled_from(["insert", "update", "replace", "delete", "update_null"])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(ops=st.lists(st.tuples(st.integers(0, 9), _vop),
+                    min_size=0, max_size=25))
+def test_vector_fold_update_matches_replay_model(spark, ops):
+    """update_cells over fold_vector_delta must agree with a Python
+    dict replay of ANY op sequence — not just the fixed %7/%13/%11
+    catalog protocol: last op per key wins (strictly increasing
+    cluster_time), a delete removes the key, a NULL-payload upsert is
+    an index tombstone (the r15 gate), and `changed` marks exactly
+    the keys whose winning op carries a payload."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.operators.vector_index import (
+        assign_cells, fold_vector_delta, update_cells)
+
+    def vec(key: int, salt: int) -> list[float]:
+        return [float(key % 3 + 1 + salt % 5), float((key * 7) % 4 + 1)]
+
+    base = {k: vec(k, 0) for k in range(10)}
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], ["vec_id", "v"])
+    cent = base_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                           F.lit(0.0), lambda a, b: a + b)).alias("cn"))
+    cells0 = assign_cells(base_df, cent)
+
+    # replay model: dict of live payloads + the set of changed keys
+    state = dict(base)
+    winner: dict[int, str] = {}
+    rows = []
+    for i, (key, op) in enumerate(ops):
+        payload = None if op in ("delete", "update_null") else vec(key, i + 1)
+        rows.append((f"t{i:04d}", "update" if op == "update_null" else op,
+                     key, payload, i + 1))
+        winner[key] = op
+    for key, op in winner.items():
+        if op in ("delete", "update_null"):
+            state.pop(key, None)
+    # apply winning payloads from the LAST payload-bearing win
+    for key, op in winner.items():
+        if op not in ("delete", "update_null"):
+            last_i = max(i for i, (k, o) in enumerate(ops)
+                         if k == key and o == op and o == winner[key])
+            state[key] = vec(key, last_i + 1)
+
+    if rows:
+        changes = spark.createDataFrame(
+            rows, "resume_token string, operation_type string, "
+                  "document_id long, full_document array<double>, "
+                  "cluster_time long")
+        got_df = update_cells(cells0, fold_vector_delta(changes), cent)
+    else:
+        got_df = cells0.withColumn("changed", F.lit(0))
+    got = {r.vec_id: (r.cid, r.changed) for r in got_df.collect()}
+
+    expected_cells = {
+        r.vec_id: r.cid
+        for r in assign_cells(
+            spark.createDataFrame(
+                [(k, v) for k, v in state.items()],
+                "vec_id long, v array<double>"),
+            cent).collect()
+    } if state else {}
+    assert {k: c for k, (c, _) in got.items()} == expected_cells
+    expected_changed = {k for k, op in winner.items()
+                        if op not in ("delete", "update_null")}
+    assert {k for k, (_, ch) in got.items() if ch == 1} == expected_changed
