@@ -532,3 +532,77 @@ def test_staged_search_lifecycle_matches_duckdb_oracle(spark):
                        key=repr)
         assert scols == sorted(oc)
         assert srows == orows, sf_dir
+
+
+def test_merge_index_update_multibatch_matches_replay_model(spark, tmp_path):
+    """Sequential merge_index_update batches over ANY op sequence must
+    leave the stored index equal to a frozen-codebook rebuild of the
+    replay-model final state — batch boundaries, intra-batch folds,
+    NULL-payload tombstones, emptied-partition cleanup, and
+    re-inserts all exercised by a deterministic pseudo-random log
+    (hypothesis-style model check; a fixed seed keeps the suite
+    reproducible while still leaving the fixed %-protocol)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        assign_cells, fold_vector_delta, merge_index_update, pq_encode)
+
+    rng = random.Random(1507)
+
+    def vec(key: int, salt: int) -> list[float]:
+        return [float(((key * 31 + salt * 17 + j) % 7) + 1) for j in range(64)]
+
+    base = {k: vec(k, 0) for k in range(20)}
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "propidx")
+    from wire_spark.operators.vector_index import build_index
+    build_index(emb, idx)
+
+    state = dict(base)
+    t = 0
+    ops = ["insert", "update", "replace", "delete", "update_null"]
+    for batch_i in range(3):
+        rows = []
+        winner = {}
+        for _ in range(rng.randint(2, 9)):
+            key = rng.randrange(0, 22)  # 20-21 exercise fresh inserts
+            op = rng.choice(ops)
+            t += 1
+            payload = None if op in ("delete", "update_null") else vec(key, t)
+            rows.append((f"t{t:04d}", "update" if op == "update_null" else op,
+                         key, payload, t))
+            winner[key] = (op, t)
+        changes = spark.createDataFrame(
+            rows, "resume_token string, operation_type string, "
+                  "document_id long, full_document array<double>, "
+                  "cluster_time long")
+        merge_index_update(spark, idx, fold_vector_delta(changes))
+        for key, (op, wt) in winner.items():
+            if op in ("delete", "update_null"):
+                state.pop(key, None)
+            else:
+                state[key] = vec(key, wt)
+
+    cent = spark.read.parquet(f"{idx}/centroids").withColumn(
+        "cn", F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, b: a + b)))
+    cw = spark.read.parquet(f"{idx}/codebook")
+    final = spark.createDataFrame(
+        [(k, v) for k, v in state.items()], "vec_id long, v array<double>")
+    expected_cells = {(r.vec_id, r.cid)
+                      for r in assign_cells(final, cent).collect()}
+    expected_codes = {
+        (r.vec_id, r.m, r.code, r.cid)
+        for r in pq_encode(final, cw).join(assign_cells(final, cent), "vec_id")
+        .collect()}
+
+    got_cells = {(r.vec_id, r.cid)
+                 for r in read_table(spark, f"{idx}/cells").collect()}
+    got_codes = {(r.vec_id, r.m, r.code, r.cid)
+                 for r in spark.read.parquet(f"{idx}/codes").collect()}
+    assert got_cells == expected_cells
+    assert got_codes == expected_codes
