@@ -606,3 +606,35 @@ def test_merge_index_update_multibatch_matches_replay_model(spark, tmp_path):
                  for r in spark.read.parquet(f"{idx}/codes").collect()}
     assert got_cells == expected_cells
     assert got_codes == expected_codes
+
+
+def test_drift_report_retrain_signal(spark, tmp_path):
+    """The quantization-drift monitor (the WHEN-to-retrain half of the
+    frozen-codebook contract): on the unchanged corpus the current
+    error equals the build baseline (ratio 1.0 exactly — same
+    integer-domain statistic); on a shifted corpus (every component
+    offset away from the codebook's training range) the ratio rises
+    above 1 in every subspace."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.engine import load_table
+    from wire_spark.operators.vector_index import build_index, drift_report
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding")
+    idx = str(tmp_path / "driftidx")
+    build_index(emb, idx)
+
+    same = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    rep = {r.m: r for r in drift_report(spark, idx, same).collect()}
+    assert len(rep) == 8
+    assert all(r.drift_ratio == 1.0 for r in rep.values())
+    assert all(r.mean_err6 == r.build_mean_err6 for r in rep.values())
+
+    shifted = same.select(
+        "vec_id", F.transform("v", lambda x: x + F.lit(3.0)).alias("v"))
+    rep2 = {r.m: r for r in drift_report(spark, idx, shifted).collect()}
+    assert all(r.drift_ratio > 1.0 for r in rep2.values())
+    # p95 is reported alongside the mean for tail drift
+    assert all(r.p95_err6 >= r.mean_err6 * 0.5 for r in rep2.values())

@@ -144,6 +144,11 @@ def build_index(embeddings: DataFrame, path: str) -> dict:
         .partitionBy("cid")
         .parquet(os.path.join(path, "codes"))
     )
+    # build-time quantization error per subspace: the baseline the
+    # drift_report retrain signal compares against (one more
+    # |corpus| x m x k broadcast pass, same shape as the encoding)
+    quantization_error(e.select("vec_id", "v"), cw).write.mode(
+        "overwrite").parquet(os.path.join(path, "qerror"))
     # count the WRITTEN tables, not the logical plans: counting the
     # plans would recompute the full assignment/encoding pipeline a
     # second and third time (observed ~2x build wall time), while a
@@ -441,3 +446,76 @@ def merge_index_update(spark: SparkSession, path: str,
     merge_upsert(spark, cells_path, assigned, "vec_id",
                  n_buckets=n_buckets, delete_keys=dead)
     return len(affected)
+
+
+# --------------------------------------------------------------------
+# Retrain signal: quantization drift vs the frozen codebook
+# --------------------------------------------------------------------
+
+def quantization_error(vectors: DataFrame, cw: DataFrame) -> DataFrame:
+    """Per-subspace quantization error of ``vectors`` against a FROZEN
+    codebook: (m, n, mean_err6, p95_err6) where err is the L2 distance
+    from each subvector to its NEAREST codebook entry, floor-truncated
+    to 1e-6 fixed point (the engine-parity convention) and aggregated
+    in integer domain so the statistic is deterministic.
+
+    This is the monitoring half of the frozen-codebook contract:
+    ``merge_index_update`` keeps the index exact w.r.t. the frozen
+    centroids/codebook forever, but ADC RANKING quality decays as the
+    corpus drifts away from the codebook's training distribution.
+    Cost: one |vectors| x m x k broadcast pass — the same shape as
+    ``pq_encode``, no shuffle of the vector table."""
+    spark = vectors.sparkSession
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub_v = vectors.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "m", F.slice("v", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sv")
+    )
+    w_near = W.partitionBy("vec_id", "m").orderBy("d6", "code")
+    nearest = (
+        sub_v.join(F.broadcast(cw), "m")
+        .select("vec_id", "m", "code",
+                F.floor(_l2(F.col("sv"), F.col("cv")) * F.lit(1000000.0))
+                .cast("long").alias("d6"))
+        .withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        nearest.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("d6").cast("decimal(38,0)"))
+             / F.count(F.lit(1)) / F.lit(1000000.0)).cast("double")
+            .alias("mean_err6"),
+            (F.percentile_approx("d6", 0.95, 10000) / F.lit(1000000.0))
+            .cast("double").alias("p95_err6"),
+        )
+        .orderBy("m")
+    )
+
+
+def drift_report(spark: SparkSession, path: str,
+                 vectors: DataFrame) -> DataFrame:
+    """Compare the CURRENT corpus's quantization error against the
+    error recorded at build time (``qerror/``) — the retrain trigger.
+
+    Returns (m, n, mean_err6, p95_err6, build_mean_err6, drift_ratio)
+    where drift_ratio = current mean / build mean per subspace; a
+    sustained ratio well above 1 means the frozen codebook no longer
+    represents the corpus and a periodic rebuild should be scheduled.
+    The incremental index stays CORRECT regardless (bit-identical to
+    a frozen-codebook rebuild by construction) — this measures
+    RANKING quality of the quantization, the one thing maintenance
+    cannot preserve under distribution shift."""
+    cw = spark.read.parquet(os.path.join(path, "codebook"))
+    build_err = spark.read.parquet(os.path.join(path, "qerror")).select(
+        "m", F.col("mean_err6").alias("build_mean_err6"))
+    cur = quantization_error(vectors, cw)
+    return (
+        cur.join(F.broadcast(build_err), "m")
+        .withColumn(
+            "drift_ratio",
+            F.when(F.col("build_mean_err6") > 0,
+                   F.col("mean_err6") / F.col("build_mean_err6"))
+            .otherwise(F.lit(None).cast("double")))
+        .orderBy("m")
+    )
