@@ -638,3 +638,32 @@ def test_drift_report_retrain_signal(spark, tmp_path):
     assert all(r.drift_ratio > 1.0 for r in rep2.values())
     # p95 is reported alongside the mean for tail drift
     assert all(r.p95_err6 >= r.mean_err6 * 0.5 for r in rep2.values())
+
+
+def test_cell_balance_report_shares_and_skew(spark, tmp_path):
+    """Cell-occupancy monitor: shares sum to 1, n_vecs per cell match
+    a direct count of the cells relation, and skew_ratio is n_vecs
+    normalized by the fair share total/K — the probe-planner's
+    hot-partition signal."""
+    from pyspark.sql import functions as F
+
+    from wire_spark.engine import load_table
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        build_index, cell_balance_report)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding")
+    idx = str(tmp_path / "balidx")
+    build_index(emb, idx)
+
+    rep = {r.cid: r for r in cell_balance_report(spark, idx).collect()}
+    truth = {
+        r.cid: r.n for r in read_table(spark, f"{idx}/cells")
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {c: r.n_vecs for c, r in rep.items()} == truth
+    assert abs(sum(r.share for r in rep.values()) - 1.0) < 1e-9
+    k, tot = len(rep), sum(truth.values())
+    for c, r in rep.items():
+        assert abs(r.skew_ratio - truth[c] * k / tot) < 1e-9

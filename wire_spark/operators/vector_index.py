@@ -519,3 +519,34 @@ def drift_report(spark: SparkSession, path: str,
             .otherwise(F.lit(None).cast("double")))
         .orderBy("m")
     )
+
+
+def cell_balance_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell occupancy of the stored index and the skew statistics
+    a probe planner cares about: (cid, n_vecs, share, skew_ratio)
+    where share = n_vecs / total and skew_ratio = n_vecs / (total/K).
+
+    At 100 TB a skewed cell IS a hot partition: a probe that lands on
+    a cell holding 5x its fair share scans 5x the codes, and the
+    worst cell bounds tail latency for every query probing it.  The
+    companion signal to ``drift_report`` — drift says the CODEBOOK no
+    longer fits the corpus, imbalance says the CENTROIDS no longer
+    partition it evenly; either one sustained is the retrain trigger.
+    Cost: one codes scan folded to per-partition counts (parquet
+    row-group metadata per cid partition — no row materialization)."""
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    per_cell = (
+        codes.groupBy("cid")
+        .agg((F.count(F.lit(1)) / F.lit(_PQ_M)).cast("long").alias("n_vecs"))
+    )
+    tot = per_cell.agg(F.sum("n_vecs").alias("t"),
+                       F.count(F.lit(1)).alias("k"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cid", "n_vecs",
+            (F.col("n_vecs") / F.col("t")).alias("share"),
+            (F.col("n_vecs") * F.col("k") / F.col("t")).alias("skew_ratio"),
+        )
+        .orderBy("cid")
+    )
