@@ -4,7 +4,7 @@ search from storage.
 The catalog query ``ann_ivfpq_adc`` (queries/similarity.py) computes
 the whole index inline per query — correct for the oracle gate, but a
 production corpus builds the index ONCE and amortizes it over every
-query. This module materializes the three index relations:
+query. This module materializes the index relations:
 
 - ``cells/``     (vec_id, cid)         hash-bucketed by vec_id — the
                  REVERSE index (vec_id -> cid); searches never read
