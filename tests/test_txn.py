@@ -1,0 +1,213 @@
+"""Manifest-layer transactional tables (operators/txn.py): atomic
+commit, snapshot isolation, optimistic concurrency, exactly-once
+batch replay, time travel/rollback, vacuum.  The Spark-side ACID
+tier SURVEY §7.3 substitutes for the reference's Raft-replicated
+store (wire internal/store/store.go apply path)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wire_spark.operators.txn import (
+    TxnConflict, current_version, txn_create, txn_history, txn_merge,
+    txn_read, txn_rollback, txn_vacuum)
+
+
+def _mk(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("val"))
+
+
+def _as_dict(df):
+    return {r.k: r.val for r in df.collect()}
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t1")
+    v = txn_create(_mk(spark), t, "k", n_buckets=8)
+    assert v == 1 and current_version(t) == 1
+    assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
+
+
+def test_merge_upsert_delete_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    ups = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-1).alias("val"))
+    dels = spark.createDataFrame([(50,), (51,)], "k LONG")
+    v = txn_merge(spark, t, ups, delete_keys=dels)
+    assert v == 2
+    got = _as_dict(txn_read(spark, t))
+    want = {i: i * 10 for i in range(100)}
+    for i in range(5):
+        want[i] = -1
+    del want[50], want[51]
+    assert got == want
+    # time travel: v1 still reads the pre-merge snapshot
+    assert _as_dict(txn_read(spark, t, version=1)) == {
+        i: i * 10 for i in range(100)}
+
+
+def test_snapshot_isolation_under_concurrent_merge(spark, tmp_path):
+    """A plan resolved before a merge commits must keep reading the
+    OLD snapshot — data files are immutable and the manifest was
+    resolved once."""
+    t = str(tmp_path / "t3")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    before = txn_read(spark, t)  # resolves manifest v1 NOW
+    txn_merge(spark, t, spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("val")))
+    assert _as_dict(before) == {i: i * 10 for i in range(100)}
+    assert set(_as_dict(txn_read(spark, t)).values()) == {0}
+
+
+def test_optimistic_conflict_loser_raises_and_is_invisible(spark, tmp_path):
+    """Claim the target version first (as a racing writer would);
+    the merge must raise TxnConflict and leave the table readable at
+    the winner's snapshot — the loser's data files are orphans."""
+    t = str(tmp_path / "t4")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    # simulate the racing winner: copy v1's manifest to v2
+    mdir = os.path.join(t, "_manifests")
+    m = json.load(open(os.path.join(mdir, "v00000001.json")))
+    m["version"], m["parent"] = 2, 1
+    json.dump(m, open(os.path.join(mdir, "v00000002.json"), "w"))
+    with pytest.raises(TxnConflict):
+        txn_merge(spark, t, spark.range(3).select(
+            F.col("id").alias("k"), F.lit(7).alias("val")),
+            _base_version=1)
+    assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
+    # the losing attempt's files are unreferenced; vacuum reclaims
+    rep = txn_vacuum(spark, t, keep_versions=2)
+    assert rep["dropped_data_dirs"] >= 1
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    """A writer that dies after writing data files but BEFORE the
+    manifest link leaves only orphans: readers see the old version,
+    vacuum reclaims the debris (stray temp manifest included)."""
+    t = str(tmp_path / "t5")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    # simulate the half-done writer: orphan commit dir + tmp manifest
+    orphan = os.path.join(t, "data", "c2-deadbeef")
+    os.makedirs(os.path.join(orphan, "__bucket=0"))
+    open(os.path.join(t, "_manifests", ".tmp-crashed"), "w").write("{}")
+    assert current_version(t) == 1
+    assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
+    rep = txn_vacuum(spark, t, keep_versions=1)
+    assert rep["dropped_data_dirs"] == 1
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(t, "_manifests", ".tmp-crashed"))
+
+
+def test_exactly_once_batch_replay_noop(spark, tmp_path):
+    """At-least-once foreachBatch replays a batch after a crash
+    between merge and offset commit; the SAME batch_id must no-op —
+    transactional exactly-once, not just idempotent arithmetic."""
+    t = str(tmp_path / "t6")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    ups = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).alias("val"))
+    v1 = txn_merge(spark, t, ups, batch_id=7)
+    assert v1 == 2
+    v2 = txn_merge(spark, t, ups, batch_id=7)  # replay
+    assert v2 == 2 and current_version(t) == 2
+    # a NEW batch id commits normally
+    assert txn_merge(spark, t, ups, batch_id=8) == 3
+
+
+def test_streaming_foreachbatch_exactly_once(spark, tmp_path):
+    """End-to-end: a file-source stream MERGEs each micro-batch with
+    its batch id; re-running the same stream from a FRESH checkpoint
+    (worst-case full replay) leaves the table unchanged."""
+    t = str(tmp_path / "t7")
+    txn_create(_mk(spark, 20), t, "k", n_buckets=4)
+    log = tmp_path / "log"
+    log.mkdir()
+    src = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") + 1000).alias("val"))
+    src.coalesce(1).write.parquet(str(log / "b1"))
+
+    def run(ckpt):
+        (spark.readStream.schema(src.schema).parquet(str(log / "b*"))
+         .writeStream.foreachBatch(
+             lambda b, bid: txn_merge(
+                 b.sparkSession, t, b, batch_id=f"q1-{bid}"))
+         .option("checkpointLocation", str(tmp_path / ckpt))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run("ck1")
+    after_first = _as_dict(txn_read(spark, t))
+    v_first = current_version(t)
+    assert all(after_first[i] == 1000 + i for i in range(10))
+    run("ck2")  # fresh checkpoint: the batch replays with the same id
+    assert current_version(t) == v_first
+    assert _as_dict(txn_read(spark, t)) == after_first
+
+
+def test_rollback_restores_and_history(spark, tmp_path):
+    t = str(tmp_path / "t8")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    txn_merge(spark, t, spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).alias("val")))
+    v = txn_rollback(spark, t, to_version=1)
+    assert v == 3
+    assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
+    h = {r.version: r for r in txn_history(spark, t).collect()}
+    assert h[3].rolled_back_to == 1 and h[3].parent == 2
+    assert h[1].parent is None
+
+
+def test_delete_all_keys_empties_table_with_schema(spark, tmp_path):
+    """Deleting every key leaves live buckets pointing nowhere; the
+    snapshot still reads (0 rows) with the manifest-carried schema."""
+    t = str(tmp_path / "t9")
+    txn_create(_mk(spark, 10), t, "k", n_buckets=4)
+    txn_merge(spark, t,
+              spark.createDataFrame([], "k LONG, val LONG"),
+              delete_keys=spark.range(10).select(F.col("id").alias("k")))
+    out = txn_read(spark, t)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "val"]
+    # and the table accepts inserts again
+    txn_merge(spark, t, spark.range(3).select(
+        F.col("id").alias("k"), F.lit(5).alias("val")))
+    assert _as_dict(txn_read(spark, t)) == {0: 5, 1: 5, 2: 5}
+
+
+def test_vacuum_bounds_retention_and_keeps_current(spark, tmp_path):
+    t = str(tmp_path / "t10")
+    txn_create(_mk(spark), t, "k", n_buckets=4)
+    for i in range(4):
+        txn_merge(spark, t, spark.range(2).select(
+            F.col("id").alias("k"), F.lit(i).alias("val")))
+    assert current_version(t) == 5
+    rep = txn_vacuum(spark, t, keep_versions=2)
+    assert rep["retained_versions"] == [4, 5]
+    assert rep["dropped_manifests"] == 3
+    with pytest.raises(Exception):
+        txn_read(spark, t, version=1)  # expired snapshot
+    got = _as_dict(txn_read(spark, t))
+    assert got[0] == 3 and got[1] == 3 and got[99] == 990
+
+
+def test_merge_cost_is_bucket_pruned(spark, tmp_path):
+    """The merge target scan must touch only the buckets the batch
+    hashes into — count distinct commit-dir scans in the plan via the
+    touched-bucket return contract: a 1-key update rewrites exactly
+    one bucket (pointer diff vs the parent manifest)."""
+    t = str(tmp_path / "t11")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    m1 = json.load(open(os.path.join(t, "_manifests", "v00000001.json")))
+    txn_merge(spark, t, spark.createDataFrame(
+        [(5, 123)], "k LONG, val LONG"))
+    m2 = json.load(open(os.path.join(t, "_manifests", "v00000002.json")))
+    moved = [b for b in m1["buckets"]
+             if m1["buckets"][b] != m2["buckets"][b]]
+    assert len(moved) == 1
+    assert _as_dict(txn_read(spark, t))[5] == 123

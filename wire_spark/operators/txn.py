@@ -1,0 +1,346 @@
+"""Snapshot-isolated keyed tables over parquet: a manifest layer
+that gives the bucketed MERGE store (operators/upsert.py) atomic
+commits, time travel, optimistic concurrency, and transactional
+exactly-once for streaming writers.
+
+The reference ships a Raft-replicated store whose writes are atomic
+at the log level (wire `internal/store/store.go` apply path); SURVEY
+§7.3 replaces that tier with Spark-side table ACID.  Without
+Delta/Iceberg in this environment the missing piece is the COMMIT
+PROTOCOL, and that is exactly what a manifest layer provides — the
+same design Delta Lake's `_delta_log` and Iceberg's metadata tree
+use, reduced to the keyed-bucketed-table case:
+
+- **Data files are immutable.**  Every commit writes NEW files under
+  ``data/c{version}-{uuid}/__bucket=B/`` and never rewrites or
+  deletes a live file.  A merge rewrites only the buckets it
+  touches, so each bucket's current rows live in exactly ONE commit
+  directory — the manifest is a ``bucket -> commit dir`` map.
+- **A commit is one atomic manifest claim.**  The full manifest JSON
+  is written to a temp file, fsynced, then hard-linked to
+  ``_manifests/v{N}.json`` — ``link(2)`` fails if the version
+  already exists, which IS the optimistic-concurrency check (two
+  racing writers: one wins, the loser gets :class:`TxnConflict` and
+  retries on the new snapshot).  On HDFS the same protocol uses
+  atomic ``create(overwrite=false)``; on S3 a conditional PUT or a
+  coordination table — the protocol class Delta uses per store.
+- **Readers are snapshot-isolated for free.**  A read resolves the
+  newest committed manifest once; since data files are immutable, a
+  concurrent merge (or a crash mid-write) can never change or
+  corrupt what the resolved plan reads.  ``version=`` reads any
+  retained snapshot (time travel); rollback commits a new manifest
+  that points at an old snapshot's files — O(1), no data copy.
+- **Streaming exactly-once.**  ``txn_merge(batch_id=...)`` records
+  applied batch ids in the manifest; a foreachBatch replay after a
+  crash-between-merge-and-offset-commit sees its id and no-ops.
+  At-least-once delivery + transactional idempotence = effective
+  exactly-once, the contract `sinks/` document for the reference's
+  at-least-once pipeline (`internal/pipeline/pipeline.go` restart
+  path).
+
+Cost shape at scale: a merge reads ONLY the touched buckets' commit
+dirs (partition-pruned by the hive ``__bucket=B`` layout), writes
+one file per touched bucket, and commits one tiny JSON — O(changes)
+plus O(n_buckets) manifest bytes, never O(table).  A full-table read
+unions at most ``min(n_buckets, live commit dirs)`` pruned scans;
+``txn_vacuum`` bounds manifest/orphan growth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wire_spark.operators.upsert import BUCKET_COL, _with_bucket
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+# bounded batch-id memory: Structured Streaming replays only the last
+# uncommitted micro-batch per query, so a small window is sufficient;
+# keep enough for several interleaved writer queries.
+_BATCH_ID_WINDOW = 128
+
+
+class TxnConflict(Exception):
+    """Another writer committed the version this transaction targeted.
+    Retry: re-read the table (new snapshot) and re-apply the merge."""
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _commit(path: str, manifest: dict) -> int:
+    """Atomically claim ``manifest['version']``: temp-write + fsync +
+    hard link.  The link either installs the COMPLETE manifest or
+    fails — a reader can never observe a partial commit, and a crash
+    before the link leaves only an invisible temp file."""
+    version = manifest["version"]
+    d = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    except FileExistsError:
+        raise TxnConflict(
+            f"version {version} at {path} was committed by another "
+            "writer; re-read the snapshot and retry the merge"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def current_version(path: str) -> int | None:
+    vs = _list_versions(path)
+    return vs[-1] if vs else None
+
+
+def txn_create(df: DataFrame, path: str, key: str,
+               n_buckets: int = 16) -> int:
+    """Create the table: write every bucket into the v1 commit dir
+    and commit manifest v1.  Fails if the table already exists."""
+    if _list_versions(path):
+        raise ValueError(f"txn table already exists at {path}")
+    cdir = f"{_DATA_DIR}/c1-{uuid.uuid4().hex}"
+    bucketed = _with_bucket(df, key, n_buckets)
+    (bucketed.repartition(n_buckets, F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy(BUCKET_COL)
+     .parquet(os.path.join(path, cdir)))
+    present = {
+        int(n.split("=", 1)[1])
+        for n in os.listdir(os.path.join(path, cdir))
+        if n.startswith(f"{BUCKET_COL}=")
+    }
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "key": key,
+        "n_buckets": n_buckets,
+        # an empty input writes no partition dirs at all — point those
+        # buckets nowhere so the snapshot read never scans a dir that
+        # has no parquet footers to infer from
+        "buckets": {str(b): (cdir if b in present else None)
+                    for b in range(n_buckets)},
+        "batch_ids": [],
+        # schema travels in the manifest: a snapshot whose every
+        # bucket is empty still reads with the table's schema
+        "schema": bucketed.schema.jsonValue(),
+    }
+    return _commit(path, manifest)
+
+
+def _snapshot_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """One pruned scan per live commit dir, filtered to the buckets
+    that dir currently OWNS (a later commit may have superseded some
+    of its buckets) — ``__bucket`` is a hive partition column, so the
+    isin filter prunes directories, not rows."""
+    by_dir: dict[str, list[int]] = {}
+    for b, cdir in manifest["buckets"].items():
+        if cdir is not None:
+            by_dir.setdefault(cdir, []).append(int(b))
+    parts = []
+    for cdir, owned in sorted(by_dir.items()):
+        df = spark.read.parquet(os.path.join(path, cdir))
+        parts.append(df.filter(F.col(BUCKET_COL).isin(owned)))
+    if not parts:
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame(
+            [], StructType.fromJson(manifest["schema"]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def txn_read(spark: SparkSession, path: str,
+             version: int | None = None) -> DataFrame:
+    """Snapshot read.  ``version=None`` resolves the newest committed
+    manifest ONCE — the returned plan is pinned to that snapshot and
+    immune to concurrent merges.  An explicit ``version`` time-travels
+    to any retained snapshot."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise ValueError(f"no txn table at {path}")
+    manifest = _read_manifest(path, version)
+    return _snapshot_df(spark, path, manifest).drop(BUCKET_COL)
+
+
+def txn_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    delete_keys: DataFrame | None = None,
+    batch_id: int | str | None = None,
+    _base_version: int | None = None,
+) -> int:
+    """MERGE into the newest snapshot and commit the next version.
+    Returns the committed version (or the CURRENT version, unchanged,
+    for an empty batch or an already-applied ``batch_id``).
+
+    Touched buckets are recomputed against the snapshot's files and
+    written as fresh immutable files; untouched buckets keep their
+    manifest pointers.  Raises :class:`TxnConflict` if another writer
+    commits first — data written by the losing attempt is orphaned,
+    never visible, and reclaimed by ``txn_vacuum``."""
+    base = _base_version if _base_version is not None else current_version(path)
+    if base is None:
+        raise ValueError(f"no txn table at {path}; txn_create first")
+    m = _read_manifest(path, base)
+    key, n_buckets = m["key"], m["n_buckets"]
+
+    if batch_id is not None and str(batch_id) in m["batch_ids"]:
+        return base  # transactional exactly-once: replay no-ops
+
+    up = _with_bucket(updates.dropDuplicates([key]), key, n_buckets)
+    changed = up.select(BUCKET_COL)
+    if delete_keys is not None:
+        delete_keys = _with_bucket(delete_keys.select(key), key, n_buckets)
+        changed = changed.union(delete_keys.select(BUCKET_COL))
+    touched = sorted(r[BUCKET_COL] for r in changed.distinct().collect())
+    if not touched and batch_id is None:
+        return base
+    version = base + 1
+
+    new_buckets = dict(m["buckets"])
+    if touched:
+        target = _snapshot_df(spark, path, m).filter(
+            F.col(BUCKET_COL).isin(touched))
+        replaced = up.select(key)
+        if delete_keys is not None:
+            replaced = replaced.union(delete_keys.select(key))
+        kept = target.join(replaced.distinct(), key, "left_anti")
+        merged = kept.unionByName(up)
+        cdir = f"{_DATA_DIR}/c{version}-{uuid.uuid4().hex}"
+        # one file per rewritten bucket (upsert.py small-files rule);
+        # immutable commit dir — no dynamic-overwrite self-read hazard
+        # and no localCheckpoint needed
+        (merged.repartition(max(1, len(touched)), F.col(BUCKET_COL))
+         .write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(os.path.join(path, cdir)))
+        present = {
+            int(n.split("=", 1)[1])
+            for n in os.listdir(os.path.join(path, cdir))
+            if n.startswith(f"{BUCKET_COL}=")
+        }
+        for b in touched:
+            # a bucket whose every key was deleted writes no files:
+            # point it nowhere — deletes need no tombstone files
+            new_buckets[str(b)] = cdir if b in present else None
+
+    ids = m["batch_ids"]
+    if batch_id is not None:
+        ids = (ids + [str(batch_id)])[-_BATCH_ID_WINDOW:]
+    manifest = {
+        "version": version,
+        "parent": base,
+        "key": key,
+        "n_buckets": n_buckets,
+        "buckets": new_buckets,
+        "batch_ids": ids,
+        "schema": m["schema"],
+    }
+    return _commit(path, manifest)
+
+
+def txn_rollback(spark: SparkSession, path: str, to_version: int) -> int:
+    """Commit a NEW version whose bucket map is ``to_version``'s —
+    instant restore (no data copy; files are immutable), and the
+    rolled-back-over versions stay readable until vacuumed."""
+    base = current_version(path)
+    if base is None:
+        raise ValueError(f"no txn table at {path}")
+    old = _read_manifest(path, to_version)
+    cur = _read_manifest(path, base)
+    manifest = {
+        "version": base + 1,
+        "parent": base,
+        "rolled_back_to": to_version,
+        "key": old["key"],
+        "n_buckets": old["n_buckets"],
+        "buckets": old["buckets"],
+        "batch_ids": cur["batch_ids"],  # exactly-once memory survives
+        "schema": old["schema"],
+    }
+    return _commit(path, manifest)
+
+
+def txn_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per retained version: (version, parent, n_live_buckets,
+    rolled_back_to) — the audit surface a table format exposes."""
+    rows = []
+    for v in _list_versions(path):
+        m = _read_manifest(path, v)
+        rows.append((
+            v, m.get("parent"),
+            sum(1 for c in m["buckets"].values() if c is not None),
+            m.get("rolled_back_to"),
+        ))
+    return spark.createDataFrame(
+        rows, "version INT, parent INT, n_live_buckets INT, "
+              "rolled_back_to INT")
+
+
+def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
+    """Expire all but the newest ``keep_versions`` manifests and
+    delete every data directory (and stray temp manifest) no retained
+    manifest references — orphans from losing/crashed writers
+    included.  Returns counts.  Time travel reaches only retained
+    versions afterwards."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = _list_versions(path)
+    keep = versions[-keep_versions:]
+    live_dirs = set()
+    for v in keep:
+        m = _read_manifest(path, v)
+        live_dirs.update(c for c in m["buckets"].values() if c is not None)
+    dropped_manifests = 0
+    for v in versions[:-keep_versions]:
+        os.unlink(_manifest_path(path, v))
+        dropped_manifests += 1
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(mdir, name))
+    dropped_dirs = 0
+    ddir = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            rel = f"{_DATA_DIR}/{name}"
+            if rel not in live_dirs:
+                shutil.rmtree(os.path.join(ddir, name))
+                dropped_dirs += 1
+    return {"dropped_manifests": dropped_manifests,
+            "dropped_data_dirs": dropped_dirs,
+            "retained_versions": keep}
