@@ -1,0 +1,72 @@
+"""Model-check for the transactional table layer: a seeded random
+op log (upsert/delete batches, interleaved rollbacks) replayed
+against a plain dict model — every committed version's snapshot must
+equal the model's state AT THAT VERSION, including after rollbacks
+and after vacuum trims history.  Same replay-model pattern as the
+index-MERGE and KV property tests."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from wire_spark.operators.txn import (
+    current_version, txn_create, txn_merge, txn_read, txn_rollback,
+    txn_vacuum)
+
+
+def _snap(spark, t, version=None):
+    return {r.k: r.val for r in txn_read(spark, t, version).collect()}
+
+
+def test_txn_random_oplog_matches_dict_model(spark, tmp_path):
+    rnd = random.Random(0xC0FFEE)
+    t = str(tmp_path / "model_t")
+
+    model = {k: k * 3 for k in range(40)}
+    rows = [(k, v) for k, v in model.items()]
+    txn_create(spark.createDataFrame(rows, "k LONG, val LONG"),
+               t, "k", n_buckets=4)
+    # history[v] = model state as of committed version v
+    history = {1: dict(model)}
+
+    for step in range(10):
+        kind = rnd.choice(["merge", "merge", "merge", "rollback"])
+        if kind == "rollback" and len(history) > 1:
+            target = rnd.choice(sorted(history)[:-1])
+            v = txn_rollback(spark, t, target)
+            model = dict(history[target])
+            history[v] = dict(model)
+        else:
+            ups = {rnd.randrange(60): rnd.randrange(1000)
+                   for _ in range(rnd.randrange(0, 8))}
+            dels = {rnd.randrange(60) for _ in range(rnd.randrange(0, 5))}
+            dels -= set(ups)  # updates win within one batch by contract
+            up_df = spark.createDataFrame(
+                list(ups.items()) or [], "k LONG, val LONG")
+            del_df = (spark.createDataFrame([(k,) for k in dels], "k LONG")
+                      if dels else None)
+            base = current_version(t)
+            v = txn_merge(spark, t, up_df, delete_keys=del_df,
+                          batch_id=f"step-{step}")
+            assert v == base + 1  # a batch id always claims a version
+            model.update(ups)
+            for k in dels:
+                model.pop(k, None)
+            history[v] = dict(model)
+            # replaying the same batch id must not move the table
+            assert txn_merge(spark, t, up_df, delete_keys=del_df,
+                             batch_id=f"step-{step}") == v
+        assert _snap(spark, t) == model, f"live snapshot diverged @ step {step}"
+
+    # every retained version time-travels to its model state
+    for v, want in history.items():
+        assert _snap(spark, t, version=v) == want, f"version {v} diverged"
+
+    # vacuum keeps the newest 3 snapshots readable and correct
+    txn_vacuum(spark, t, keep_versions=3)
+    cur = current_version(t)
+    for v in [x for x in sorted(history) if x > cur - 3]:
+        assert _snap(spark, t, version=v) == history[v]
+    assert _snap(spark, t) == model
