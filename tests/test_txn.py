@@ -80,7 +80,7 @@ def test_optimistic_conflict_loser_raises_and_is_invisible(spark, tmp_path):
     with pytest.raises(TxnConflict):
         txn_merge(spark, t, spark.range(3).select(
             F.col("id").alias("k"), F.lit(7).alias("val")),
-            _base_version=1)
+            base_version=1)
     assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
     # the losing attempt's files are unreferenced; vacuum reclaims
     rep = txn_vacuum(spark, t, keep_versions=2)
@@ -211,3 +211,52 @@ def test_merge_cost_is_bucket_pruned(spark, tmp_path):
              if m1["buckets"][b] != m2["buckets"][b]]
     assert len(moved) == 1
     assert _as_dict(txn_read(spark, t))[5] == 123
+
+
+def test_two_writer_race_no_lost_updates(spark, tmp_path):
+    """Two threads run read-modify-write increment loops against the
+    SAME key with retry-on-conflict, each passing the base_version
+    its read came from.  The version claim admits exactly one writer
+    per version, so every increment survives: final counter == total
+    increments — the lost-update anomaly is structurally impossible.
+    Each thread also owns a private key to show non-conflicting
+    writes interleave untouched."""
+    import threading
+
+    from wire_spark.operators.txn import TxnConflict
+
+    t = str(tmp_path / "race")
+    txn_create(spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "k LONG, val LONG"), t, "k",
+        n_buckets=4)
+    n_incr = 5
+    errors = []
+
+    def worker(tid):
+        try:
+            for _ in range(n_incr):
+                while True:
+                    base = current_version(t)
+                    cur = {r.k: r.val
+                           for r in txn_read(spark, t, version=base).collect()}
+                    ups = spark.createDataFrame(
+                        [(0, cur[0] + 1), (tid, cur[tid] + 1)],
+                        "k LONG, val LONG")
+                    try:
+                        txn_merge(spark, t, ups, base_version=base)
+                        break
+                    except TxnConflict:
+                        continue  # re-read the new snapshot, retry
+        except Exception as ex:  # noqa: BLE001 — surface in main thread
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(tid,))
+               for tid in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+    final = {r.k: r.val for r in txn_read(spark, t).collect()}
+    assert final[0] == 2 * n_incr  # shared counter: nothing lost
+    assert final[1] == n_incr and final[2] == n_incr

@@ -16,6 +16,7 @@ Usage:
     python tools/degenerate_sweep.py zerovec    # zero/dup/non-finite embeddings
     python tools/degenerate_sweep.py maxmass    # values at the sanitization budget edge
     python tools/degenerate_sweep.py manykeys   # key-cardinality explosion (~1 group per row)
+    python tools/degenerate_sweep.py duprows    # exact duplicate rows (broken key uniqueness)
 
 The corpus is derived from sf0.001 (schemas stay identical) and
 materialized under .tmp/. Divergence classes this has caught (round
@@ -60,6 +61,7 @@ KNOWN_BIGCLIQUE: set[str] = set()
 KNOWN_ZEROVEC: set[str] = set()
 KNOWN_MAXMASS: set[str] = set()
 KNOWN_MANYKEYS: set[str] = set()
+KNOWN_DUPROWS: set[str] = set()
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -355,6 +357,28 @@ def build_corpus(spark, mode: str, dst: str) -> None:
                     F.when(F.col("vec_id") % 10 == 0, F.col("label"))
                     .otherwise((F.col("vec_id") + F.lit(1000)).cast("int")),
                 )
+        elif mode == "duprows" and t not in ("region", "nation"):
+            from pyspark.sql import functions as F
+            # BROKEN KEY UNIQUENESS — exact duplicate rows.  Every
+            # corpus so far mutates VALUES; this one violates the
+            # primary-key contract itself with byte-identical copies
+            # (x2 for key%9, x3 for key%27), which keeps the corpus
+            # DETERMINISTIC: ties among identical rows yield the same
+            # output set no matter which copy a rank/limit/dedup
+            # picks.  What it catches: any kernel that dedupes by key
+            # where its oracle counts the multiset (or vice versa),
+            # COUNT(*) vs COUNT(DISTINCT) asymmetries, join-fanout
+            # assumptions ("one row per orderkey"), and per-key
+            # upsert/fold paths whose last-writer-wins pick must
+            # still agree when the competing writes are identical.
+            # Dims (region/nation) stay unique so FK fanout stresses
+            # the FACT side where the volume is.
+            k = {"customer": "c_custkey", "supplier": "s_suppkey",
+                 "part": "p_partkey", "orders": "o_orderkey",
+                 "lineitem": "l_orderkey", "events": "event_id",
+                 "documents": "doc_id", "embeddings": "vec_id"}[t]
+            df = (df.unionByName(df.filter(F.col(k) % 9 == 0))
+                    .unionByName(df.filter(F.col(k) % 27 == 0)))
         elif mode == "unicode" and t == "documents":
             from pyspark.sql import functions as F
             df = df.withColumn(
@@ -387,7 +411,8 @@ def main() -> int:
              "bigclique": KNOWN_BIGCLIQUE,
              "zerovec": KNOWN_ZEROVEC,
              "maxmass": KNOWN_MAXMASS,
-             "manykeys": KNOWN_MANYKEYS}[mode]
+             "manykeys": KNOWN_MANYKEYS,
+             "duprows": KNOWN_DUPROWS}[mode]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     dst = f"/root/repo/.tmp/sweep_{mode}"

@@ -201,7 +201,7 @@ def txn_merge(
     updates: DataFrame,
     delete_keys: DataFrame | None = None,
     batch_id: int | str | None = None,
-    _base_version: int | None = None,
+    base_version: int | None = None,
 ) -> int:
     """MERGE into the newest snapshot and commit the next version.
     Returns the committed version (or the CURRENT version, unchanged,
@@ -211,8 +211,17 @@ def txn_merge(
     written as fresh immutable files; untouched buckets keep their
     manifest pointers.  Raises :class:`TxnConflict` if another writer
     commits first — data written by the losing attempt is orphaned,
-    never visible, and reclaimed by ``txn_vacuum``."""
-    base = _base_version if _base_version is not None else current_version(path)
+    never visible, and reclaimed by ``txn_vacuum``.
+
+    ``base_version`` is the serializability handle for
+    read-modify-write callers: pass the version your inputs were read
+    from and the commit targets exactly ``base_version + 1`` — ANY
+    interleaved commit makes the claim fail with :class:`TxnConflict`
+    instead of silently overwriting it (lost update).  Re-read on the
+    new snapshot and retry.  Left None, the merge snapshots the
+    newest version itself, which is safe for self-contained batches
+    (the updates don't depend on current table state)."""
+    base = base_version if base_version is not None else current_version(path)
     if base is None:
         raise ValueError(f"no txn table at {path}; txn_create first")
     m = _read_manifest(path, base)
