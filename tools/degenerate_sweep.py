@@ -61,7 +61,50 @@ KNOWN_BIGCLIQUE: set[str] = set()
 KNOWN_ZEROVEC: set[str] = set()
 KNOWN_MAXMASS: set[str] = set()
 KNOWN_MANYKEYS: set[str] = set()
-KNOWN_DUPROWS: set[str] = set()
+# duprows: every query below is deterministic on BOTH engines under
+# duplicate keys (copies are byte-identical, so tie picks cannot
+# change values) and driver-green on in-contract data — the
+# divergence is a CONTRACT-BOUNDARY disagreement about whether two
+# identical copies of a key are one logical entity or two physical
+# rows.  Three mechanisms, two verified by hand on the corpus:
+# (1) per-document SET semantics — the oracles' shingle/n-gram CTEs
+#     open with SELECT DISTINCT (collapsing duplicate doc copies)
+#     while the Spark kernels explode per physical row, doubling
+#     sizes and QUADRUPLING pair-join intersection counts (verified:
+#     dedup_jaccard_capped reports jaccard 3.0 > 1 vs the oracle's
+#     0.95) — the whole dedup/ngram/search/doc-quality family;
+# (2) duplicated seed/centroid rows (embeddings vec_id < K double as
+#     IVF centroids / LSH anchors): candidate multiplicity shifts
+#     which ties survive top-k on each side — the ANN family;
+# (3) semi-vs-inner verify joins: a kernel's exact-verify INNER join
+#     fans out on duplicated build keys where the oracle's IN is a
+#     semi join (verified: bloom_join_prune 465 vs 389 = the
+#     dup-inclusive fanout vs the semi count).
+# The remaining 224 queries agree — the multiset-robustness the
+# corpus exists to prove.  None of these is reachable on data that
+# honors the PK contract (TESTDATA keys are unique by construction).
+KNOWN_DUPROWS: set[str] = {
+    # mechanism 1: per-document set semantics
+    "dedup_jaccard_capped", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_containment", "dedup_winnowing_overlap",
+    "dedup_incremental_lsh", "dedup_cost_model", "dedup_crossmodal_audit",
+    "dedup_embedding_cosine_lsh", "decontamination_overlap",
+    "text_ngram_novelty", "ngram_vocab_mining", "search_bm25_ranked",
+    "search_hybrid_rrf", "text_gopher_quality_rules",
+    "multimodal_feature_stats", "graph_pagerank_weighted",
+    # mechanism 2: duplicated seed/centroid rows
+    "ann_ivf_cosine", "ann_ivf_lloyd_cosine", "ann_lsh_multiprobe_cosine",
+    "ann_recall_audit", "negative_sampling_pairs",
+    # mechanism 3: semi-vs-inner verify join fanout
+    "bloom_join_prune",
+    # mechanism 1 again, pre-adjudicated for the STAGED txn lifecycle
+    # query (queries/kv.py, registers at a later round open): the txn
+    # table's MERGE collapses every updated/inserted key to ONE row
+    # (per-key last-writer-wins) while the oracle's CASE/UNION keeps
+    # both physical copies (verified on the corpus: final n_orders
+    # 551 kernel vs 572 oracle; the initial-snapshot rows agree)
+    "txn_lifecycle_orders",
+}
 KNOWN_LONGDOCS: set[str] = {
     "dedup_survivors_central", "sample_dedup_weighted",
     "graph_kcore_peel", "graph_pagerank_personalized",
@@ -434,6 +477,21 @@ def main() -> int:
                 f"read_parquet('{dst}/{tbl}.parquet/*.parquet')"
             ).fetchone()[0]
             assert got >= floor_, (tbl, col, got, floor_)
+
+    if mode == "duprows":
+        # pinned duplication budget: the axis only bites if keys are
+        # really duplicated — a silent mutation no-op would pass the
+        # non-dedup majority vacuously
+        import duckdb as _dk
+        _c = _dk.connect()
+        for tbl, col in (("orders", "o_orderkey"), ("events", "event_id"),
+                         ("documents", "doc_id"), ("embeddings", "vec_id"),
+                         ("customer", "c_custkey")):
+            tot, dis = _c.execute(
+                f"SELECT count(*), count(DISTINCT {col}) FROM "
+                f"read_parquet('{dst}/{tbl}.parquet/*.parquet')"
+            ).fetchone()
+            assert tot >= dis * 1.1, (tbl, tot, dis)
 
     import __spark_entry__ as E
     qs, oracles = E.queries(), E.oracle_sql()
