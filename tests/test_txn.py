@@ -260,3 +260,33 @@ def test_two_writer_race_no_lost_updates(spark, tmp_path):
     final = {r.k: r.val for r in txn_read(spark, t).collect()}
     assert final[0] == 2 * n_incr  # shared counter: nothing lost
     assert final[1] == n_incr and final[2] == n_incr
+
+
+def test_staged_txn_lifecycle_matches_duckdb_oracle(spark):
+    """The staged catalog entry (queries/kv.py, registers at a later
+    round open): create -> merge(update+delete) -> replay no-op ->
+    merge(insert) -> aggregate the time-traveled initial AND final
+    snapshots; value equality vs the inline DuckDB recomputation at
+    two SFs."""
+    import duckdb
+
+    from wire_spark.queries.kv import (
+        TXN_LIFECYCLE_ORACLE, txn_lifecycle_orders)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sdf = txn_lifecycle_orders(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        srows = sorted([tuple(r[c] for c in scols) for r in sdf.collect()],
+                       key=repr)
+        assert srows, sf_dir  # non-vacuous at every SF
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')")
+        res = con.execute(TXN_LIFECYCLE_ORACLE)
+        oc = [d[0] for d in res.description]
+        idx = sorted(range(len(oc)), key=lambda i: oc[i])
+        orows = sorted([tuple(row[i] for i in idx) for row in res.fetchall()],
+                       key=repr)
+        assert scols == sorted(oc)
+        assert srows == orows, sf_dir
