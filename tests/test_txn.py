@@ -290,3 +290,38 @@ def test_staged_txn_lifecycle_matches_duckdb_oracle(spark):
                        key=repr)
         assert scols == sorted(oc)
         assert srows == orows, sf_dir
+
+
+def test_compact_restores_single_dir_and_preserves_state(spark, tmp_path):
+    """After several merges spread live buckets across commit dirs,
+    compact rewrites the snapshot into ONE dir (manifest points every
+    live bucket there), preserves table state and batch-id memory,
+    keeps pre-compact versions time-travelable, and the superseded
+    dirs fall to the next vacuum."""
+    import json as _json
+
+    from wire_spark.operators.txn import txn_compact
+
+    t = str(tmp_path / "tc")
+    txn_create(_mk(spark, 50), t, "k", n_buckets=4)
+    for i in range(3):
+        txn_merge(spark, t, spark.createDataFrame(
+            [(i * 7, 9000 + i)], "k LONG, val LONG"), batch_id=f"m{i}")
+    before = _as_dict(txn_read(spark, t))
+    mdir = os.path.join(t, "_manifests")
+    pre = _json.load(open(os.path.join(mdir, "v00000004.json")))
+    assert len({c for c in pre["buckets"].values() if c}) > 1
+
+    v = txn_compact(spark, t)
+    assert v == 5
+    post = _json.load(open(os.path.join(mdir, "v00000005.json")))
+    assert len({c for c in post["buckets"].values() if c}) == 1
+    assert post["batch_ids"] == pre["batch_ids"]
+    assert _as_dict(txn_read(spark, t)) == before
+    assert _as_dict(txn_read(spark, t, version=4)) == before
+    # replay across the compaction still no-ops
+    assert txn_merge(spark, t, spark.createDataFrame(
+        [(0, 1)], "k LONG, val LONG"), batch_id="m1") == 5
+    rep = txn_vacuum(spark, t, keep_versions=1)
+    assert rep["dropped_data_dirs"] >= 3
+    assert _as_dict(txn_read(spark, t)) == before

@@ -319,6 +319,45 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
               "rolled_back_to INT")
 
 
+def txn_compact(spark: SparkSession, path: str) -> int:
+    """Rewrite the CURRENT snapshot into one fresh commit dir and
+    commit it as the next version — the OPTIMIZE step that restores
+    the single-commit-dir read floor after many merges have spread
+    live buckets across up to ``n_buckets`` dirs.  Runs under the
+    same optimistic claim as any writer (raises :class:`TxnConflict`
+    if a merge lands first — compaction never wins over data);
+    readers of older versions are untouched (files are immutable)
+    and the superseded dirs are reclaimed by the next vacuum."""
+    base = current_version(path)
+    if base is None:
+        raise ValueError(f"no txn table at {path}")
+    m = _read_manifest(path, base)
+    n_buckets = m["n_buckets"]
+    version = base + 1
+    snap = _snapshot_df(spark, path, m)
+    cdir = f"{_DATA_DIR}/c{version}-{uuid.uuid4().hex}"
+    (snap.repartition(n_buckets, F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy(BUCKET_COL)
+     .parquet(os.path.join(path, cdir)))
+    present = {
+        int(n.split("=", 1)[1])
+        for n in os.listdir(os.path.join(path, cdir))
+        if n.startswith(f"{BUCKET_COL}=")
+    }
+    manifest = {
+        "version": version,
+        "parent": base,
+        "compacted": True,
+        "key": m["key"],
+        "n_buckets": n_buckets,
+        "buckets": {str(b): (cdir if b in present else None)
+                    for b in range(n_buckets)},
+        "batch_ids": m["batch_ids"],  # exactly-once memory survives
+        "schema": m["schema"],
+    }
+    return _commit(path, manifest)
+
+
 def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
     """Expire all but the newest ``keep_versions`` manifests and
     delete every data directory (and stray temp manifest) no retained
