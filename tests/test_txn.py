@@ -325,3 +325,41 @@ def test_compact_restores_single_dir_and_preserves_state(spark, tmp_path):
     rep = txn_vacuum(spark, t, keep_versions=1)
     assert rep["dropped_data_dirs"] >= 3
     assert _as_dict(txn_read(spark, t)) == before
+
+
+def test_changes_feed_classifies_and_skips_unchanged(spark, tmp_path):
+    """Change data feed from the manifest diff: inserts/updates/
+    deletes classified by full-outer key join over MOVED buckets
+    only; rows rewritten with identical payloads don't appear, so a
+    pure compaction yields zero changes; net-effect semantics across
+    multiple versions."""
+    from wire_spark.operators.txn import txn_changes, txn_compact
+
+    t = str(tmp_path / "cdf")
+    txn_create(_mk(spark, 30), t, "k", n_buckets=4)         # v1
+    txn_merge(spark, t, spark.createDataFrame(
+        [(3, -1), (100, 7)], "k LONG, val LONG"),
+        delete_keys=spark.createDataFrame([(5,)], "k LONG"))  # v2
+    txn_merge(spark, t, spark.createDataFrame(
+        [(3, -2)], "k LONG, val LONG"))                      # v3
+
+    ch = {(r.op, r.k): r.val
+          for r in txn_changes(spark, t, from_version=1).collect()}
+    assert ch == {("update", 3): -2, ("insert", 100): 7,
+                  ("delete", 5): None}
+    # single-step feed sees the intermediate value
+    ch12 = {(r.op, r.k): r.val
+            for r in txn_changes(spark, t, 1, 2).collect()}
+    assert ch12 == {("update", 3): -1, ("insert", 100): 7,
+                    ("delete", 5): None}
+    # compaction rewrites every bucket but changes no row
+    v = txn_compact(spark, t)
+    assert txn_changes(spark, t, v - 1, v).count() == 0
+    # a merge that rewrites a bucket with identical rows: no change
+    txn_merge(spark, t, spark.createDataFrame(
+        [(3, -2)], "k LONG, val LONG"))
+    assert txn_changes(spark, t, v).count() == 0
+    # net effect of everything since v1 is unchanged by compaction
+    ch_all = {(r.op, r.k): r.val
+              for r in txn_changes(spark, t, from_version=1).collect()}
+    assert ch_all == ch

@@ -358,6 +358,55 @@ def txn_compact(spark: SparkSession, path: str) -> int:
     return _commit(path, manifest)
 
 
+def txn_changes(spark: SparkSession, path: str, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+    """Change data feed between two snapshots, computed from the
+    manifest diff — the reference's CDC envelope served FROM the
+    store (`sources/mongo.go` emits this shape INTO the pipeline;
+    a txn table can emit it onward to downstream consumers).
+
+    Only buckets whose manifest pointer moved between the versions
+    are read (O(changed buckets), never O(table)); within them a
+    full-outer join by key classifies each key as ``insert`` /
+    ``update`` / ``delete``, and rows rewritten with identical
+    payloads (compaction, no-op merges) are filtered out — a pure
+    compaction step yields ZERO changes.  Returns
+    (op, <key>, <payload columns of the newer snapshot; NULL for
+    deletes>).  Net-effect semantics: intermediate versions that
+    were later rolled back or overwritten do not appear — this is
+    the snapshot delta, not the write-ahead log."""
+    to_version = to_version if to_version is not None else current_version(path)
+    m0 = _read_manifest(path, from_version)
+    m1 = _read_manifest(path, to_version)
+    key = m1["key"]
+    moved = [int(b) for b in m1["buckets"]
+             if m1["buckets"][b] != m0["buckets"].get(b)]
+    cols = [f["name"] for f in m1["schema"]["fields"]
+            if f["name"] != BUCKET_COL]
+    payload = [c for c in cols if c != key]
+    if not moved:
+        return (_snapshot_df(spark, path, m1).drop(BUCKET_COL).limit(0)
+                .withColumn("op", F.lit("")).select("op", *cols))
+    old = (_snapshot_df(spark, path, m0)
+           .filter(F.col(BUCKET_COL).isin(moved)).drop(BUCKET_COL))
+    new = (_snapshot_df(spark, path, m1)
+           .filter(F.col(BUCKET_COL).isin(moved)).drop(BUCKET_COL))
+    o = old.select(F.col(key).alias("__k"),
+                   F.struct(*[F.col(c) for c in payload]).alias("__old"))
+    n = new.select(F.col(key).alias("__k"),
+                   F.struct(*[F.col(c) for c in payload]).alias("__new"))
+    j = o.join(n, "__k", "full_outer")
+    op = (F.when(F.col("__old").isNull(), F.lit("insert"))
+          .when(F.col("__new").isNull(), F.lit("delete"))
+          .when(~F.col("__old").eqNullSafe(F.col("__new")),
+                F.lit("update")))
+    out_cols = [F.col("__k").alias(key)] + [
+        F.col(f"__new.{c}").alias(c) for c in payload]
+    return (j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select("op", *out_cols))
+
+
 def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
     """Expire all but the newest ``keep_versions`` manifests and
     delete every data directory (and stray temp manifest) no retained
