@@ -363,3 +363,60 @@ def test_changes_feed_classifies_and_skips_unchanged(spark, tmp_path):
     ch_all = {(r.op, r.k): r.val
               for r in txn_changes(spark, t, from_version=1).collect()}
     assert ch_all == ch
+
+
+def test_txn_change_feed_drives_index_maintenance(spark, tmp_path):
+    """Composition e2e: embeddings live in a txn table; a MERGE
+    updates/deletes/inserts vectors; the table's own change feed —
+    in the CDC envelope shape — drives merge_index_update on a
+    stored IVF-PQ index built from the PRE-merge snapshot.  Stored
+    cells+codes must equal a frozen-codebook rebuild of the
+    POST-merge snapshot: the store is a change SOURCE feeding the
+    pipeline's existing CDC consumers, end to end."""
+    from wire_spark.engine import load_table
+    from wire_spark.operators.txn import txn_changes_envelope
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        assign_cells, build_index, fold_vector_delta, merge_index_update,
+        pq_encode)
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    t = str(tmp_path / "vec_store")
+    txn_create(e, t, "vec_id", n_buckets=4)                   # v1
+
+    idx = str(tmp_path / "idx")
+    v1 = txn_read(spark, t, version=1)
+    build_index(v1.select("vec_id", F.col("v").alias("embedding")), idx)
+
+    ups = (e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 13 != 0))
+           .select("vec_id", F.transform("v", lambda x: -x).alias("v"))
+           .unionByName(e.filter(F.col("vec_id") % 11 == 0).select(
+               (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+               F.reverse("v").alias("v"))))
+    dels = e.filter(F.col("vec_id") % 13 == 0).select("vec_id")
+    txn_merge(spark, t, ups, delete_keys=dels)                # v2
+
+    env = txn_changes_envelope(spark, t, from_version=1)
+    n_aff = merge_index_update(spark, idx, fold_vector_delta(env))
+    assert n_aff > 0
+
+    # frozen-codebook rebuild reference = the POST-merge snapshot
+    post = txn_read(spark, t)
+    cent = spark.read.parquet(idx + "/centroids").withColumn(
+        "cn", F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, b: a + b)))
+    cw = spark.read.parquet(idx + "/codebook")
+    got_cells = {(r.vec_id, r.cid)
+                 for r in read_table(spark, idx + "/cells").collect()}
+    want_cells = {(r.vec_id, r.cid)
+                  for r in assign_cells(post, cent).collect()}
+    assert got_cells == want_cells
+    got_codes = {(r.vec_id, r.m, r.code)
+                 for r in spark.read.parquet(idx + "/codes")
+                 .select("vec_id", "m", "code").collect()}
+    want_codes = {(r.vec_id, r.m, r.code)
+                  for r in pq_encode(post, cw).collect()}
+    assert got_codes == want_codes

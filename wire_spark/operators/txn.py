@@ -407,6 +407,49 @@ def txn_changes(spark: SparkSession, path: str, from_version: int,
             .select("op", *out_cols))
 
 
+def txn_changes_envelope(spark: SparkSession, path: str, from_version: int,
+                         to_version: int | None = None,
+                         payload: str | None = None) -> DataFrame:
+    """The change feed in the reference's CDC ENVELOPE shape
+    (transforms/cdc.py CDC_SCHEMA field names; sources/mongo.go
+    23-41): resume_token, operation_type, document_id,
+    full_document, cluster_time.  This is the adapter that lets a
+    txn table FEED the pipeline's existing CDC consumers —
+    ``apply_cdc`` downstream keyed tables, ``fold_vector_delta`` →
+    ``merge_index_update`` index maintenance — so the store is a
+    change SOURCE, not only a sink.
+
+    ``payload`` names the single payload column to ship as
+    full_document (default: the table's only non-key column; a
+    multi-column table needs an explicit choice).  operation_type is
+    the feed's insert/update/delete verdict; deletes carry a NULL
+    full_document (the tombstone contract the index MERGE relies
+    on).  resume_token orders deterministically within the batch
+    (zero-padded key), cluster_time is the target version — so
+    replaying feeds from consecutive version windows preserves
+    last-writer-wins through ``checkpoint_state``."""
+    to_version = to_version if to_version is not None else current_version(path)
+    m1 = _read_manifest(path, to_version)
+    key = m1["key"]
+    if payload is None:
+        non_key = [f["name"] for f in m1["schema"]["fields"]
+                   if f["name"] not in (key, BUCKET_COL)]
+        if len(non_key) != 1:
+            raise ValueError(
+                f"table at {path} has payload columns {non_key}; pass "
+                "payload= to choose the full_document column")
+        payload = non_key[0]
+    ch = txn_changes(spark, path, from_version, to_version)
+    return ch.select(
+        F.concat(F.lit("t"), F.lpad(F.col(key).cast("string"), 18, "0"))
+        .alias("resume_token"),
+        F.col("op").alias("operation_type"),
+        F.col(key).alias("document_id"),
+        F.col(payload).alias("full_document"),
+        F.lit(to_version).cast("long").alias("cluster_time"),
+    )
+
+
 def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
     """Expire all but the newest ``keep_versions`` manifests and
     delete every data directory (and stray temp manifest) no retained
