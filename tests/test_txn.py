@@ -420,3 +420,26 @@ def test_txn_change_feed_drives_index_maintenance(spark, tmp_path):
     want_codes = {(r.vec_id, r.m, r.code)
                   for r in pq_encode(post, cw).collect()}
     assert got_codes == want_codes
+
+
+def test_change_feed_scan_is_bucket_pruned(spark, tmp_path):
+    """txn_changes must read only the buckets whose manifest pointer
+    moved: the snapshot scans expose __bucket as a hive partition
+    column and the isin filter lands as a PartitionFilter (directory
+    pruning), never a full-table read."""
+    from wire_spark.operators.txn import txn_changes
+    from wire_spark.plans import formatted_plan
+
+    t = str(tmp_path / "prune")
+    txn_create(_mk(spark), t, "k", n_buckets=8)
+    txn_merge(spark, t, spark.createDataFrame(
+        [(5, 123)], "k LONG, val LONG"))
+    df = txn_changes(spark, t, from_version=1)
+    rows = df.collect()
+    assert [(r.op, r.k, r.val) for r in rows] == [("update", 5, 123)]
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # and the old-side scan is pruned too: no scan in the plan reads
+    # without a partition filter on the bucket column
+    scans = [s for s in plan.split("\n") if "PartitionFilters: []" in s]
+    assert not scans, scans
