@@ -123,3 +123,73 @@ def test_cdf_source_empty_window_yields_no_batch_rows(spark, tmp_path):
     time.sleep(0.2)
     _drain(spark, t, ckpt, sink)       # still nothing
     assert sum(len(b) for _, b in sink) == 0
+
+
+def test_cdf_stream_drives_index_maintenance_with_restart(spark, tmp_path):
+    """Capstone loop: vectors live in a txn table; the table's OWN
+    readStream (format txn_cdf) drives merge_index_update in
+    foreachBatch.  Drain, STOP, commit more changes, RESTART from
+    the same checkpoint (only the new version window replays) — the
+    stored index must equal a frozen-codebook rebuild of the final
+    snapshot.  Store -> streaming change feed -> index, all through
+    the real source, with checkpoint recovery."""
+    from wire_spark.operators.txn import txn_read
+    from wire_spark.operators.upsert import read_table
+    from wire_spark.operators.vector_index import (
+        assign_cells, build_index, fold_vector_delta, merge_index_update,
+        pq_encode)
+
+    _register(spark)
+    t = str(tmp_path / "vs")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda x: ((x * 7 + F.col("id") * 3) % 11 + x)
+                    .cast("double")).alias("v"))
+    txn_create(vecs, t, "vec_id", n_buckets=4)                # v1
+    build_index(txn_read(spark, t, version=1)
+                .select("vec_id", F.col("v").alias("embedding")), idx)
+
+    def apply_batch(batch, _bid):
+        if batch.isEmpty():
+            return
+        merge_index_update(batch.sparkSession, idx,
+                           fold_vector_delta(batch))
+
+    def drain():
+        (spark.readStream.format("txn_cdf").option("path", t).load()
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(180))
+
+    # wave 1: updates
+    txn_merge(spark, t, vecs.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.transform("v", lambda x: -x).alias("v")))  # v2
+    drain()
+    # stream stopped; wave 2: deletes + inserts land
+    txn_merge(spark, t,
+              vecs.filter(F.col("vec_id") % 9 == 0).select(
+                  (F.col("vec_id") + F.lit(1000)).alias("vec_id"),
+                  F.reverse("v").alias("v")),
+              delete_keys=spark.createDataFrame(
+                  [(13,), (26,)], "vec_id LONG"))              # v3
+    drain()  # restart from checkpoint: only v2->v3 replays
+
+    post = txn_read(spark, t)
+    cent = spark.read.parquet(idx + "/centroids").withColumn(
+        "cn", F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, b: a + b)))
+    cw = spark.read.parquet(idx + "/codebook")
+    got_cells = {(r.vec_id, r.cid)
+                 for r in read_table(spark, idx + "/cells").collect()}
+    want_cells = {(r.vec_id, r.cid)
+                  for r in assign_cells(post, cent).collect()}
+    assert got_cells == want_cells
+    got_codes = {(r.vec_id, r.m, r.code)
+                 for r in spark.read.parquet(idx + "/codes")
+                 .select("vec_id", "m", "code").collect()}
+    want_codes = {(r.vec_id, r.m, r.code)
+                  for r in pq_encode(post, cw).collect()}
+    assert got_codes == want_codes
