@@ -83,7 +83,7 @@ def test_optimistic_conflict_loser_raises_and_is_invisible(spark, tmp_path):
             base_version=1)
     assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
     # the losing attempt's files are unreferenced; vacuum reclaims
-    rep = txn_vacuum(spark, t, keep_versions=2)
+    rep = txn_vacuum(spark, t, keep_versions=2, min_age_seconds=0)
     assert rep["dropped_data_dirs"] >= 1
 
 
@@ -99,7 +99,7 @@ def test_crash_before_commit_is_invisible(spark, tmp_path):
     open(os.path.join(t, "_manifests", ".tmp-crashed"), "w").write("{}")
     assert current_version(t) == 1
     assert _as_dict(txn_read(spark, t)) == {i: i * 10 for i in range(100)}
-    rep = txn_vacuum(spark, t, keep_versions=1)
+    rep = txn_vacuum(spark, t, keep_versions=1, min_age_seconds=0)
     assert rep["dropped_data_dirs"] == 1
     assert not os.path.exists(orphan)
     assert not os.path.exists(os.path.join(t, "_manifests", ".tmp-crashed"))
@@ -187,7 +187,7 @@ def test_vacuum_bounds_retention_and_keeps_current(spark, tmp_path):
         txn_merge(spark, t, spark.range(2).select(
             F.col("id").alias("k"), F.lit(i).alias("val")))
     assert current_version(t) == 5
-    rep = txn_vacuum(spark, t, keep_versions=2)
+    rep = txn_vacuum(spark, t, keep_versions=2, min_age_seconds=0)
     assert rep["retained_versions"] == [4, 5]
     assert rep["dropped_manifests"] == 3
     with pytest.raises(Exception):
@@ -322,7 +322,7 @@ def test_compact_restores_single_dir_and_preserves_state(spark, tmp_path):
     # replay across the compaction still no-ops
     assert txn_merge(spark, t, spark.createDataFrame(
         [(0, 1)], "k LONG, val LONG"), batch_id="m1") == 5
-    rep = txn_vacuum(spark, t, keep_versions=1)
+    rep = txn_vacuum(spark, t, keep_versions=1, min_age_seconds=0)
     assert rep["dropped_data_dirs"] >= 3
     assert _as_dict(txn_read(spark, t)) == before
 
@@ -443,3 +443,19 @@ def test_change_feed_scan_is_bucket_pruned(spark, tmp_path):
     # without a partition filter on the bucket column
     scans = [s for s in plan.split("\n") if "PartitionFilters: []" in s]
     assert not scans, scans
+
+
+def test_vacuum_min_age_spares_inflight_writer_dirs(spark, tmp_path):
+    """An unreferenced commit dir younger than min_age_seconds is an
+    in-flight writer as far as vacuum can tell — it must survive; the
+    same dir is reclaimed once it ages past the threshold."""
+    t = str(tmp_path / "tv")
+    txn_create(_mk(spark, 10), t, "k", n_buckets=2)
+    inflight = os.path.join(t, "data", "c9-inflight")
+    os.makedirs(os.path.join(inflight, "__bucket=0"))
+    rep = txn_vacuum(spark, t, keep_versions=1)  # default min_age
+    assert rep["dropped_data_dirs"] == 0
+    assert os.path.isdir(inflight)
+    rep = txn_vacuum(spark, t, keep_versions=1, min_age_seconds=0)
+    assert rep["dropped_data_dirs"] == 1
+    assert not os.path.exists(inflight)

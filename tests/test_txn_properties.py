@@ -65,7 +65,7 @@ def test_txn_random_oplog_matches_dict_model(spark, tmp_path):
         assert _snap(spark, t, version=v) == want, f"version {v} diverged"
 
     # vacuum keeps the newest 3 snapshots readable and correct
-    txn_vacuum(spark, t, keep_versions=3)
+    txn_vacuum(spark, t, keep_versions=3, min_age_seconds=0)
     cur = current_version(t)
     for v in [x for x in sorted(history) if x > cur - 3]:
         assert _snap(spark, t, version=v) == history[v]

@@ -213,6 +213,11 @@ def txn_merge(
     commits first — data written by the losing attempt is orphaned,
     never visible, and reclaimed by ``txn_vacuum``.
 
+    Within one batch, duplicate update keys collapse to a single row
+    and a key present in BOTH ``updates`` and ``delete_keys`` is
+    UPDATED — the update wins; callers wanting delete-wins semantics
+    pre-resolve (the CDC fold already does).
+
     ``base_version`` is the serializability handle for
     read-modify-write callers: pass the version your inputs were read
     from and the commit targets exactly ``base_version + 1`` — ANY
@@ -450,12 +455,23 @@ def txn_changes_envelope(spark: SparkSession, path: str, from_version: int,
     )
 
 
-def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
+def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2,
+               min_age_seconds: float = 600.0) -> dict:
     """Expire all but the newest ``keep_versions`` manifests and
     delete every data directory (and stray temp manifest) no retained
     manifest references — orphans from losing/crashed writers
     included.  Returns counts.  Time travel reaches only retained
-    versions afterwards."""
+    versions afterwards.
+
+    ``min_age_seconds`` is the in-flight-writer guard (the retention
+    rule Delta's VACUUM applies for the same reason): a writer that
+    has written its commit dir but not yet claimed its manifest is
+    indistinguishable from an orphan, so unreferenced dirs (and temp
+    manifests) younger than the threshold are left alone.  Keep it
+    comfortably above your longest merge's write phase; 0 is for
+    tests and known-quiesced tables."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = _list_versions(path)
@@ -468,18 +484,28 @@ def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
     for v in versions[:-keep_versions]:
         os.unlink(_manifest_path(path, v))
         dropped_manifests += 1
+    cutoff = time.time() - min_age_seconds
+
+    def old_enough(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) <= cutoff
+        except OSError:
+            return False  # vanished underneath us — leave it be
+
     mdir = os.path.join(path, _MANIFEST_DIR)
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
-            if name.startswith(".tmp-"):
-                os.unlink(os.path.join(mdir, name))
+            full = os.path.join(mdir, name)
+            if name.startswith(".tmp-") and old_enough(full):
+                os.unlink(full)
     dropped_dirs = 0
     ddir = os.path.join(path, _DATA_DIR)
     if os.path.isdir(ddir):
         for name in os.listdir(ddir):
             rel = f"{_DATA_DIR}/{name}"
-            if rel not in live_dirs:
-                shutil.rmtree(os.path.join(ddir, name))
+            full = os.path.join(ddir, name)
+            if rel not in live_dirs and old_enough(full):
+                shutil.rmtree(full)
                 dropped_dirs += 1
     return {"dropped_manifests": dropped_manifests,
             "dropped_data_dirs": dropped_dirs,
