@@ -193,3 +193,28 @@ def test_cdf_stream_drives_index_maintenance_with_restart(spark, tmp_path):
     want_codes = {(r.vec_id, r.m, r.code)
                   for r in pq_encode(post, cw).collect()}
     assert got_codes == want_codes
+
+
+def test_factory_dispatches_txn_cdf_streaming_and_batch(spark, tmp_path):
+    """Pipeline-config surface: type 'txn_cdf' resolves to the
+    streaming Python Data Source, and the batch path returns the
+    one-shot envelope catch-up between versions."""
+    from wire_spark.model import SourceConfig
+    from wire_spark.sources.factory import data_source_factory
+
+    t = str(tmp_path / "ft")
+    txn_create(_mk(spark, 12), t, "k", n_buckets=2)
+    txn_merge(spark, t, spark.createDataFrame(
+        [(1, -1)], "k LONG, val LONG"))
+
+    cfg = SourceConfig(name="f", type="txn_cdf", key="k",
+                       config={"path": t})
+    sdf = data_source_factory(cfg, streaming=True).read(spark)
+    assert sdf.isStreaming
+    assert "operation_type" in sdf.columns
+
+    bdf = data_source_factory(cfg, streaming=False).read(spark)
+    assert not bdf.isStreaming
+    rows = {(r.operation_type, r.document_id, r.full_document)
+            for r in bdf.collect()}
+    assert rows == {("update", 1, -1)}

@@ -158,12 +158,35 @@ class DataSource:
                 if c.get("start_poller", "true") == "true":
                     src.start()
             return src.read(spark, c["schema"])
+        if t == "txn_cdf":
+            # native extension: a transactional table's change feed as
+            # a pipeline source (sources/txn_cdf.py). Streaming = the
+            # Python Data Source (offsets are manifest versions);
+            # batch = the envelope between two versions (one-shot
+            # catch-up, the LoadInitialData analog).
+            from wire_spark.sources.txn_cdf import ensure_registered
+
+            if self.streaming:
+                ensure_registered(spark)
+                reader = (spark.readStream.format("txn_cdf")
+                          .option("path", c["path"]))
+                for opt in ("payload", "startingVersion"):
+                    if opt in c:
+                        reader = reader.option(opt, c[opt])
+                return reader.load()
+            from wire_spark.operators.txn import txn_changes_envelope
+
+            return txn_changes_envelope(
+                spark, c["path"],
+                from_version=int(c.get("startingVersion", 1)),
+                payload=c.get("payload"))
         raise ValueError(f"unknown source type: {t!r}")  # config.go:265-266
 
 
 def data_source_factory(cfg: SourceConfig, streaming: bool = True) -> DataSource:
     """config.go:250-268 analog (validation up front, read lazily)."""
     if cfg.type not in ("file", "json", "text", "parquet", "rate", "kafka",
-                        "mongodb", "http", "webhook", "sqs", "rabbitmq"):
+                        "mongodb", "http", "webhook", "sqs", "rabbitmq",
+                        "txn_cdf"):
         raise ValueError(f"unknown source type: {cfg.type!r}")
     return DataSource(cfg, streaming=streaming)

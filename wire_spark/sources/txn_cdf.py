@@ -56,6 +56,16 @@ from pyspark.sql.datasource import (
     DataSource, DataSourceStreamReader, InputPartition)
 
 
+def ensure_registered(spark) -> None:
+    """Idempotently register the data source with this session (the
+    registry is session-scoped and re-registration raises)."""
+    try:
+        spark.dataSource.register(TxnCdfDataSource)
+    except Exception as ex:
+        if "already" not in str(ex).lower():
+            raise
+
+
 class _BucketDiffPartition(InputPartition):
     def __init__(self, key, payload, bucket, old_files, new_files,
                  end_version):
