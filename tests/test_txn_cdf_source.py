@@ -10,15 +10,11 @@ import time
 from pyspark.sql import functions as F
 
 from wire_spark.operators.txn import txn_create, txn_merge
-from wire_spark.sources.txn_cdf import TxnCdfDataSource
 
 
 def _register(spark):
-    try:
-        spark.dataSource.register(TxnCdfDataSource)
-    except Exception as ex:  # pragma: no cover - per-session singleton
-        if "already" not in str(ex).lower():
-            raise
+    from wire_spark.sources.txn_cdf import ensure_registered
+    ensure_registered(spark)
 
 
 def _mk(spark, n=40):
