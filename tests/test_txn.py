@@ -459,3 +459,53 @@ def test_vacuum_min_age_spares_inflight_writer_dirs(spark, tmp_path):
     rep = txn_vacuum(spark, t, keep_versions=1, min_age_seconds=0)
     assert rep["dropped_data_dirs"] == 1
     assert not os.path.exists(inflight)
+
+
+def test_fsck_reports_clean_and_detects_damage(spark, tmp_path):
+    """fsck is clean on a healthy chain (orphans/expired parents are
+    warnings, not errors) and flags a missing commit dir and a
+    schema-drifted manifest as errors."""
+    import json as _json
+    import shutil as _shutil
+
+    from wire_spark.operators.txn import txn_fsck
+
+    t = str(tmp_path / "fs")
+    txn_create(_mk(spark, 20), t, "k", n_buckets=4)
+    txn_merge(spark, t, spark.createDataFrame(
+        [(1, -1)], "k LONG, val LONG"), batch_id="a")
+    rep = txn_fsck(spark, t)
+    assert rep["ok"] and rep["errors"] == [] and rep["versions"] == 2
+
+    # orphan dir + stray tmp manifest: warnings only
+    os.makedirs(os.path.join(t, "data", "c9-orphan"))
+    open(os.path.join(t, "_manifests", ".tmp-x"), "w").write("{}")
+    rep = txn_fsck(spark, t)
+    assert rep["ok"] and rep["orphan_dirs"] == 1
+    assert any("orphan" in w for w in rep["warnings"])
+    assert any("tmp" in w for w in rep["warnings"])
+
+    # vacuumed-away parent: warning, not error
+    txn_merge(spark, t, spark.createDataFrame(
+        [(2, -2)], "k LONG, val LONG"))
+    txn_vacuum(spark, t, keep_versions=2, min_age_seconds=0)
+    rep = txn_fsck(spark, t)
+    assert rep["ok"]
+    assert any("expired" in w for w in rep["warnings"])
+
+    # damage 1: delete a referenced commit dir
+    m = _json.load(open(os.path.join(t, "_manifests",
+                                     f"v{3:08d}.json")))
+    victim = next(c for c in m["buckets"].values() if c)
+    _shutil.rmtree(os.path.join(t, victim))
+    rep = txn_fsck(spark, t)
+    assert not rep["ok"]
+    assert any("missing commit dir" in e for e in rep["errors"])
+
+    # damage 2: schema drift in a retained manifest
+    m2 = _json.load(open(os.path.join(t, "_manifests", "v00000002.json")))
+    m2["key"] = "not_k"
+    _json.dump(m2, open(os.path.join(t, "_manifests", "v00000002.json"),
+                        "w"))
+    rep = txn_fsck(spark, t)
+    assert any("key differs" in e for e in rep["errors"])

@@ -455,6 +455,67 @@ def txn_changes_envelope(spark: SparkSession, path: str, from_version: int,
     )
 
 
+def txn_fsck(spark: SparkSession, path: str) -> dict:
+    """Integrity audit of the manifest chain and storage — the
+    `fsck`/DESCRIBE DETAIL surface a table format ships.  Read-only;
+    returns ``{"ok": bool, "errors": [...], "warnings": [...],
+    "versions": n, "orphan_dirs": n}``.
+
+    Errors (table unreadable or protocol violated): missing referenced
+    commit dir, a bucket id outside ``range(n_buckets)``, schema/key/
+    bucket-count drift between retained manifests, a broken parent
+    link (parent retained but not the previous version), unreadable
+    manifest JSON.  Warnings (benign, vacuum-able): orphan data dirs,
+    stray temp manifests, expired parents (vacuumed-away history)."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    versions = _list_versions(path)
+    if not versions:
+        return {"ok": False, "errors": [f"no manifests at {path}"],
+                "warnings": [], "versions": 0, "orphan_dirs": 0}
+    retained = set(versions)
+    manifests = {}
+    for v in versions:
+        try:
+            manifests[v] = _read_manifest(path, v)
+        except (OSError, json.JSONDecodeError) as ex:
+            errors.append(f"v{v}: unreadable manifest ({ex})")
+    live_dirs = set()
+    head = manifests.get(versions[-1])
+    for v, m in manifests.items():
+        nb = m["n_buckets"]
+        for b, cdir in m["buckets"].items():
+            if not 0 <= int(b) < nb:
+                errors.append(f"v{v}: bucket id {b} outside n_buckets={nb}")
+            if cdir is not None:
+                live_dirs.add(cdir)
+                if not os.path.isdir(os.path.join(path, cdir)):
+                    errors.append(f"v{v}: missing commit dir {cdir}")
+        if head is not None:
+            for field in ("key", "n_buckets", "schema"):
+                if m[field] != head[field]:
+                    errors.append(
+                        f"v{v}: {field} differs from head v{versions[-1]}")
+        parent = m.get("parent")
+        if parent is not None and parent not in retained:
+            warnings.append(f"v{v}: parent v{parent} expired (vacuumed)")
+        elif parent is not None and parent != v - 1 and (v - 1) in retained:
+            errors.append(f"v{v}: parent v{parent} skips retained v{v - 1}")
+    orphans = 0
+    ddir = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if f"{_DATA_DIR}/{name}" not in live_dirs:
+                orphans += 1
+                warnings.append(f"orphan data dir {name}")
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    for name in os.listdir(mdir):
+        if name.startswith(".tmp-"):
+            warnings.append(f"stray temp manifest {name}")
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "versions": len(versions), "orphan_dirs": orphans}
+
+
 def txn_vacuum(spark: SparkSession, path: str, keep_versions: int = 2,
                min_age_seconds: float = 600.0) -> dict:
     """Expire all but the newest ``keep_versions`` manifests and
