@@ -168,9 +168,17 @@ def test_rank_filter_windows_get_group_limit(spark, sf_dir):
     from wire_spark.plans import formatted_plan
 
     for name in ("window_topk_per_brand", "sample_stratified_by_lang",
-                 "text_tfidf_top_terms", "text_langid_trigram_trained"):
+                 "text_tfidf_top_terms"):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "WindowGroupLimit" in plan, name
+    # langid's top-50 training window now executes during query
+    # construction (the profile is collected and classification is
+    # scan-local, r15) — assert the property on the training phase,
+    # where the window actually runs
+    from wire_spark.queries.langid import _trained_profile
+
+    _, prof = _trained_profile(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(prof)
 
 
 def test_hll_sketch_shuffle_budget(spark, sf_dir):
@@ -216,11 +224,19 @@ def test_time_decay_single_user_shuffle(spark, sf_dir):
     assert count_shuffles(df) <= 2
 
 
-def test_langid_broadcasts_trained_profile(spark, sf_dir):
-    # the languages x 50 trained model must broadcast into the
-    # scoring join — the document side never reshuffles on trigram
+def test_langid_classification_is_scan_local(spark, sf_dir):
+    # r15: the trained profile (langs x 50 trigrams) is collected and
+    # re-enters the plan as array literals, so classification runs
+    # entirely in the row — the final plan has NO join and NO window,
+    # and its only exchanges are the bounded |langs|^2 confusion
+    # aggregate plus the output sort
+    from wire_spark.plans import formatted_plan
+
     df = _df(spark, sf_dir, "text_langid_trigram_trained")
-    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "array_intersect" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") <= 4
 
 
 def test_trigram_paths_single_window(spark, sf_dir):

@@ -132,6 +132,24 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "text_bigram_logprob": (13, False),
     "text_token_entropy": (13, False),
     "corpus_js_divergence": (13, False),
+    # r15 OPTIMIZATION-round plan-only rewrites (outputs verified
+    # bit-identical vs the unchanged oracles at sf0.001/0.01/0.1):
+    # exact-percentile single-pass conditional-aggregate forms
+    # (percentile_order_value, robust MAD pair via shared helper),
+    # small-relation localCheckpoint materialization (Lloyd
+    # centroids, permutation stats), scan-local langid
+    # classification, day-grid broadcast joins.  Queries edited this
+    # wave that are IN the r15 driver window are not listed (the
+    # window re-verifies them); these queue for slack.
+    "events_survival_hazard": (15, False),
+    "ann_ivf_cosine": (15, False),
+    "kmeans_lloyd_round": (15, False),
+    "kmeans_lloyd_two_rounds": (15, False),
+    "ann_ivf_lloyd_cosine": (15, False),
+    "percentile_order_value": (15, False),
+    "percentile_order_value_bucketed": (15, False),
+    "events_permutation_test": (15, False),
+    "events_fdr_bh": (15, False),
 }
 
 

@@ -86,6 +86,24 @@ def _l2(a, b):
     )
 
 
+def _argmin_assign(e, cent, keep_v: bool):
+    """Nearest-centroid assignment: rank-1 window over the broadcast
+    candidate set.  Kept as a window DELIBERATELY (r15 optimization
+    round): WindowGroupLimit already prunes to the per-key top row on
+    the map side before the exchange, and the min(struct) aggregate
+    alternative measured SLOWER (struct buffers fall out of codegen
+    hash aggregation into ObjectHashAggregate)."""
+    cols = ["vec_id", "cid", "v"] if keep_v else ["vec_id", "cid"]
+    w_a = W.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", "v", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select(*cols)
+    )
+
+
 def _lloyd_refine(e, cent):
     """One Lloyd refinement: assign every vector to its nearest
     centroid (floor-truncated euclidean, cid tiebreak — broadcast
@@ -93,14 +111,7 @@ def _lloyd_refine(e, cent):
     integer-exact mean centroids (one dimension-sum shuffle).
     Bit-identical to the matching oracle CTE block; chain calls for
     more rounds — the cost is the same block repeated."""
-    w_a = W.partitionBy("vec_id").orderBy("dist", "cid")
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", "v", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
-        .withColumn("rn", F.row_number().over(w_a))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v")
-    )
+    assign = _argmin_assign(e, cent, keep_v=True)
     # per-dimension integer-exact means (1-based d to mirror DuckDB)
     dims = (
         assign.select("cid", F.posexplode("v").alias("d0", "val"))
@@ -149,15 +160,11 @@ def kmeans_lloyd_round(spark, sf_dir):
     from wire_spark.queries.similarity import _valid_vectors
 
     e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
-    cent1 = lloyd_cent1(spark, sf_dir)
-    w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
-    assign1 = (
-        e.crossJoin(F.broadcast(cent1))
-        .select("vec_id", "cid", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
-        .withColumn("rn", F.row_number().over(w_b))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    # cent1 is an 8-row relation feeding TWO consumers (the broadcast
+    # assignment and the census join); its upstream is a full Lloyd
+    # pass over the vector table — materialize once
+    cent1 = lloyd_cent1(spark, sf_dir).localCheckpoint(eager=True)
+    assign1 = _argmin_assign(e, cent1, keep_v=False).select("vec_id", "cid")
     def dot(a):
         return F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
 
@@ -232,15 +239,13 @@ def kmeans_lloyd_two_rounds(spark, sf_dir):
     centroid arithmetic stays integer-exact so the two engines hold
     bit-identical state after ANY number of rounds."""
     e, cent0 = _vectors_and_seeds(spark, sf_dir)
-    cent2 = _lloyd_refine(e, _lloyd_refine(e, cent0))
-    w_b = W.partitionBy("vec_id").orderBy("dist", "cid")
-    assign2 = (
-        e.crossJoin(F.broadcast(cent2))
-        .select("vec_id", "cid", t6(_l2(F.col("v"), F.col("cv"))).alias("dist"))
-        .withColumn("rn", F.row_number().over(w_b))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    # cent1 feeds round 2's assignment; cent2 is 8 rows feeding TWO
+    # consumers (broadcast assignment + census join) with a two-full-
+    # Lloyd-pass upstream — materialize each round's centroids so no
+    # refine pass executes twice
+    cent1 = _lloyd_refine(e, cent0).localCheckpoint(eager=True)
+    cent2 = _lloyd_refine(e, cent1).localCheckpoint(eager=True)
+    assign2 = _argmin_assign(e, cent2, keep_v=False).select("vec_id", "cid")
 
     def dot(a):
         return F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)

@@ -170,34 +170,40 @@ def robust_outliers_mad(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
             F.count(F.lit(1)).over(W.partitionBy(key)).alias("n"),
         )
+        # Single pass over the ranked relation: every row carries its
+        # key's n, so the two target ranks are computable IN the
+        # filter and the lo/hi values pivot out of one conditional
+        # aggregate.  The previous pos/lo/hi three-way self-join
+        # consumed the ranked subtree three times (the r15 plan audit
+        # counted 84 Exchanges / 62 parquet scans for this query —
+        # every join re-derived the window sort from the scan).  The
+        # interpolation expression and its operand order are
+        # unchanged, so m is bit-identical (same oracle).
         h = (F.col("n") - 1) * F.lit(0.5)
-        pos = ranked.select(key, "n").distinct().select(
-            key, "n",
-            (F.floor(h) + 1).alias("lo_rn"),
-            (F.ceil(h) + 1).alias("hi_rn"),
-            (h - F.floor(h)).alias("frac"),
-        )
-        lo = ranked.select(
-            F.col(key).alias("k_l"), F.col("rn").alias("lo_rn"),
-            F.col(val_col).alias("v_lo"),
-        )
-        hi = ranked.select(
-            F.col(key).alias("k_h"), F.col("rn").alias("hi_rn"),
-            F.col(val_col).alias("v_hi"),
-        )
+        lo_rn, hi_rn = F.floor(h) + 1, F.ceil(h) + 1
         return (
-            pos.join(lo, (pos[key] == lo.k_l) & (pos.lo_rn == lo.lo_rn))
-            .join(hi, (pos[key] == hi.k_h) & (pos.hi_rn == hi.hi_rn))
+            ranked.filter((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+            .groupBy(key)
+            .agg(
+                F.min("n").alias("n"),
+                F.min(F.when(F.col("rn") == lo_rn, F.col(val_col))).alias("v_lo"),
+                F.min(F.when(F.col("rn") == hi_rn, F.col(val_col))).alias("v_hi"),
+            )
             .select(
                 key, "n",
                 (F.col("v_lo")
-                 + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("m"),
+                 + (F.col("v_hi") - F.col("v_lo")) * (h - F.floor(h))).alias("m"),
             )
         )
 
+    # med/mm are |types|-row relations each feeding multiple
+    # consumers whose upstream is a full windowed pass over events;
+    # eager materialization (the preference_bt_strength convention)
+    # stops Spark from re-executing that pass per consumer (med: the
+    # deviation join, the mm join; mm: the outlier scan, the output).
     med = _exact_median(ev, "value").select(
         "event_type", F.col("n").alias("n_events"), F.col("m").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
         "event_type", "event_id",
         F.abs(F.col("value") - F.col("med")).alias("d"),
@@ -205,7 +211,7 @@ def robust_outliers_mad(spark, sf_dir):
     mad = _exact_median(dev, "d").select(
         "event_type", F.col("m").alias("mad")
     )
-    mm = med.join(mad, "event_type")
+    mm = med.join(mad, "event_type").localCheckpoint(eager=True)
     outl = (
         ev.join(F.broadcast(mm.select("event_type", "med", "mad")), "event_type")
         .filter(F.abs(F.col("value") - F.col("med")) > F.lit(3) * F.col("mad"))
@@ -244,11 +250,16 @@ def robust_outliers_mad_bucketed(spark, sf_dir):
     ev = events_sane(spark, sf_dir).select(
         "event_type", "event_id", "value"
     ).filter(F.col("value").isNotNull())
+    # med/mm are |types|-row relations each feeding multiple
+    # consumers whose upstream includes the data-sized in-bucket rank
+    # pass (only the cumulative histogram is cached inside
+    # bucketed_quantiles) — materialize once per tier, the same
+    # discipline as the sort-based sibling
     med = (
         bucketed_quantiles(ev, (0.5,))
         .select("event_type", F.col("n").alias("n_events"),
                 F.col("v").alias("med"))
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
         "event_type", "event_id",
         F.abs(F.col("value") - F.col("med")).alias("value"),
@@ -257,7 +268,7 @@ def robust_outliers_mad_bucketed(spark, sf_dir):
         bucketed_quantiles(dev, (0.5,))
         .select("event_type", F.col("v").alias("mad"))
     )
-    mm = med.join(mad, "event_type")
+    mm = med.join(mad, "event_type").localCheckpoint(eager=True)
     outl = (
         ev.join(F.broadcast(mm.select("event_type", "med", "mad")), "event_type")
         .filter(F.abs(F.col("value") - F.col("med")) > F.lit(3) * F.col("mad"))

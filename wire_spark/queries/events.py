@@ -654,6 +654,9 @@ def events_survival_hazard(spark, sf_dir):
         .filter(F.col("eu") > F.col("s_ts"))
         .groupBy("user_id").agg(F.min("eu").alias("p_ts"))
     )
+    # two narrow columns per signup user, consumed by THREE
+    # aggregations (end_hist / ev_hist / dmax) — materialized once so
+    # the purchase join does not re-execute per consumer
     u = (
         s.join(fp, "user_id", "left").crossJoin(F.broadcast(mx))
         .select(
@@ -664,6 +667,7 @@ def events_survival_hazard(spark, sf_dir):
                    "THEN (p_ts - s_ts) div 86400000000 END")
             .alias("event_day"),
         )
+        .localCheckpoint(eager=True)
     )
     # day histogram + reverse cumsum: at_risk(d) = sum of users whose
     # observation ends at day >= d
@@ -674,9 +678,12 @@ def events_survival_hazard(spark, sf_dir):
     dmax = u.agg(F.max("obs_end").alias("dm"))
     days = dmax.select(F.explode(F.sequence(F.lit(0), F.col("dm"))).alias("day"))
     wrev = W.orderBy(F.desc("day")).rowsBetween(W.unboundedPreceding, 0)
+    # the day histograms are ~|days| rows — broadcast them so the
+    # day-grid joins are hash joins, not sort-merge exchanges (the
+    # r15 plan audit counted 10 SortMergeJoins here)
     risk = (
-        days.join(end_hist, "day", "left")
-        .join(ev_hist, "day", "left")
+        days.join(F.broadcast(end_hist), "day", "left")
+        .join(F.broadcast(ev_hist), "day", "left")
         .select(
             "day",
             F.coalesce("n_end", F.lit(0)).alias("n_end"),

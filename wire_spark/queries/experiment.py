@@ -310,7 +310,12 @@ def events_fdr_bh(spark, sf_dir):
         F.coalesce(F.sum(F.when(F.col("treat"), F.col("cnt"))), F.lit(0))
         .alias("s2"),
     )
-    st = ss.join(F.broadcast(sizes), "b").select(
+    # st is metric-grain (|types| x 33 rows) but feeds TWO consumers
+    # (the b=0 observed slice and the permutation-count join); without
+    # materialization the data-sized explode/aggregate pipeline above
+    # executes once per consumer.  Cached (not checkpointed) so the
+    # single-parquet-scan lineage stays visible in the executed plan.
+    st = tracked_cache(ss.join(F.broadcast(sizes), "b").select(
         "event_type", "b",
         F.expr(
             "CASE WHEN n1 > 0 AND n2 > 0 THEN"
@@ -318,7 +323,7 @@ def events_fdr_bh(spark, sf_dir):
             " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
             " ELSE 0.0e0 END"
         ).alias("stat"),
-    )
+    ))
     obs = st.filter(F.col("b") == 0).select(
         "event_type", F.col("stat").alias("stat_obs"))
     p = (

@@ -210,38 +210,42 @@ def percentile_order_value(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
     )
-    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], ["p"])
-    groups = ranked.select("o_orderpriority", "n").distinct()
-    h = (F.col("n") - 1) * F.col("p")
-    pos = groups.crossJoin(F.broadcast(ps)).select(
-        "o_orderpriority", "p",
-        (F.floor(h) + 1).alias("lo_rn"),
-        (F.ceil(h) + 1).alias("hi_rn"),
-        (h - F.floor(h)).alias("frac"),
-    )
-    lo = ranked.select(
-        F.col("o_orderpriority").alias("op_l"), F.col("rn").alias("lo_rn"),
-        F.col("o_totalprice").alias("v_lo"),
-    )
-    hi = ranked.select(
-        F.col("o_orderpriority").alias("op_h"), F.col("rn").alias("hi_rn"),
-        F.col("o_totalprice").alias("v_hi"),
-    )
-    interp = (
-        pos.join(lo, (pos.o_orderpriority == lo.op_l) & (pos.lo_rn == lo.lo_rn))
-        .join(hi, (pos.o_orderpriority == hi.op_h) & (pos.hi_rn == hi.hi_rn))
-        .select(
-            "o_orderpriority", "p",
-            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("v"),
+    # Single pass over the ranked relation: each row carries its
+    # group's n, so every target rank (floor/ceil of (n-1)*p per p)
+    # is computable in the filter, and the six lo/hi values pivot out
+    # of one conditional aggregate — the old pos/lo/hi three-way
+    # self-join executed the window subtree three times (same fix as
+    # robust_outliers_mad, r15 plan audit).  Interpolation arithmetic
+    # is unchanged: v_lo + (v_hi - v_lo) * ((n-1)*p - floor((n-1)*p))
+    # with p the same double literals — bit-identical output.
+    def _h(p):
+        return (F.col("n") - 1) * F.lit(p)
+
+    def _is_target(p):
+        h = _h(p)
+        return (F.col("rn") == F.floor(h) + 1) | (F.col("rn") == F.ceil(h) + 1)
+
+    def _v(p):
+        h = _h(p)
+        v_lo = F.min(
+            F.when(F.col("rn") == F.floor(h) + 1, F.col("o_totalprice"))
         )
-    )
+        v_hi = F.min(
+            F.when(F.col("rn") == F.ceil(h) + 1, F.col("o_totalprice"))
+        )
+        # n is constant per group, so min(n) == n and the frac
+        # expression computes on the identical value
+        hn = (F.min("n") - 1) * F.lit(p)
+        return v_lo + (v_hi - v_lo) * (hn - F.floor(hn))
+
     t4v = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa: E731
     return (
-        interp.groupBy("o_orderpriority")
+        ranked.filter(_is_target(0.5) | _is_target(0.9) | _is_target(0.99))
+        .groupBy("o_orderpriority")
         .agg(
-            t4v(F.max(F.when(F.col("p") == 0.5, F.col("v")))).alias("p50"),
-            t4v(F.max(F.when(F.col("p") == 0.9, F.col("v")))).alias("p90"),
-            t4v(F.max(F.when(F.col("p") == 0.99, F.col("v")))).alias("p99"),
+            t4v(_v(0.5)).alias("p50"),
+            t4v(_v(0.9)).alias("p90"),
+            t4v(_v(0.99)).alias("p99"),
         )
         .orderBy("o_orderpriority")
     )

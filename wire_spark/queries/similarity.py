@@ -220,7 +220,12 @@ def ann_ivf_cosine(spark, sf_dir):
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    # 1. assignment: nearest centroid per vector (one broadcast pass)
+    # 1. assignment: nearest centroid per vector (one broadcast pass).
+    # Kept as a rank-1 window DELIBERATELY (r15 optimization round):
+    # Spark's WindowGroupLimit already prunes to top-1 per key on the
+    # map side before the exchange, and a min(struct) aggregate
+    # measured SLOWER (struct buffers fall out of codegen hash
+    # aggregation into ObjectHashAggregate).
     sim_c = t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assign = (
@@ -335,9 +340,13 @@ def ann_ivf_lloyd_cosine(spark, sf_dir):
     from wire_spark.queries.clustering import lloyd_cent1
 
     e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    # 8-row refined-centroid relation, broadcast into BOTH the
+    # assignment and the probe pass — materialized once so the Lloyd
+    # refinement (a full pass over the vector table) does not execute
+    # per consumer
     cent = lloyd_cent1(spark, sf_dir).withColumn(
         "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    ).localCheckpoint(eager=True)
     sim_c = t6(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assign = (

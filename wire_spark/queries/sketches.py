@@ -429,15 +429,22 @@ def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
     ~1k buckets per key and each bucket stays small."""
     k, t, v = F.col(key), F.col(tie), F.col(val)
     bkt = F.floor(v) if width == 1.0 else F.floor(v / F.lit(float(width)))
+    from wire_spark.queries._util import tracked_cache
+
     ev = df.select(k.alias("__k"), t.alias("__t"), v.alias("__v"),
                    bkt.cast("long").alias("bkt"))
     hist = ev.groupBy("__k", "bkt").agg(F.count(F.lit(1)).alias("c"))
     wcum = W.partitionBy("__k").orderBy("bkt")
-    cum = hist.select(
+    # cached: the cumulative histogram feeds BOTH the target-rank
+    # derivation and the bucket-location join; without persistence
+    # each consumer re-runs the histogram pass from the scan (the
+    # same multi-consumer discipline as _hist_prefix).  The relation
+    # is histogram-grain (|keys| x ~1k buckets), never data-grain.
+    cum = tracked_cache(hist.select(
         "__k", "bkt", "c",
         (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
         F.sum("c").over(W.partitionBy("__k")).alias("n"),
-    )
+    ))
     ps_df = df.sparkSession.createDataFrame([(float(p),) for p in ps], ["p"])
     h = (F.col("n") - 1) * F.col("p")
     targets = (

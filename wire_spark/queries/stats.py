@@ -1150,6 +1150,9 @@ def events_permutation_test(spark, sf_dir):
         F.sum(F.when(~F.col("treat"), F.col("n_conv"))).alias("c1"),
         F.sum(F.when(F.col("treat"), F.col("n_conv"))).alias("c2"),
     )
+    # st is B+1 = 33 rows but feeds TWO consumers (the b=0 observed
+    # slice and the permutation count); materialized once so the
+    # user-grain explode/aggregate pipeline does not execute twice
     st = s.select(
         "b",
         F.expr(
@@ -1158,7 +1161,7 @@ def events_permutation_test(spark, sf_dir):
             " - CAST(c2 AS DOUBLE) / CAST(e2 AS DOUBLE))"
             " ELSE 0.0e0 END"
         ).alias("stat"),
-    )
+    ).localCheckpoint(eager=True)
     obs = st.filter(F.col("b") == 0).select(F.col("stat").alias("stat_obs"))
     return (
         st.crossJoin(F.broadcast(obs))
