@@ -150,6 +150,10 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "percentile_order_value_bucketed": (15, False),
     "events_permutation_test": (15, False),
     "events_fdr_bh": (15, False),
+    # r15 wave 2: bloom bitmap literal built as one parsed SQL
+    # expression (driver-side py4j fix; plan and outputs verified
+    # identical vs the unchanged oracle at all 3 SFs).
+    "bloom_join_prune": (15, False),
 }
 
 
