@@ -97,12 +97,19 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # outputs-changed tier.
     "embedding_gram_matrix": (13, True),
     "embedding_power_iteration": (13, True),
-    # r12 connected_components pointer-jumping rewrite (operator-level;
-    # plans changed, outputs bit-identical on real data — bigclique
-    # sweep + full oracle drive re-verified)
-    "dedup_connected_components": (12, False),
-    "dedup_survivors_central": (12, False),
-    "sample_dedup_weighted": (12, False),
+    # r12 connected_components pointer-jumping rewrite, superseded by
+    # the r15 wave-3 raw-edge persist (operator-level; plans changed,
+    # outputs bit-identical on real data — re-verified vs the
+    # unchanged oracles at r15: connected/lsh/star at sf0.01+sf0.1,
+    # survivors at sf0.001+sf0.01, sample at sf0.01; sample's and
+    # survivors' sf0.1 DuckDB oracles exhaust this host's temp disk
+    # (the known-impractical quadratic-CTE trio) — their operator
+    # path is the one sf0.1-green via connected/lsh/star)
+    "dedup_connected_components": (15, False),
+    "dedup_survivors_central": (15, False),
+    "sample_dedup_weighted": (15, False),
+    "dedup_components_lsh": (15, False),
+    "dedup_components_star": (15, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
     # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
     # (bit-identical on real data); welch/anova/linear_trend moved to

@@ -102,9 +102,18 @@ def connected_components(
     )
     _persist_round = _round_persister(spark, checkpoint_dir)
     try:
-        sym = _persist_round(
+        # Materialize the raw edge list BEFORE symmetrizing: the
+        # union's two branches are separate copies of the ``edges``
+        # plan and Spark performs no cross-branch common-subtree
+        # elimination, so an expensive upstream edge derivation (a
+        # shingle-verify join, a banded LSH pipeline) would execute
+        # twice inside the symmetrize job. One narrow persist makes
+        # it run exactly once.
+        raw = _persist_round(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        )
+        sym = _persist_round(
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
         )
         labels = (
@@ -206,15 +215,25 @@ def connected_components_star(
     )
     persist = _round_persister(spark, checkpoint_dir)
     try:
-        verts = persist(
-            edges.select(F.col(src).alias("id"))
-            .union(edges.select(F.col(dst).alias("id")))
+        # Materialize the raw edge list ONCE before deriving verts and
+        # the canonical edge set: ``verts``'s union references the
+        # ``edges`` plan in two branches and ``e`` in a third, and
+        # Spark performs no cross-branch common-subtree elimination —
+        # an expensive upstream edge derivation (the banded MinHash
+        # pipeline) would execute three times. One narrow persist
+        # makes it run exactly once; verts then derives from the
+        # checkpointed rows, so it no longer needs its own persist.
+        raw = persist(
+            edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        )
+        verts = (
+            raw.select(F.col("x").alias("id"))
+            .union(raw.select(F.col("y").alias("id")))
             .distinct()
         )
         # canonical undirected edge list (u > v), self-loops dropped
         e = persist(
-            edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
-            .filter(F.col("x") != F.col("y"))
+            raw.filter(F.col("x") != F.col("y"))
             .select(
                 F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
             )

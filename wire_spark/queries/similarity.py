@@ -661,18 +661,27 @@ def embedding_quantize_int8(spark, sf_dir):
     shuffle; every arithmetic step is per-element deterministic so
     the oracle matches bit-for-bit."""
     e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
-    # The scale expression is INLINED into the error lambda rather
-    # than bound via withColumn: after projection collapse, a
-    # F.col("scale") reference inside a transform() lambda nests the
-    # scale's own transform() under the outer lambda and the variable
-    # binding silently captures the OUTER element (scale became
-    # per-element — observed, wrong by 3%). Inline composition keeps
-    # each lambda's variable distinct. The subexpression is
-    # per-row-constant; worst case it re-evaluates per element
-    # (d^2 = 4096 flops/row — noise).
+    # The scale must not be bound via withColumn: after projection
+    # collapse, a F.col("scale") reference inside a transform()
+    # lambda nests the scale's own transform() under the outer
+    # lambda and the Python-lambda variable binding silently
+    # captures the OUTER element (scale became per-element —
+    # observed, wrong by 3%). Naive inlining is correct but
+    # re-evaluates the array_max PER ELEMENT (d^2 = 4096 flops/row;
+    # measured 0.21 -> 0.67 s on the err phase). Instead the scale
+    # is computed once per row as the single element of the outer
+    # transform()'s input array and bound to the lambda variable
+    # `s` — each lambda body is O(d) and the SQL-parsed lambda
+    # variables (`a`, `s`, `x`) are distinct by construction, so
+    # the capture bug cannot recur. Same arithmetic tree per
+    # element, bit-identical output.
     scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
-    err = F.array_max(
-        F.transform("v", lambda x: F.abs(x - F.floor(x / scale) * scale))
+    err = F.element_at(
+        F.expr(
+            "transform(array(array_max(transform(v, a -> abs(a))) / 127.0E0),"
+            " s -> array_max(transform(v, x -> abs(x - floor(x / s) * s))))"
+        ),
+        1,
     )
     return (
         e.select("vec_id", t6(scale).alias("scale"), t6(err).alias("max_abs_err"))
