@@ -110,6 +110,12 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "sample_dedup_weighted": (15, False),
     "dedup_components_lsh": (15, False),
     "dedup_components_star": (15, False),
+    # r15 wave-3b lazy per-iteration checkpoint in pagerank_fixed
+    # (operator-level, plan-shape unchanged; outputs bit-identical —
+    # personalized + weighted re-verified at sf0.001+sf0.01; neardup
+    # sits in the r15 driver window and is re-verified there)
+    "graph_pagerank_personalized": (15, False),
+    "graph_pagerank_weighted": (15, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
     # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
     # (bit-identical on real data); welch/anova/linear_trend moved to
