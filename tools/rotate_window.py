@@ -71,32 +71,15 @@ BUDGET = 5
 # widened in the r12 maxmass wave but the entry was omitted; it is
 # r13-forced so the re-check lands this round).
 EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
-    # Driver-green-covered entries pruned in place at r14 (21 names
-    # whose newest green >= edit round; the auto-drop rule had already
-    # retired them — this is readability only, same as the r13 prune).
-    # r11 longdocs super-linear kernel rewrites (commit 5b83190):
-    # context_chunking_plan is r14-forced (r9-green cohort);
-    # text_langid_trigram_trained is r15-forced (r10-green cohort).
-    "text_langid_trigram_trained": (11, False),
-    "context_chunking_plan": (11, False),
+    # Driver-green-covered entries pruned in place at r16 (17 names
+    # whose newest green >= edit round, the r15 driver window's
+    # harvest; the auto-drop rule had already retired them — this is
+    # readability only, same as the r13/r14 prunes).
     # r12 zerovec valid-embedding domain gate (loader + oracle WHERE,
     # identity on real data at every SF — verified at r12).
     "ann_ivf_lloyd_cosine": (12, False),
-    "ann_lsh_multiprobe_cosine": (12, False),
-    "embedding_quantize_int8": (12, False),
     "ann_recall_audit": (12, False),
-    "embedding_hard_negatives": (12, False),
-    "search_hybrid_rrf": (12, False),
     "knn_label_agreement": (12, False),
-    # r12 spectral overflow-proofing: the power-iteration rescale
-    # constant dropped 4096 -> 1024, which CHANGED REAL-DATA OUTPUTS
-    # for these three.  kmeans_lloyd_round earned its post-edit green
-    # at r13 (r13-forced) and was pruned; gram/power's edit wave was
-    # bumped to 13 by their output-preserving gram_domain_cond scan
-    # gate (ADVICE r12), so they take the r15 slack slots under the
-    # outputs-changed tier.
-    "embedding_gram_matrix": (13, True),
-    "embedding_power_iteration": (13, True),
     # r12 connected_components pointer-jumping rewrite, superseded by
     # the r15 wave-3 raw-edge persist (operator-level; plans changed,
     # outputs bit-identical on real data — re-verified vs the
@@ -118,32 +101,14 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     "graph_pagerank_weighted": (15, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
     # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
-    # (bit-identical on real data); welch/anova/linear_trend moved to
-    # the quadratic-moment tier (|v| <= 1e8 gate, identity on real
-    # data); linear_trend's slope moved to a deterministic
-    # integer-derived double tree that reproduces the old values on
-    # real data.  In-window r12 names earned their post-edit greens
-    # and were pruned; the rest queue for slack (most are r13-forced).
-    "events_anova_f": (12, False),
-    "events_linear_trend": (12, False),
-    "events_resample_ffill": (12, False),
-    "events_welch_ttest": (12, False),
-    "q1_pricing_summary": (12, False),
+    # (bit-identical on real data).  In-window r12/r15 names earned
+    # their post-edit greens and were pruned; the rest queue for
+    # slack (all three are r16-forced).
     "rollup_plus_tail_merge": (12, False),
     "rollup_time_lattice": (12, False),
     "window_range_frame_30m": (12, False),
-    "window_session_10m": (12, False),
-    "window_tumbling_hourly": (12, False),
-    # r13 fixed-point accumulator widening (the scoped r12 worklist
-    # plus one audit find): the 1e6-scale text sums (lp6 / clnc6 /
-    # a6) and embedding_centroid_distance's sx now accumulate in
-    # DECIMAL(38,0)/HUGEINT with explicit CAST-to-DOUBLE trees in
-    # place of the oracle `* 1.0` decimal-division trees.
-    # Bit-identity vs the HEAD oracles verified at all 3 SFs under
-    # Asia/Kolkata (outputs unchanged on real data).  unigram /
-    # centroid are r13-forced; the rest queue for slack.
-    "text_bigram_logprob": (13, False),
-    "text_token_entropy": (13, False),
+    # r13 fixed-point accumulator widening: the one name whose
+    # post-edit green has not landed yet (r16-slack slot).
     "corpus_js_divergence": (13, False),
     # r15 OPTIMIZATION-round plan-only rewrites (outputs verified
     # bit-identical vs the unchanged oracles at sf0.001/0.01/0.1):
