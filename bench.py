@@ -523,6 +523,8 @@ def main() -> None:
 
     calibration = host_calibration(spark)
 
+    from wire_spark.queries._util import release_tracked_caches
+
     sc = spark.sparkContext
     timings: dict[str, float] = {}
     query_jobs: dict[str, int] = {}
@@ -542,6 +544,18 @@ def main() -> None:
         except Exception as e:  # keep benching; report the failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+        finally:
+            # release THIS query's tracked caches before the next query
+            # starts (VERDICT r15 "What's wrong" #3): end-of-run-only
+            # release let an InMemoryRelation built by one query (e.g.
+            # the shared shingle relation) be read for free by every
+            # later query sharing the plan, so per-query seconds
+            # depended on bench ordering.  Releasing here makes each
+            # query's number self-contained (its own best-of-2 still
+            # reuses its own caches — the steady state being measured);
+            # the first-consumer-pays total becomes every-consumer-pays,
+            # which is the honest per-query attribution.  Untimed.
+            release_tracked_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Host-corrected sum: scale the raw total by REF/measured on the

@@ -150,9 +150,12 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with deferred-release bookkeeping.
 
     Spark's cache manager matches by analyzed plan, so an identical
-    fragment built twice (e.g. ``_shingle_df`` across several dedup
-    queries in one bench run) still hits one shared InMemoryRelation;
-    releasing only at end-of-run preserves that cross-query reuse.
+    fragment built twice inside ONE query (e.g. both sides of a
+    self-join) hits one shared InMemoryRelation.  Callers that time
+    queries individually must release between queries — bench.py does
+    (VERDICT r15 #3): cross-QUERY cache hits make per-query seconds
+    depend on execution order, so the caches are scoped to the query
+    that built them and the honest cost is paid by every consumer.
     """
     _TRACKED_CACHES.append(df)
     return df.cache()
