@@ -321,7 +321,18 @@ class KVStore:
             self._resolved = None
 
     def log_df(self) -> DataFrame:
-        tail = self.spark.createDataFrame(self._tail or [], schema=KV_SCHEMA)
+        # The tail is control-plane-sized (driver-resident appends), so
+        # build it as ONE partition — the default createDataFrame path
+        # slices local data defaultParallelism ways and every slice is
+        # a Python-worker task (32 cold worker spawns to count an
+        # empty store). An empty tail uses emptyRDD: zero tasks.
+        sc = self.spark.sparkContext
+        if self._tail:
+            tail = self.spark.createDataFrame(
+                sc.parallelize(self._tail, 1), schema=KV_SCHEMA
+            )
+        else:
+            tail = self.spark.createDataFrame(sc.emptyRDD(), schema=KV_SCHEMA)
         return self._base.unionByName(tail) if self._base is not None else tail
 
     def state(self) -> DataFrame:
