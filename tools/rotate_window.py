@@ -89,16 +89,28 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # (the known-impractical quadratic-CTE trio) — their operator
     # path is the one sf0.1-green via connected/lsh/star)
     "dedup_connected_components": (15, False),
-    "dedup_survivors_central": (15, False),
+    # (survivors: consumes both iterative operators; r16 fusions
+    # re-verified through it at sf0.001+sf0.01)
+    "dedup_survivors_central": (16, False),
     "sample_dedup_weighted": (15, False),
     "dedup_components_lsh": (15, False),
-    "dedup_components_star": (15, False),
+    # r16 star-round window fusion (operator-level: per-key min via a
+    # window sharing the groupBy/join exchange — one round: 15
+    # Exchange/6 SMJ/12 Sort -> 7/0/4, loop jobs 61 -> 46 on the
+    # synthetic chain A/B; outputs bit-identical, re-verified vs the
+    # unchanged oracle at sf0.001+0.01+0.1)
+    "dedup_components_star": (16, False),
     # r15 wave-3b lazy per-iteration checkpoint in pagerank_fixed
     # (operator-level, plan-shape unchanged; outputs bit-identical —
     # personalized + weighted re-verified at sf0.001+sf0.01; neardup
     # sits in the r15 driver window and is re-verified there)
-    "graph_pagerank_personalized": (15, False),
-    "graph_pagerank_weighted": (15, False),
+    # + r16 per-iteration base-join fusion into the rank aggregation
+    # (one less exchange and one less SMJ per iteration; integer
+    # arithmetic untouched — all four consumers re-verified at
+    # sf0.001+0.01, neardup/weighted also at sf0.1)
+    "graph_pagerank_personalized": (16, False),
+    "graph_pagerank_weighted": (16, False),
+    "graph_pagerank_neardup": (16, False),
     # r12 maxmass group-mass overflow wave: msum and every inline
     # fixed-point sum widened to DECIMAL(38,0)/HUGEINT accumulation
     # (bit-identical on real data).  In-window r12/r15 names earned

@@ -259,30 +259,37 @@ def connected_components_star(
             )
             .distinct()
         )
+        from pyspark.sql import Window as W
+
+        w_u = W.partitionBy("u")
         cnt_e = -1  # unknown until a round counts it; forces round 1 on
         for _ in range(max_iter):
-            # large-star: every neighbor w > n links to min(N(n) ∪ {n})
+            # large-star: every neighbor w > n links to min(N(n) ∪ {n}).
+            # The per-key min is a WINDOW over the same key the old
+            # groupBy+join pair shuffled on: one exchange of sym per
+            # half-round instead of two (the groupBy's partial-agg
+            # subtree differs from the join input's, so AQE could not
+            # reuse that exchange — guide §2.4 "two operations keyed
+            # the same way can share one exchange").
             sym = e.select("u", "v").union(
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            mins = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("mn"))
-                .select("u", F.least("mn", F.col("u")).alias("m"))
-            )
             large = (
-                sym.join(mins, "u")
+                sym.withColumn(
+                    "m", F.least(F.min("v").over(w_u), F.col("u"))
+                )
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
             )
             # small-star: every neighbor w <= n links to min(N≤(n) ∪ {n})
+            # (canon rows have u > v, so min(v) over u is already the
+            # min over the closed neighborhood)
             canon = large.select(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-            mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
-            joined = canon.join(mins2, "u")
+            joined = canon.withColumn("m", F.min("v").over(w_u))
             small = (
                 joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(joined.select("u", F.col("m").alias("v")))
@@ -435,11 +442,35 @@ def pagerank_fixed(
         ranks = base.select("node", "d", F.col("r0").alias("r"))
         for i in range(iterations):
             contrib = e.join(ranks, e.src == ranks.node).select(
-                F.col("dst").alias("node"), F.expr("(r * w) div d").alias("c")
+                F.col("dst").alias("node"), F.expr("(r * w) div d").alias("c"),
+                F.lit(None).cast("long").alias("d"),
+                F.lit(None).cast("long").alias("t"),
             )
-            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            # base rides the SAME groupBy exchange as the contribution
+            # sum instead of a separate join: the old
+            # ``sums.join(base, "node")`` sort-merge re-sorted both
+            # node-keyed sides per iteration (guide §2.4 — share the
+            # exchange two same-keyed operations need).  Both ``node``
+            # key sets are unique, so inner-join semantics are exactly
+            # "present on both sides": rows missing a contribution
+            # (s IS NULL) or missing from base (d IS NULL) are dropped
+            # just as the join dropped them — bit-identical output, and
+            # the integer arithmetic is unchanged.
+            merged = contrib.unionByName(
+                base.select(
+                    "node",
+                    F.lit(None).cast("long").alias("c"),
+                    "d", "t",
+                )
+            )
             ranks = (
-                sums.join(base, "node")
+                merged.groupBy("node")
+                .agg(
+                    F.sum("c").alias("s"),
+                    F.max("d").alias("d"),
+                    F.max("t").alias("t"),
+                )
+                .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
                 .select(
                     "node", "d",
                     F.expr("t + (85 * s) div 100").alias("r"),

@@ -19,6 +19,7 @@ engines with no float in sight.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
@@ -650,13 +651,22 @@ def graph_kcore_peel(spark, sf_dir):
     e = edges.union(edges.select(F.col("d2").alias("d1"),
                                  F.col("d1").alias("d2"))) \
         .select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    # Each peel round keeps edge (a, b) iff deg(a) >= 2 AND deg(b) >= 2.
+    # ``e`` is symmetric every round (the keep condition is symmetric,
+    # so deleting (x, y) also deletes (y, x)), which makes BOTH
+    # endpoint degrees window counts over e itself: partitionBy("a")
+    # counts deg(a) directly and partitionBy("b") counts rows where
+    # the node appears as head — equal to its degree by symmetry.
+    # This replaces the old groupBy(a) + two semi-joins (deg shuffle
+    # + e shuffled by a and by b for the joins) with exactly two
+    # shuffles of e and no join per round (guide §2.4 — a window
+    # keyed like the aggregation shares its exchange).
+    w_a, w_b = W.partitionBy("a"), W.partitionBy("b")
     for _ in range(3):
-        deg = e.groupBy(F.col("a").alias("node")).agg(
-            F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= 2).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "a"), "a")
-            .join(keep.withColumnRenamed("node", "b"), "b")
+            e.withColumn("da", F.count(F.lit(1)).over(w_a))
+            .withColumn("db", F.count(F.lit(1)).over(w_b))
+            .filter((F.col("da") >= 2) & (F.col("db") >= 2))
             .select("a", "b")
             .localCheckpoint(eager=True)  # per-round lineage truncation
         )
