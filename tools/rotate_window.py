@@ -122,6 +122,12 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # r13 fixed-point accumulator widening: the one name whose
     # post-edit green has not landed yet (r16-slack slot).
     "corpus_js_divergence": (13, False),
+    # r16 restart-protocol single materialization: the tagged
+    # envelope projected to the five fold columns and tracked_cache'd
+    # once for the prefix/tail branches (3 log scans -> 2; jobs
+    # 9 -> 6, 4.45 -> 1.46 s A/B; outputs bit-identical, re-verified
+    # vs the unchanged oracle at sf0.001+0.01+0.1).
+    "cdc_resume_restart": (16, False),
     # r15 OPTIMIZATION-round plan-only rewrites (outputs verified
     # bit-identical vs the unchanged oracles at sf0.001/0.01/0.1):
     # exact-percentile single-pass conditional-aggregate forms

@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import EVENTS_SANITIZED_CTE, events_sane
+from wire_spark.queries._util import (EVENTS_SANITIZED_CTE, events_sane,
+                                      tracked_cache)
 
 _ENVELOPE_SQL_CTE = EVENTS_SANITIZED_CTE + """,
 env AS (
@@ -147,7 +148,19 @@ def cdc_resume_restart(spark, sf_dir):
                 - (F.col("mx").cast("long") / 10).cast("long"))
                .cast("string"), 12, "0").alias("resume_from"),
     )
-    tagged = env.crossJoin(F.broadcast(cuts))
+    # Both restart branches (prefix fold + replayed tail) consume the
+    # tagged envelope, and Spark re-derives the events scan + envelope
+    # expressions per branch — so the cuts pre-pass plus two branch
+    # scans read the change log three times.  Project to exactly the
+    # five columns the folds touch and materialize ONCE: two log reads
+    # total (cuts + cache build), and the cached relation is narrow
+    # (the wall_time/db/coll/update-description columns never enter
+    # the restart protocol).
+    cols = ["resume_token", "operation_type", "document_id",
+            "full_document", "cluster_time"]
+    tagged = tracked_cache(
+        env.select(*cols).crossJoin(F.broadcast(cuts))
+    )
     prefix = tagged.filter(F.col("resume_token") <= F.col("cut"))
     tail = tagged.filter(F.col("resume_token") > F.col("resume_from"))
     ckpt = checkpoint_state(prefix)
