@@ -128,6 +128,12 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # 9 -> 6, 4.45 -> 1.46 s A/B; outputs bit-identical, re-verified
     # vs the unchanged oracle at sf0.001+0.01+0.1).
     "cdc_resume_restart": (16, False),
+    # r16 contest-pair shared exchange: repartition(order key) below
+    # the aggregation so both self-join branches read one
+    # ReusedExchange, replacing the r15 data-sized localCheckpoint
+    # (interleaved A/B ~1.62 -> ~1.12 s; outputs bit-identical at
+    # sf0.001+0.01+0.1).  bt_strength/basket sit in the r16 window.
+    "preference_winrate_wilson": (16, False),
     # r15 OPTIMIZATION-round plan-only rewrites (outputs verified
     # bit-identical vs the unchanged oracles at sf0.001/0.01/0.1):
     # exact-percentile single-pass conditional-aggregate forms

@@ -594,15 +594,21 @@ def basket_brand_pairs(spark, sf_dir):
     """
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # eagerly materialized: FOUR consumers (total, marginals, both
-    # sides of the pair self-join) — basket relation is order-grain,
-    # so the checkpoint is bounded and saves three lineitem scans
+    # FOUR consumers (total, marginals, both sides of the pair
+    # self-join) share ONE order-keyed exchange: the explicit
+    # repartition("orderkey") below the distinct keys the pipeline on
+    # the self-join key (hashpartitioning(orderkey) satisfies the
+    # (orderkey, brand) distinct's clustering — subset rule), every
+    # consumer reads the same ReusedExchange, and the self-join
+    # shuffles nothing further (guide §2.4).  Replaces the r15
+    # data-sized localCheckpoint (the ADVICE r15 executor-pinned
+    # class) — measured A/B in OPTIMIZATION_r16.md §5.
     ob = (
         li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("orderkey"),
                 F.col("p_brand").alias("brand"))
+        .repartition("orderkey")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nn = ob.agg(F.countDistinct("orderkey").alias("n"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
