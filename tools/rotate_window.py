@@ -134,6 +134,18 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # (interleaved A/B ~1.62 -> ~1.12 s; outputs bit-identical at
     # sf0.001+0.01+0.1).  bt_strength/basket sit in the r16 window.
     "preference_winrate_wilson": (16, False),
+    # r16 literal-table build path: driver-side constants relations
+    # (caps/digits/quantile probes/GEMM block map) built as ONE
+    # partition via _util.local_df instead of 32 Python-worker slices
+    # (~0.2 s per materialization warm; outputs bit-identical —
+    # all consumers re-verified at sf0.001+0.01+0.1).
+    "dedup_embedding_cosine": (16, False),
+    "dedup_cost_model": (16, False),
+    "robust_outliers_mad_bucketed": (16, False),
+    "quantile_histogram_sketch": (16, False),
+    "percentile_bucketed_exact": (16, False),
+    "session_dwell_percentiles": (16, False),
+    "orders_benford_audit": (16, False),
     # r15 OPTIMIZATION-round plan-only rewrites (outputs verified
     # bit-identical vs the unchanged oracles at sf0.001/0.01/0.1):
     # exact-percentile single-pass conditional-aggregate forms

@@ -173,8 +173,11 @@ def _snapshot_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
         parts.append(df.filter(F.col(BUCKET_COL).isin(owned)))
     if not parts:
         from pyspark.sql.types import StructType
+        # emptyRDD: zero tasks — the default local path spawns
+        # defaultParallelism Python-worker tasks for an empty relation
         return spark.createDataFrame(
-            [], StructType.fromJson(manifest["schema"]))
+            spark.sparkContext.emptyRDD(),
+            StructType.fromJson(manifest["schema"]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -319,9 +322,11 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
             sum(1 for c in m["buckets"].values() if c is not None),
             m.get("rolled_back_to"),
         ))
+    # version-history-sized: one partition, not 32 Python tasks
     return spark.createDataFrame(
-        rows, "version INT, parent INT, n_live_buckets INT, "
-              "rolled_back_to INT")
+        spark.sparkContext.parallelize(rows, 1),
+        "version INT, parent INT, n_live_buckets INT, "
+        "rolled_back_to INT")
 
 
 def txn_compact(spark: SparkSession, path: str) -> int:

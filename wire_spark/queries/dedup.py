@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
 from wire_spark.functions.text import ascii_lower
-from wire_spark.queries._util import (T, md5_long, t4, t6, tracked_cache,
+from wire_spark.queries._util import (T, local_df, md5_long, t4, t6, tracked_cache,
                                       word_shingles)
 
 # --------------------------------------------------------------------
@@ -531,7 +531,7 @@ def dedup_embedding_cosine(spark, sf_dir, blocks: int = 8):
             rows.append((t, i, j, i))
             if j != i:
                 rows.append((t, i, j, j))
-    tasks = spark.createDataFrame(rows, "task int, gi int, gj int, g int")
+    tasks = local_df(spark, rows, "task int, gi int, gj int, g int")
     rep = e.join(F.broadcast(tasks), "g")
     pairs = rep.groupBy("task", "gi", "gj").applyInPandas(
         _block_pair_gemm, schema="v1 long, v2 long, cosine double"
@@ -1384,7 +1384,7 @@ def dedup_cost_model(spark, sf_dir):
     """
     sh = _shingle_df(spark, sf_dir)
     dfh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    caps = spark.createDataFrame([(5,), (25,), (100,), (1000,)], "cap INT")
+    caps = local_df(spark, [(5,), (25,), (100,), (1000,)], "cap INT")
     tot = dfh.agg(F.sum("df").alias("mass"))
     return (
         dfh.crossJoin(F.broadcast(caps))

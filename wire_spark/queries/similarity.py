@@ -1665,7 +1665,8 @@ def vector_index_search_stored(spark, sf_dir):
     e = _valid_vectors(spark, sf_dir).select("vec_id", "v")
     out_schema = "qid long, nid long, adist double, rn int"
     if e.filter(F.col("vec_id") < 8).limit(1).count() == 0:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), out_schema)
 
     idx = tempfile.mkdtemp(prefix="wire_vecidx_q_")
     build_index(e.select("vec_id", F.col("v").alias("embedding")), idx)
@@ -1715,4 +1716,6 @@ def vector_index_search_stored(spark, sf_dir):
     # index directory can be removed before returning
     rows = res.collect()
     shutil.rmtree(idx, ignore_errors=True)
-    return spark.createDataFrame(rows, res.schema)
+    # result-set-sized (k x |queries|): one partition, not 32
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), res.schema)

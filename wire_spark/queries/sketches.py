@@ -25,7 +25,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wire_spark.catalog import register
-from wire_spark.queries._util import EVENTS_SANITIZED_CTE, T, events_sane, md5_long, tracked_cache
+from wire_spark.queries._util import (EVENTS_SANITIZED_CTE, T, events_sane,
+                                      local_df, md5_long, tracked_cache)
 
 # --------------------------------------------------------------------
 # HyperLogLog distinct sketch (m=256 registers, deterministic)
@@ -237,7 +238,8 @@ def quantile_histogram_sketch(spark, sf_dir):
             W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("cum"),
     )
-    qs = spark.createDataFrame(
+    qs = local_df(
+        spark,
         [("p50", 0.50), ("p95", 0.95), ("p99", 0.99)], "qname string, frac double"
     )
     hit = (
@@ -455,7 +457,7 @@ def bucketed_quantiles(df, ps, key="event_type", val="value", tie="event_id",
         (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
         F.sum("c").over(W.partitionBy("__k")).alias("n"),
     ))
-    ps_df = df.sparkSession.createDataFrame([(float(p),) for p in ps], ["p"])
+    ps_df = local_df(df.sparkSession, [(float(p),) for p in ps], "p double")
     h = (F.col("n") - 1) * F.col("p")
     targets = (
         cum.select("__k", "n").distinct()

@@ -41,6 +41,7 @@ from wire_spark.queries._util import (
     T,
     events_moment,
     events_sane,
+    local_df,
     md5_long,
 )
 from wire_spark.queries.features import _hist_prefix
@@ -1359,8 +1360,7 @@ def orders_benford_audit(spark, sf_dir):
     Reference anchor: extends the analytics surface past
     tarungka/wire's declared aggregation intent (ROADMAP.md:96-107).
     """
-    digits = spark.createDataFrame(
-        list(_BENFORD_P_1E6), "digit long, p_1e6 long")
+    digits = local_df(spark, list(_BENFORD_P_1E6), "digit long, p_1e6 long")
     obs = (
         T(spark, sf_dir, "orders")
         .select(

@@ -193,8 +193,10 @@ def contract_gate(
                     )
                     for name, (n_pass, rate) in result.rules.items()
                 ]
+                # rule-grain audit rows: one partition (and one
+                # output file) per micro-batch, not 32 Python tasks
                 spark.createDataFrame(
-                    rows,
+                    spark.sparkContext.parallelize(rows, 1),
                     "batch_id LONG, rule STRING, n_pass LONG, "
                     "pass_rate DOUBLE, ok BOOLEAN, n_rows LONG",
                 ).write.mode("append").parquet(audit_path)
