@@ -155,7 +155,12 @@ EDITED_SINCE_GREEN: dict[str, tuple[int, bool]] = {
     # classification, day-grid broadcast joins.  Queries edited this
     # wave that are IN the r15 driver window are not listed (the
     # window re-verifies them); these queue for slack.
-    "events_survival_hazard": (15, False),
+    # + r16 cluster-safety swap: the two data-sized localCheckpoints
+    # (signup-user grain `s`, censoring rollup `u`) became eager
+    # tracked_caches — lineage kept (executor-loss recoverable,
+    # ADVICE r15), caches released after the query's actions; outputs
+    # re-verified bit-identical at sf0.001+0.01+0.1.
+    "events_survival_hazard": (16, False),
     "ann_ivf_cosine": (15, False),
     "kmeans_lloyd_round": (15, False),
     "kmeans_lloyd_two_rounds": (15, False),

@@ -380,6 +380,17 @@ def pagerank_fixed(
     node-keyed rank table (one extra tiny column), so personalization
     adds no extra shuffle. Returns ``(node, d, r)`` — out-degree
     (strength when weighted) and final fixed-point rank.
+
+    Return-value contract (ADVICE r15): the returned DataFrame's
+    lineage ends in the last iteration's LAZY checkpoint, which is
+    only guaranteed to materialize once when a single action consumes
+    it before any multi-branch reuse.  All in-repo callers consume it
+    exactly once (or re-persist it themselves); a new caller that
+    fans the result into several branches of one job should persist
+    it first (``tracked_cache`` + an action, or an eager
+    checkpoint) — otherwise concurrent branches can race the lazy
+    checkpoint into re-running the final iteration (a recompute, not
+    a wrong answer: every step is deterministic integer arithmetic).
     """
     spark = edges.sparkSession
     prev_dir = (

@@ -644,10 +644,19 @@ def events_survival_hazard(spark, sf_dir):
         "user_id", "event_type", F.expr("unix_micros(ts)").alias("eu"))
     mx = e.agg(F.max("eu").alias("m"))
     # user-grain, consumed by both the first-purchase join and the
-    # censoring rollup — materialize once
-    s = (e.filter(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("eu").alias("s_ts"))
-         .localCheckpoint(eager=True))
+    # censoring rollup — materialize once.  tracked_cache, not
+    # localCheckpoint: this relation is DATA-sized (one row per
+    # signup user), and a bare localCheckpoint pins it in executor
+    # storage with no lineage to recover from executor loss on a real
+    # cluster (ADVICE r15) — the cache keeps the lineage and is
+    # released by the bench/CLI after the query's actions complete.
+    # The count() materializes it eagerly so the two consumers below
+    # (which fan out inside one job) never race the lazy cache into
+    # recomputing the aggregation.
+    s = tracked_cache(
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("eu").alias("s_ts")))
+    s.count()
     fp = (
         e.filter(F.col("event_type") == "purchase")
         .join(s, "user_id")
@@ -656,8 +665,13 @@ def events_survival_hazard(spark, sf_dir):
     )
     # two narrow columns per signup user, consumed by THREE
     # aggregations (end_hist / ev_hist / dmax) — materialized once so
-    # the purchase join does not re-execute per consumer
-    u = (
+    # the purchase join does not re-execute per consumer.  Same
+    # tracked_cache-not-localCheckpoint rationale as `s` (data-sized,
+    # cluster-recoverable); eager count() because the two histogram
+    # consumers are BroadcastExchange builds the driver launches
+    # concurrently — a lazy cache would race them into recomputing
+    # the purchase join.
+    u = tracked_cache(
         s.join(fp, "user_id", "left").crossJoin(F.broadcast(mx))
         .select(
             F.expr("CASE WHEN p_ts IS NOT NULL "
@@ -667,8 +681,8 @@ def events_survival_hazard(spark, sf_dir):
                    "THEN (p_ts - s_ts) div 86400000000 END")
             .alias("event_day"),
         )
-        .localCheckpoint(eager=True)
     )
+    u.count()
     # day histogram + reverse cumsum: at_risk(d) = sum of users whose
     # observation ends at day >= d
     end_hist = u.groupBy(F.col("obs_end").alias("day")).agg(
